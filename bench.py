@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Mirrors the reference's per-stage timing discipline
+(shopify_etl.py:648-649, 669-670, 680-681): each query is timed
+end-to-end (plan → execute → collect-to-count), after a warmup query
+that absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shopify_youtube_etl_spark.plans.registry import all_queries
+from shopify_youtube_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scan/join/agg/window/dedup/similarity spine.
+HEADLINE = [
+    "flagship_revenue",
+    "star_join_revenue_by_nation",
+    "uniqueness_profile",
+    "merge_upsert",
+    "latest_order_per_customer",
+    "keep_first_dedup",
+    "events_daily_rollup",
+    "tumbling_window_15m",
+    "session_window_30m",
+    "dedup_exact",
+    "token_stats",
+    "minhash_lsh_neardup",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Warmup: JVM, codegen, parquet footer caches.
+    specs["flagship_revenue"].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        n = specs[name].fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""Shared helpers for declared queries (Spark side + oracle-SQL side)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.sources.tables import load_table
+
+# Decimal places used when rounding double aggregates so that
+# summation-order float residue can't flip the driver's value hash
+# (SURVEY §7 risk: DuckDB and Spark sum doubles in different orders).
+MONEY_ROUND = 2
+RATIO_ROUND = 6
+
+# Microsecond-precision formats: events.ts is ns in parquet; Spark
+# truncates to µs on read, DuckDB keeps ns — oracles must CAST(ts AS
+# TIMESTAMP) (µs) first, then these two formats agree (FIXTURES.md A).
+SPARK_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand testdata table loader."""
+    return load_table(spark, sf_dir, name)
+
+
+def money(col: Column) -> Column:
+    """Round a double aggregate for hash-stable comparison."""
+    return F.round(col, MONEY_ROUND)
+
+
+def ts_str(col: Column) -> Column:
+    """Format a timestamp to a µs string (matches DUCK_TS_FMT on µs-cast)."""
+    return F.date_format(col, SPARK_TS_FMT)
+
+
+def day_str(col: Column) -> Column:
+    """Format a timestamp to its day key 'YYYY-MM-DD' (reference F7)."""
+    return F.date_format(col, "yyyy-MM-dd")

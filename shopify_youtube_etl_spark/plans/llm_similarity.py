@@ -1,0 +1,221 @@
+"""Similarity-search / near-dup queries (north-star LLM-data operators).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checked);
+MinHash-LSH is the 100 TB scale path (bucket-local joins instead of
+all-pairs).  See functions/similarity.py for the primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.functions.similarity import (
+    as_double_array,
+    cosine,
+    jaccard,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from shopify_youtube_etl_spark.functions.text import word_shingles
+from shopify_youtube_etl_spark.plans.common import t
+from shopify_youtube_etl_spark.plans.registry import query
+
+# Shared DuckDB fragments.
+_D_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_D_SHINGLES = """
+CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+     THEN list_distinct(list_transform(
+              generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+              i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                   string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                   string_split_regex(trim(text), '\\s+')[i+2]))
+     ELSE [] END
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    ref="similarity search baseline — brute-force cosine top-k",
+    doc="Top-5 nearest neighbors (cosine) for 16 probe vectors.",
+    oracle=f"""
+WITH p AS (
+    SELECT vec_id AS probe_id, {_D_VEC} AS pv FROM embeddings WHERE vec_id < 16
+),
+c AS (
+    SELECT vec_id AS neighbor_id, {_D_VEC} AS cv FROM embeddings
+),
+s AS (
+    SELECT probe_id, neighbor_id,
+           round(list_dot_product(pv, cv)
+                 / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+    FROM p, c
+    WHERE probe_id <> neighbor_id
+),
+r AS (
+    SELECT probe_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM s
+)
+SELECT probe_id, neighbor_id, cos AS cosine, rank
+FROM r WHERE rank <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline ANN: broadcast the (small) probe set against the corpus —
+    one corpus scan, no shuffle of the big side; per-probe top-k via
+    window.  Ties broken on ROUNDED cosine then neighbor_id so the
+    ranking is hash-stable across engines.  Scale path: IVF/LSH
+    bucketing (see minhash pattern) or block-local top-k + re-merge."""
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("probe_id"), as_double_array("embedding").alias("pv")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("cv")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("pv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@query(
+    "embedding_near_dup",
+    ref="embedding-cosine near-duplicate detection",
+    doc="Vector pairs with cosine ≥ 0.35 among a probe slice (testdata max pairwise ≈ 0.51) (near-dup sweep).",
+    oracle=f"""
+WITH p AS (
+    SELECT vec_id AS id_a, label AS label_a, {_D_VEC} AS va
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+c AS (
+    SELECT vec_id AS id_b, label AS label_b, {_D_VEC} AS vb FROM embeddings
+),
+s AS (
+    SELECT id_a, id_b, label_a, label_b,
+           round(list_dot_product(va, vb)
+                 / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS cos
+    FROM p, c
+    WHERE id_a < id_b
+)
+SELECT id_a, id_b, label_a, label_b, cos AS cosine
+FROM s WHERE cos >= 0.35
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        as_double_array("embedding").alias("va"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        as_double_array("embedding").alias("vb"),
+    )
+    return (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    ref="n-gram Jaccard near-dup (exact, probe slice)",
+    doc="Word-3-gram Jaccard ≥ 0.3 between probe docs and the corpus.",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents
+),
+p AS (SELECT doc_id AS id_a, shingles AS sa FROM sh WHERE doc_id % 5 = 0),
+c AS (SELECT doc_id AS id_b, shingles AS sb FROM sh),
+s AS (
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa, sb)) * 1.0
+                 / greatest(len(sa) + len(sb) - len(list_intersect(sa, sb)), 1), 6) AS jac
+    FROM p, c WHERE id_a <> id_b
+)
+SELECT id_a, id_b, jac AS jaccard
+FROM s WHERE jac >= 0.3
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard on a probe slice — the oracle-checked ground truth
+    that the MinHash-LSH query approximates.  Probe-side broadcast keeps
+    it one corpus pass; full all-pairs at scale goes through LSH."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    probes = d.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa")
+    )
+    corpus = d.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    return (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sa"), F.col("sb")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+
+
+@query(
+    "minhash_lsh_neardup",
+    ref="MinHash + LSH banding — the scale path for near-dup (shingle→minhash→band→bucket-join)",
+    doc="LSH candidate pairs verified by exact Jaccard ≥ 0.3; rows-only (hash family not portable to DuckDB).",
+    oracle=None,
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32 permutations × 8 bands (r=4): P[candidate] ≈ 1-(1-j⁴)⁸ — at
+    j=0.3 ~6%, j=0.7 ~89%, j=0.9 ~100%.  Candidates are verified with
+    exact Jaccard, so false positives cost compute, never correctness.
+    tests/test_llm_ops.py asserts LSH ⊇ the oracle-checked exact pairs
+    on planted near-dups."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    d = d.where(F.size("shingles") > 0)
+    sigs = minhash_signature(d, "doc_id", "shingles", num_hashes=32)
+    bands = lsh_bands(sigs, "doc_id", num_hashes=32, bands=8)
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    sh_a = d.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    sh_b = d.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a", "id_b", F.round(jaccard(F.col("sa"), F.col("sb")), 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,173 @@
+"""Text-analysis / dedup queries over the documents table (north-star
+LLM-data-pipeline operators; SURVEY §7 Phase 5).
+
+All built-in expressions — no Python in the hot path.  Each Spark
+helper in functions/text.py documents its DuckDB equivalent; the
+oracles here spell the identical logic in SQL so the value hashes must
+match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    normalize_text,
+    predicted_lang,
+    quality_score,
+    token_count_bpe_estimate,
+    token_count_whitespace,
+    words,
+)
+from shopify_youtube_etl_spark.plans.common import t
+from shopify_youtube_etl_spark.plans.registry import query
+
+# DuckDB fragments mirroring functions/text.py helpers.
+_D_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_D_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "dedup_exact",
+    ref="A4/A5 generalization → exact content dedup (hash-groupBy)",
+    doc="Exact duplicate groups by content hash; keeper = min doc_id.",
+    oracle=f"""
+SELECT md5({_D_NORM})                    AS content_hash,
+       CAST(min(doc_id) AS BIGINT)      AS keeper_id,
+       CAST(count(*) AS BIGINT)         AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale = one hash-groupBy shuffle on the 16-byte
+    digest (never on the full text).  Keeper choice (min id) mirrors the
+    reference's keep-first (A5) made deterministic."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    ref="document fingerprinting (north star); F9-style hashing",
+    doc="Per-document stable fingerprint + basic size stats.",
+    oracle=f"""
+SELECT doc_id,
+       md5({_D_NORM})                                   AS fingerprint,
+       CAST(strlen(text) AS BIGINT)                     AS n_bytes,
+       CAST(len({_D_WORDS}) AS BIGINT)                  AS n_tokens
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        token_count_whitespace(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "token_stats",
+    ref="token counting (whitespace + BPE-ish estimate)",
+    doc="Per-document token counts, distinct tokens, type-token ratio.",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_D_WORDS}) AS BIGINT)                   AS n_tokens,
+       CAST(len(list_distinct({_D_WORDS})) AS BIGINT)    AS n_distinct,
+       CAST(ceil(strlen(text) / 4.0) AS BIGINT)          AS bpe_estimate,
+       round(len(list_distinct({_D_WORDS})) * 1.0
+             / greatest(len({_D_WORDS}), 1), 6)          AS ttr
+FROM documents
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count_whitespace(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        token_count_bpe_estimate(F.col("text")).alias("bpe_estimate"),
+        F.round(
+            F.size(F.array_distinct(ws)) / F.greatest(F.size(ws), F.lit(1)), 6
+        ).alias("ttr"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    sws = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({_D_WORDS}, t -> list_contains([{sws}], t)))"
+
+
+_SCORES = {lang: _lang_score_sql(lang) for lang in LANG_STOPWORDS}
+_BEST = "greatest(" + ", ".join(_SCORES.values()) + ")"
+_PRED_CASE = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {score} = {_BEST} THEN '{lang}'" for lang, score in _SCORES.items()
+    )
+    + " END"
+)
+
+
+@query(
+    "lang_id_confusion",
+    ref="language-ID heuristic (stopword vote) vs labeled lang",
+    doc="Confusion matrix: labeled lang × predicted lang.",
+    oracle=f"""
+SELECT lang, {_PRED_CASE} AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; first language in inventory order wins
+    ties (the oracle's CASE chain evaluates in the same order)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", predicted_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "quality_scores",
+    ref="quality scoring (length/diversity/alpha ratios)",
+    doc="Per-document composite quality score + per-source profile.",
+    oracle=f"""
+WITH scored AS (
+    SELECT source,
+           round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (len(list_distinct({_D_WORDS})) * 1.0 / greatest(len({_D_WORDS}), 1))
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                        / greatest(length(text), 1)), 6) AS q
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(q), 6)         AS avg_quality,
+       round(min(q), 6)         AS min_quality,
+       round(max(q), 6)         AS max_quality
+FROM scored
+GROUP BY source
+""",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    scored = d.select("source", quality_score(F.col("text")).alias("q"))
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(F.min("q"), 6).alias("min_quality"),
+        F.round(F.max("q"), 6).alias("max_quality"),
+    )

@@ -1,0 +1,455 @@
+"""Relational-parity queries (SURVEY.md §2.1-2.8, Phase 0-1).
+
+Each query re-expresses a reference operator as a declarative DataFrame
+plan (Catalyst handles pushdown/pruning/join strategy) with a DuckDB
+oracle.  Reference operator ids (S*, P*, J*, A*, O*, U*, F*) cite
+SURVEY.md §2 which cites shopify-etl/shopify_etl.py lines.
+
+Scale notes: every query here is a pure shuffle-on-key agg/join plan —
+no driver-side loops, no UDFs, no collect.  Small-dimension joins
+(customer at 150·sf rows) stay under the autoBroadcast threshold so
+Catalyst broadcasts them automatically; verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from shopify_youtube_etl_spark.plans.common import day_str, money, t, ts_str
+from shopify_youtube_etl_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Phase 0 — flagship
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_revenue",
+    ref="S2,S8,J3-analog,A1,A7,O1; README.md:49-52 revenue analytics",
+    doc="Revenue by return-flag × order-status since 1998: scan → pushed filter → join → agg → sort.",
+    oracle="""
+SELECT l_returnflag,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT)                         AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_quantity), 6)                         AS avg_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag, o_orderstatus
+""",
+)
+def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's purpose is revenue analytics over orders + items
+    (README.md:49-52); this is that query on the testdata star schema.
+
+    The date filter is written on the probe side so Catalyst pushes it
+    into the orders parquet scan (PushedFilters) — the Spark analog of
+    the reference pushing ``updated_at_min`` into the source API (S2,
+    shopify_etl.py:274-276).
+    """
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "1998-01-01")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_conjunction",
+    ref="P4 (shopify_etl.py:177)",
+    doc="Equality-conjunction filter, projected — WHERE a = x AND b = y.",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+""",
+)
+def filter_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .where((F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "scalar_functions",
+    ref="F1,F2,F3,F6,F7,F9,F11,F13 (casts, yes/no encode, date_format, to_json(struct), regexp_extract, concat)",
+    doc="One projection exercising the reference's scalar-function surface.",
+    oracle="""
+SELECT CAST(o_orderkey AS VARCHAR)                                   AS order_id_str,
+       CASE WHEN o_totalprice > 200000 THEN 'yes' ELSE 'no' END      AS big_spender,
+       strftime(o_orderdate, '%Y-%m-%d')                             AS order_day,
+       CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS BIGINT) AS priority_num,
+       CAST(to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS VARCHAR) AS json_info,
+       concat_ws('-', o_orderstatus, CAST(o_orderkey AS VARCHAR))    AS status_key
+FROM orders
+WHERE o_orderkey % 10 = 0
+""",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 str() casts, F3 boolean→'yes'/'no' (shopify_etl.py:419), F6/F7
+    timestamp format, F9 TO_JSON_STRING(STRUCT(...)) (:605), F11 regex
+    extract (:442), F13 concat."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("order_id_str"),
+        F.when(F.col("o_totalprice") > 200000, "yes").otherwise("no").alias("big_spender"),
+        day_str(F.col("o_orderdate")).alias("order_day"),
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("long").alias("priority_num"),
+        F.to_json(F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s"))).alias("json_info"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderkey").cast("string")).alias("status_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "uniqueness_profile",
+    ref="A1,A2,A3 (shopify_etl.py:592-618 verify_unique_records)",
+    doc="COUNT(*) vs COUNT(DISTINCT key) vs composite-key distinct count.",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)                                AS total_records,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT)              AS unique_orders,
+       CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS unique_lines
+FROM lineitem
+""",
+)
+def uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts — the reference's uniqueness verification
+    (A2 single key :598; A3 composite via TO_JSON_STRING(STRUCT(..))
+    :603-607, which Spark expresses directly as multi-arg countDistinct)."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("total_records"),
+        F.countDistinct("l_orderkey").alias("unique_orders"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("unique_lines"),
+    )
+
+
+@query(
+    "distinct_projection",
+    ref="A4 (SELECT DISTINCT, shopify_etl.py:575)",
+    doc="SELECT DISTINCT over a projection.",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "duplicate_inspection",
+    ref="A6 (shopify_etl.py:463-481, dead code made live)",
+    doc="Per-key count, filtered to duplicates — the reference's duplicate report.",
+    oracle="""
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS duplicate_count
+FROM events
+GROUP BY user_id, event_type
+HAVING count(*) > 1
+""",
+)
+def duplicate_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("duplicate_count"))
+        .where(F.col("duplicate_count") > 1)
+    )
+
+
+@query(
+    "events_daily_rollup",
+    ref="A7/S4 (fetch_youtube_data.py:29-35 — remote GROUP BY day)",
+    doc="Day-grain metrics rollup — the YouTube Analytics query computed locally.",
+    oracle="""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')  AS day,
+       CAST(count(*) AS BIGINT)                     AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT)      AS n_users,
+       round(sum(value), 2)                         AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4's ``dimensions=day, metrics=views,likes,...`` is a remote GROUP
+    BY day; computed natively here over the events table (SURVEY §2.1 S4)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(day_str(F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        money(F.sum("value")).alias("total_value"),
+    )
+
+
+@query(
+    "status_priority_rollup",
+    ref="extension per SURVEY §2.4 (grouping sets are free in Spark)",
+    doc="ROLLUP(status, priority) with sentinel-filled subtotal rows.",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL')                AS status,
+       coalesce(o_orderpriority, 'ALL')              AS priority,
+       CAST(count(*) AS BIGINT)                      AS n_orders,
+       round(sum(o_totalprice), 2)                   AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), money(F.sum("o_totalprice")).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "approx_distinct_profile",
+    ref="extension per SURVEY §2.4 (approx_count_distinct at scale)",
+    doc="HLL++ approximate distinct — the 100 TB-scale answer to A2; rows-only check (sketches aren't oracle-portable).",
+    oracle=None,
+)
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB an exact COUNT(DISTINCT) shuffles every key; HLL++ is
+    the scale path.  DuckDB's approx sketch differs, so this is a
+    rows-only check; tests assert the estimate is within 5% of exact."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_without_orders",
+    ref="J1 (shopify_etl.py:718-733 — LEFT JOIN + IS NULL ⇒ anti-join)",
+    doc="Referential-integrity orphan probe as a native left-anti join.",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference writes LEFT JOIN ... WHERE right IS NULL; Catalyst
+    plans the same thing from an explicit left_anti join (SURVEY J1)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "orders_without_lineitems",
+    ref="J2 (monitoring-guide.md:91-95)",
+    doc="Reverse-direction orphan probe: orders with no line items.",
+    oracle="""
+SELECT o_orderkey, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "star_join_revenue_by_nation",
+    ref="J broadcast-dim star join (SURVEY §2.3 'broadcast joins via Catalyst')",
+    doc="3-way star join with broadcast dims: revenue per nation.",
+    oracle="""
+SELECT n_name                                            AS nation,
+       CAST(count(*) AS BIGINT)                          AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer/nation are small dims — F.broadcast keeps the big
+    fact-side shuffle-free for those hops even if stats are missing
+    (at 100 TB only lineitem⋈orders shuffles, on the join key)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_event",
+    ref="O1 (shopify_etl.py:174-180 — ORDER BY DESC LIMIT 1 watermark read)",
+    doc="Top-1 by timestamp with deterministic tie-break — the watermark read.",
+    oracle="""
+SELECT event_id,
+       user_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 1
+""",
+)
+def latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst plans orderBy+limit as TakeOrderedAndProject — a
+    per-partition top-k then driver merge, no full sort at scale."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "user_id", ts_str(F.col("ts")).alias("ts_str"))
+    )
+
+
+@query(
+    "topk_orders",
+    ref="O1 generalization + §2.5 window machinery",
+    doc="Deterministic top-10 orders by total price (row_number tie-break).",
+    oracle="""
+SELECT o_orderkey, o_totalprice, rank
+FROM (
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+)
+WHERE rank <= 10
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+@query(
+    "latest_order_per_customer",
+    ref="§2.5 extension — latest-per-key generalizing the control-table read",
+    doc="row_number() over (partition by key order by ts desc) = 1.",
+    oracle="""
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
+FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+)
+WHERE rn = 1
+""",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-key generalization of O1 (SURVEY §2.5): one shuffle on
+    the partition key, no self-join — survives skew via AQE."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", day_str(F.col("o_orderdate")).alias("order_day"))
+    )
+
+
+@query(
+    "keep_first_dedup",
+    ref="A5 (shopify_etl.py:496-542 keep-first hash dedup) + O2 arrival order",
+    doc="Keep-FIRST-occurrence dedup via row_number over explicit arrival order.",
+    oracle="""
+SELECT user_id, event_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+FROM (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+)
+def keep_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's dropDuplicates keeps an *arbitrary* row; the reference's
+    set-based dedup keeps the FIRST arrival (:507-516).  Faithful
+    semantics = row_number over arrival order (SURVEY A5) — here ts is
+    the arrival order (the reference fetches order=asc, O2 :274)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", ts_str(F.col("ts")).alias("first_ts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_append",
+    ref="U1 (shopify_etl.py:133,544-553 — WRITE_APPEND accumulation)",
+    doc="UNION ALL of two incremental slices, then re-aggregated.",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 2) AS total_price
+FROM (
+    SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT * FROM orders WHERE o_totalprice > 250000
+)
+GROUP BY o_orderstatus
+""",
+)
+def union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    big = o.where(F.col("o_totalprice") > 250000)
+    return (
+        urgent.unionByName(big)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), money(F.sum("o_totalprice")).alias("total_price"))
+    )

@@ -1,0 +1,135 @@
+"""Time-window aggregation queries over the events table (SURVEY §2.10
+extension scope: tumbling / sliding / session windows).
+
+These are the BATCH forms — ``F.window`` / ``F.session_window`` work
+identically in batch and Structured Streaming, so the same builders are
+reused by ``streaming/windows.py`` with ``readStream`` + watermarks; the
+tests assert streaming(availableNow) == batch.
+
+Oracle parity notes: events.ts is ns in parquet; both engines truncate
+to µs first (CAST(ts AS TIMESTAMP) in DuckDB; Spark's reader truncates).
+Window starts are reconstructed in SQL with epoch_us integer floor
+division and ``make_timestamp`` (tz-less — avoids DuckDB's TIMESTAMPTZ
+``to_timestamp``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.plans.common import money, t
+from shopify_youtube_etl_spark.plans.registry import query
+
+
+def tumbling_agg(events: DataFrame, width: str = "15 minutes") -> DataFrame:
+    """Shared batch/streaming tumbling builder."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count("*").alias("n_events"), money(F.sum("value")).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "tumbling_window_15m",
+    ref="§2.10 extension — tumbling window agg (watermark analog :191-198)",
+    doc="15-minute tumbling windows: count + sum(value).",
+    oracle="""
+SELECT strftime(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000),
+                '%Y-%m-%d %H:%M:%S')        AS window_start,
+       CAST(count(*) AS BIGINT)             AS n_events,
+       round(sum(value), 2)                 AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def tumbling_window_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(t(spark, sf_dir, "events"), "15 minutes")
+
+
+@query(
+    "sliding_window_30m_15m",
+    ref="§2.10 extension — sliding window agg",
+    doc="30-minute windows sliding every 15: each event lands in exactly 2 windows.",
+    oracle="""
+WITH base AS (
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000 AS slot_us, value
+    FROM events
+),
+expanded AS (
+    SELECT unnest([slot_us, slot_us - 900000000]) AS ws_us, value FROM base
+)
+SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value
+FROM expanded
+GROUP BY 1
+""",
+)
+def sliding_window_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), money(F.sum("value")).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Shared batch/streaming session-window builder (gap-merge sessions)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), money(F.sum("value")).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "session_window_30m",
+    ref="§2.10 extension — session windows (gaps-and-islands)",
+    doc="Per-user sessions with 30-minute inactivity gap.",
+    oracle="""
+WITH e AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+d AS (
+    SELECT user_id, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM e
+),
+g AS (
+    SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+    FROM d
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(count(*) AS BIGINT)                  AS n_events,
+       round(sum(value), 2)                      AS total_value
+FROM g
+GROUP BY user_id, sess
+""",
+)
+def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark merges events whose gap is < 30 min (session end is
+    exclusive: an event exactly at prev_ts + gap starts a NEW session) —
+    the oracle's gaps-and-islands break condition mirrors that with
+    ``>= gap``."""
+    return session_agg(t(spark, sf_dir, "events"), "30 minutes")

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from shopify_youtube_etl_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from shopify_youtube_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    """DuckDB connection with the testdata views pre-registered, the way
+    the driver's oracle harness does."""
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: columns sorted by name, rows
+    sorted by all columns — mirrors the driver's comparison."""
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        if out[c].dtype == object:
+            out[c] = out[c].astype(str)
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def assert_frames_match(spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9):
+    sp = normalize_frame(spark_df.toPandas())
+    du = normalize_frame(duck_df)
+    assert list(sp.columns) == list(du.columns), f"columns differ: {list(sp.columns)} vs {list(du.columns)}"
+    assert len(sp) == len(du), f"row counts differ: {len(sp)} vs {len(du)}"
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False, check_exact=False, rtol=rtol, atol=1e-9)
