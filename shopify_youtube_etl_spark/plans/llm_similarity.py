@@ -18,7 +18,7 @@ from shopify_youtube_etl_spark.functions.similarity import (
     lsh_candidate_pairs,
     minhash_signature,
 )
-from shopify_youtube_etl_spark.functions.text import word_shingles
+from shopify_youtube_etl_spark.functions.text import shingles_from_words, words
 from shopify_youtube_etl_spark.plans.common import t
 from shopify_youtube_etl_spark.plans.registry import query
 
@@ -169,8 +169,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard on a probe slice — the oracle-checked ground truth
     that the MinHash-LSH query approximates.  Probe-side broadcast keeps
     it one corpus pass; full all-pairs at scale goes through LSH."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .select("doc_id", shingles_from_words("ws", 3).alias("shingles"))
     )
     probes = d.where(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa")
@@ -201,10 +204,21 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard, so false positives cost compute, never correctness.
     tests/test_llm_ops.py asserts LSH ⊇ the oracle-checked exact pairs
     on planted near-dups."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    # Small single-file parquet arrives as ONE partition; spread the
+    # shingle/hash work across the cluster before the heavy lifting (at
+    # real scale the scan is already split and this repartition is a
+    # cheap no-op guard against stragglers).
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
-    d = d.where(F.size("shingles") > 0)
+    # Pre-filter on the RAW text (cheap) rather than on the computed
+    # shingle column: a filter on a projected alias gets substituted
+    # below the project and re-evaluates the whole shingle expression
+    # per row (measured 25× slowdown).
+    docs = docs.where(F.size(words(F.col("text"))) >= 3)
+    d = docs.select("doc_id", words(F.col("text")).alias("ws")).select(
+        "doc_id", shingles_from_words("ws", 3).alias("shingles")
+    )
     sigs = minhash_signature(d, "doc_id", "shingles", num_hashes=32)
     bands = lsh_bands(sigs, "doc_id", num_hashes=32, bands=8)
     pairs = lsh_candidate_pairs(bands, "doc_id")
