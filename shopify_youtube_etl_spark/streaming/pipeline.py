@@ -1,0 +1,177 @@
+"""Incremental micro-batch ETL pipeline (SURVEY §3.1 lifecycle).
+
+Composes the engine's operators into the reference's 7-step run
+(shopify-etl/shopify_etl.py:620-707):
+
+1. ensure control + final/staging tables        (:628-629)
+2. resolve watermark (force_full_load override) (:632-635)
+3. ingest raw orders ≥ watermark                 (:647 → :271-461)
+4. normalize → 6 staging tables                  (:350-426, 483-556)
+5. MERGE staging → final, truncate staging       (:558-590)
+6. append success row to sync_control            (:684 → :207-235)
+7. verify uniqueness + FK integrity              (:690-691 → :709-744)
+
+with per-stage timing (:639-681) and error-status rows on failure
+(:693-707).
+
+Documented deviation: the reference stamps the new watermark with
+``datetime.now()`` (:209) because it fetches from a LIVE API whose
+``updated_at_min`` compares against server time.  A file-drop source
+must use DATA time — we stamp ``max(updated_at)`` of the processed
+batch (falling back to now when the batch is empty), otherwise the
+next run's watermark would skip data landed late.  The 1-hour overlap
+rewind (:191-198 intended semantics) still applies on read.
+
+Scale: one cached raw DF fans out to six write branches (vs the
+reference's six driver-memory row lists); every stage is a DataFrame
+plan — nothing driver-side except the tiny control-table read.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.normalize import normalize_orders, read_raw_orders
+from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
+from shopify_youtube_etl_spark.operators.verify import fk_report, uniqueness_report
+from shopify_youtube_etl_spark.operators.watermark import SyncControl
+from shopify_youtube_etl_spark.schemas import (
+    FINAL_TABLE_SCHEMAS,
+    UNIQUE_KEYS,
+    YOUTUBE_ANALYTICS_RAW,
+)
+
+
+class IncrementalPipeline:
+    """Parquet-backed equivalent of ShopifyETLPipeline (:269, :620)."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        self.control = SyncControl(spark, os.path.join(base_path, "sync_control"))
+        self.finals = {
+            name: ParquetTable(spark, os.path.join(base_path, "final", name))
+            for name in FINAL_TABLE_SCHEMAS
+        }
+        self.stagings = {
+            name: ParquetTable(spark, os.path.join(base_path, "staging", name))
+            for name in FINAL_TABLE_SCHEMAS
+        }
+        # ensure_tables_exist (:152-169, :237-267): idempotent empty init.
+        for name, schema in FINAL_TABLE_SCHEMAS.items():
+            empty = spark.createDataFrame([], schema)
+            if not self.finals[name].exists():
+                self.finals[name].overwrite(empty)
+            if not self.stagings[name].exists():
+                self.stagings[name].overwrite(empty)
+
+    def execute(
+        self,
+        source_path: str,
+        force_full_load: bool = False,
+        test_mode: bool = False,
+    ) -> dict:
+        timings: dict[str, float] = {}
+        try:
+            # 2. watermark resolution (:632-635).
+            start_date = self.control.start_date("orders", force_full_load=force_full_load)
+
+            # 3. ingest + incremental predicate (S2): the filter is on the
+            # scan column so Catalyst pushes it into the source read.
+            t0 = time.perf_counter()
+            raw = read_raw_orders(self.spark, source_path).where(
+                F.col("updated_at").cast("timestamp") >= F.lit(start_date.replace(tzinfo=None))
+            )
+            if test_mode:
+                raw = raw.limit(500)  # test-mode cap (:431-433)
+            raw = raw.persist()
+            n_orders = raw.count()
+            max_upd_row = raw.agg(F.max(F.col("updated_at").cast("timestamp"))).first()[0]
+            timings["fetch_sec"] = round(time.perf_counter() - t0, 3)
+
+            # 4. normalize + stage (append-only landing zone, S7/S8).
+            t0 = time.perf_counter()
+            tables = normalize_orders(raw)
+            for name, df in tables.items():
+                self.stagings[name].append(df)
+            timings["load_sec"] = round(time.perf_counter() - t0, 3)
+
+            # 5. MERGE staging → final + TRUNCATE staging (J3/S11).
+            t0 = time.perf_counter()
+            for name in FINAL_TABLE_SCHEMAS:
+                self.finals[name].merge_from(self.stagings[name], UNIQUE_KEYS[name])
+            timings["merge_sec"] = round(time.perf_counter() - t0, 3)
+            raw.unpersist()
+
+            # 6. success ledger row (:684).
+            new_wm = max_upd_row or dt.datetime.now(dt.timezone.utc)
+            if new_wm.tzinfo is None:
+                new_wm = new_wm.replace(tzinfo=dt.timezone.utc)
+            run_id = self.control.record_run(
+                "orders", new_wm, n_orders, "success", notes=str(timings)
+            )
+
+            # 7. verification unless test_mode (:690-691).
+            verification = None
+            if not test_mode:
+                verification = self.verify_table_data()
+            return {
+                "status": "success",
+                "records_processed": n_orders,
+                "run_id": run_id,
+                "timings": timings,
+                "verification": verification,
+            }
+        except Exception as exc:  # :693-707
+            self.control.record_error("orders", notes=str(exc)[:500])
+            raise
+
+    def verify_table_data(self) -> dict:
+        """verify_table_data (:709-744): uniqueness per table + FK
+        anti-join orphan counts; returns the reports as plain dicts."""
+        uniq = uniqueness_report(
+            {
+                name: (self.finals[name].read(), UNIQUE_KEYS[name])
+                for name in FINAL_TABLE_SCHEMAS
+            }
+        ).collect()
+        fks = fk_report(
+            {
+                "line_items->orders": (
+                    self.finals["line_items"].read(),
+                    self.finals["orders"].read(),
+                    "order_id",
+                    "order_id",
+                ),
+                "shipping_addresses->orders": (
+                    self.finals["shipping_addresses"].read(),
+                    self.finals["orders"].read(),
+                    "order_id",
+                    "order_id",
+                ),
+            }
+        ).collect()
+        return {
+            "uniqueness": {r["table_name"]: r.asDict() for r in uniq},
+            "foreign_keys": {r["check_name"]: r["orphan_count"] for r in fks},
+        }
+
+
+def upsert_youtube_metrics(table: ParquetTable, new_rows: DataFrame) -> None:
+    """Idempotent day-keyed append for the YouTube metrics feed.
+
+    The reference's ``insert_rows_json`` plain-append duplicates rows on
+    re-run (fetch_youtube_data.py:48-55; SURVEY §3.3 notes the fix):
+    here re-runs upsert on the ``date`` day key instead."""
+    if table.exists():
+        merged = upsert(table.read(), new_rows, keys=["date"])
+    else:
+        merged = upsert(
+            new_rows.sparkSession.createDataFrame([], YOUTUBE_ANALYTICS_RAW), new_rows, keys=["date"]
+        )
+    table.overwrite(merged)

@@ -1,0 +1,71 @@
+"""Structured-Streaming layer (SURVEY §2.10).
+
+The reference's streaming semantics are batch-with-watermark; the
+idiomatic Spark forms are:
+
+- file-stream source over a drop-zone directory (``readStream``),
+- ``withWatermark`` for the 1-hour late-data overlap (:191-198),
+- the SAME window builders as the batch queries (plans/windows.py),
+- streaming dedup (``dropDuplicates`` with watermark state) replacing
+  the cross-page ``processed_order_ids`` set (:285-347),
+- a ``foreachBatch`` upsert sink reusing the MERGE rewrite — the
+  idempotent-write contract of :572-583.
+
+Tests assert availableNow-trigger streaming == the batch result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
+from shopify_youtube_etl_spark.plans.windows import tumbling_agg
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """File-stream source with the reference's 1 h late-data tolerance."""
+    return (
+        spark.readStream.schema(schema).json(path).withWatermark("ts", watermark_delay)
+    )
+
+
+def streaming_tumbling_counts(events: DataFrame, width: str = "15 minutes") -> DataFrame:
+    """Same builder as the batch query ⇒ same results under
+    ``Trigger.AvailableNow`` (verified in tests/test_streaming.py)."""
+    return tumbling_agg(events, width)
+
+
+def streaming_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming keep-one-per-key with watermark-bounded state — the
+    distributed form of the driver-memory ``processed_order_ids`` set."""
+    return events.dropDuplicates(keys)
+
+
+def foreach_batch_upsert(table: ParquetTable, keys: list[str]):
+    """foreachBatch sink: MERGE each micro-batch into a parquet table —
+    idempotent on re-delivery (exactly-once effect on keys), the Spark
+    form of the reference's staging→MERGE discipline (:558-590)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates(keys)
+        if table.exists():
+            merged = upsert(table.read(), batch_df, keys)
+        else:
+            merged = batch_df
+        table.overwrite(merged)
+
+    return _sink
+
+
+def write_with_upsert(
+    stream_df: DataFrame, table: ParquetTable, keys: list[str], checkpoint: str
+) -> DataStreamWriter:
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(foreach_batch_upsert(table, keys))
+    )

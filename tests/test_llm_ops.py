@@ -1,0 +1,96 @@
+"""LLM-data operator tests: planted near-duplicates must be caught by
+MinHash-LSH (recall vs the exact-Jaccard ground truth), approximate
+distinct stays within tolerance, multimodal plumbing is real.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.functions.multimodal import (
+    decode_image,
+    extract_media_features,
+    with_binary_payload,
+)
+from shopify_youtube_etl_spark.functions.similarity import (
+    jaccard,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from shopify_youtube_etl_spark.functions.text import shingles_from_words, words
+from shopify_youtube_etl_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_planted_dups(spark, sf_dir):
+    """Corpus ∪ near-identical copies (one word appended, id+100000)."""
+    base = load_table(spark, sf_dir, "documents").limit(200)
+    copies = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return base.unionByName(copies)
+
+
+def _shingled(df):
+    return (
+        df.select("doc_id", words(F.col("text")).alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", shingles_from_words("ws", 3).alias("shingles"))
+    )
+
+
+def test_minhash_lsh_catches_planted_neardups(docs_with_planted_dups):
+    d = _shingled(docs_with_planted_dups)
+    sigs = minhash_signature(d, "doc_id", "shingles", num_hashes=32)
+    pairs = lsh_candidate_pairs(lsh_bands(sigs, "doc_id", 32, 8), "doc_id")
+    found = {
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+    }
+    planted = {(i, i + 100000) for (i,) in docs_with_planted_dups.where(F.col("doc_id") < 100000).select("doc_id").collect()}
+    recall = len(found & planted) / len(planted)
+    # jaccard ≈ (n-2)/(n+1) ≈ 0.95+ for these docs → P[candidate] ≈ 1.
+    assert recall >= 0.95, f"LSH recall {recall:.2%} on planted near-dups"
+
+
+def test_exact_jaccard_confirms_planted_pairs(docs_with_planted_dups):
+    d = _shingled(docs_with_planted_dups)
+    a = d.where(F.col("doc_id") < 100000).select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = d.where(F.col("doc_id") >= 100000).select((F.col("doc_id") - 100000).alias("id_a"), F.col("shingles").alias("sb"))
+    j = a.join(b, "id_a").select(jaccard(F.col("sa"), F.col("sb")).alias("j"))
+    lo = j.agg(F.min("j")).first()[0]
+    assert lo >= 0.5, f"planted pair jaccard unexpectedly low: {lo}"
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_multimodal_plumbing_deterministic(spark, sf_dir):
+    d = with_binary_payload(load_table(spark, sf_dir, "documents").limit(50))
+    feats = extract_media_features(d, fake=True)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == 50
+    r0 = rows[min(rows)]
+    assert 64 <= r0["width"] < 256 and 64 <= r0["height"] < 256
+    assert r0["mode"] in ("RGB", "L")
+    # Determinism: same payload → same fake features on re-run.
+    again = {r["doc_id"]: r for r in extract_media_features(d, fake=True).collect()}
+    assert {k: (v["width"], v["height"], v["mode"]) for k, v in rows.items()} == {
+        k: (v["width"], v["height"], v["mode"]) for k, v in again.items()
+    }
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")

@@ -1,0 +1,98 @@
+"""Unit tests for the custom operators: keep-first dedup null semantics
+(shopify_etl.py:496-542), MERGE-upsert properties (§5.4), atomic
+parquet table swap, watermark ledger (:171-235).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.operators.dedup import dedup_keep_first
+from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
+from shopify_youtube_etl_spark.operators.watermark import FALLBACK_START, OVERLAP, SyncControl
+
+
+def test_dedup_single_key_keep_first_drops_null_keys(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "first"), ("a", 2, "second"), (None, 3, "nullkey"), ("b", 4, "only")],
+        "k STRING, arr INT, v STRING",
+    )
+    out = dedup_keep_first(df, ["k"], "arr").orderBy("k").collect()
+    # null-key row dropped (:511); 'a' keeps arrival-1 row.
+    assert [(r["k"], r["v"]) for r in out] == [("a", "first"), ("b", "only")]
+
+
+def test_dedup_composite_key_keeps_null_component_rows(spark):
+    df = spark.createDataFrame(
+        [
+            ("o1", "p1", 1, "first"),
+            ("o1", "p1", 2, "dup-dropped"),
+            ("o1", None, 3, "null-kept-1"),
+            ("o1", None, 4, "null-kept-2"),  # ALSO kept — nulls bypass dedup :533-540
+        ],
+        "k1 STRING, k2 STRING, arr INT, v STRING",
+    )
+    out = {r["v"] for r in dedup_keep_first(df, ["k1", "k2"], "arr").collect()}
+    assert out == {"first", "null-kept-1", "null-kept-2"}
+
+
+def test_upsert_staging_wins_and_is_idempotent(spark):
+    final = spark.createDataFrame([(1, "old"), (2, "keep")], "k INT, v STRING")
+    staging = spark.createDataFrame([(1, "new"), (3, "ins")], "k INT, v STRING")
+    once = upsert(final, staging, ["k"])
+    assert dict((r["k"], r["v"]) for r in once.collect()) == {1: "new", 2: "keep", 3: "ins"}
+    twice = upsert(once, staging, ["k"])
+    assert sorted(twice.collect()) == sorted(once.collect())
+
+
+def test_upsert_order_col_picks_latest_within_batch(spark):
+    final = spark.createDataFrame([(1, 0, "old")], "k INT, ver INT, v STRING")
+    staging = spark.createDataFrame(
+        [(1, 1, "mid"), (1, 2, "latest")], "k INT, ver INT, v STRING"
+    )
+    out = upsert(final, staging, ["k"], order_col="ver").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "latest")]
+
+
+def test_parquet_table_atomic_swap_and_truncate(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    assert not t.exists()
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    t.overwrite(df1)
+    assert t.read().count() == 5
+    gen1 = t.current_dir()
+    t.append(spark.range(5, 8).withColumnRenamed("id", "x"))
+    assert t.read().count() == 8
+    assert t.current_dir() != gen1  # new generation, old dir cleaned
+    t.truncate()
+    assert t.read().count() == 0
+    assert [f.name for f in t.read().schema.fields] == ["x"]
+
+
+def test_merge_from_applies_and_truncates(spark, tmp_path):
+    final = ParquetTable(spark, str(tmp_path / "final"))
+    stg = ParquetTable(spark, str(tmp_path / "stg"))
+    final.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING"))
+    stg.overwrite(spark.createDataFrame([(2, "B"), (2, "B"), (3, "c")], "k INT, v STRING"))
+    final.merge_from(stg, ["k"])  # SELECT DISTINCT * pre-merge :575
+    assert dict((r["k"], r["v"]) for r in final.read().collect()) == {1: "a", 2: "B", 3: "c"}
+    assert stg.read().count() == 0
+
+
+def test_sync_control_watermark_semantics(spark, tmp_path):
+    sc = SyncControl(spark, str(tmp_path / "ctl"))
+    assert sc.last_sync_timestamp() is None
+    assert sc.start_date() == FALLBACK_START  # :205/:633 fallback
+
+    t1 = dt.datetime(2024, 6, 1, 12, 0, tzinfo=dt.timezone.utc)
+    t2 = dt.datetime(2024, 6, 1, 13, 0, tzinfo=dt.timezone.utc)
+    sc.record_run("orders", t1, 10, "success")
+    sc.record_run("orders", t2, 5, "error")  # errors must not advance watermark (:177)
+    assert sc.last_sync_timestamp() == t1 - OVERLAP  # 1h intended rewind (F5)
+
+    sc.record_run("orders", t2, 7, "success")
+    assert sc.last_sync_timestamp() == t2 - OVERLAP
+    assert sc.start_date(force_full_load=True) == FALLBACK_START

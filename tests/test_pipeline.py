@@ -1,0 +1,107 @@
+"""End-to-end incremental pipeline tests (SURVEY §5 item 2 + §3.1):
+two overlapping batches, idempotent re-run, watermark progression,
+error ledger rows — the multi-batch scenarios of FIXTURES.md B5.
+"""
+
+from __future__ import annotations
+
+import copy
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+from shopify_youtube_etl_spark.streaming.pipeline import IncrementalPipeline, upsert_youtube_metrics
+from tests.fixture_raw_orders import BASE, gen_raw_orders, write_ndjson
+
+
+@pytest.fixture(scope="module")
+def batches(tmp_path_factory):
+    """batch1 = first 200 orders; batch2 = re-emits of orders 150-299
+    one day later with changed totals (the B5 overlap/update shape)."""
+    rows = gen_raw_orders(n=300, seed=42)[:300]  # originals only, no planted dups
+    d = tmp_path_factory.mktemp("batches")
+    b1 = rows[:200]
+    write_ndjson(b1, str(d / "batch1.ndjson"))
+
+    b2 = []
+    for i, r in enumerate(rows[150:300]):
+        r2 = copy.deepcopy(r)
+        r2["updated_at"] = (BASE + dt.timedelta(days=1, minutes=7 * i)).isoformat()
+        r2["total_price"] = "4242.42"
+        b2.append(r2)
+    write_ndjson(b2, str(d / "batch2.ndjson"))
+    return {"dir": str(d), "b1": str(d / "batch1.ndjson"), "b2": str(d / "batch2.ndjson"),
+            "rows": rows}
+
+
+def test_two_batch_incremental_run(spark, batches, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("pipe"))
+    pipe = IncrementalPipeline(spark, base)
+
+    r1 = pipe.execute(batches["b1"])
+    assert r1["status"] == "success"
+    assert r1["records_processed"] == 200
+    assert all(v["is_unique"] for v in r1["verification"]["uniqueness"].values())
+    assert all(c == 0 for c in r1["verification"]["foreign_keys"].values())
+
+    r2 = pipe.execute(batches["b2"])
+    assert r2["status"] == "success"
+
+    finals = pipe.finals["orders"].read()
+    # 200 originals ∪ 150 re-emits (keys 1150-1299) = 300 unique orders.
+    assert finals.count() == 300
+    # WHEN MATCHED: overlap keys carry batch2's updated totals.
+    updated = finals.where(F.col("total_price") == 4242.42).count()
+    assert updated == 150
+    # Watermark advanced to batch2's data time.
+    wm = pipe.control.last_sync_timestamp("orders")
+    assert wm is not None and wm > dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+
+    # Idempotency (§5.4): replay batch2 → byte-identical orders table.
+    before = sorted(finals.collect())
+    r3 = pipe.execute(batches["b2"])
+    assert r3["status"] == "success"
+    after = sorted(pipe.finals["orders"].read().collect())
+    assert before == after
+
+    # Ledger: 3 success rows, monotone watermarks (O1 read works).
+    ledger = pipe.control.read().orderBy("last_sync_timestamp").collect()
+    assert [r["status"] for r in ledger] == ["success"] * 3
+
+    # Staging truncated after merge (S11).
+    for name, stg in pipe.stagings.items():
+        assert stg.read().count() == 0, name
+
+
+def test_error_path_writes_error_row(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("pipe_err"))
+    pipe = IncrementalPipeline(spark, base)
+    with pytest.raises(Exception):
+        pipe.execute(base + "/does-not-exist.ndjson")
+    rows = pipe.control.read().collect()
+    assert len(rows) == 1 and rows[0]["status"] == "error"  # :700-707
+    assert rows[0]["records_processed"] == 0
+
+
+def test_force_full_load_reprocesses(spark, batches, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("pipe_full"))
+    pipe = IncrementalPipeline(spark, base)
+    pipe.execute(batches["b1"])
+    # Incremental re-run of the same file: watermark-1h excludes almost
+    # everything; force_full_load rewinds to the fallback date (:632-633).
+    r = pipe.execute(batches["b1"], force_full_load=True)
+    assert r["records_processed"] == 200
+    assert pipe.finals["orders"].read().count() == 200
+
+
+def test_youtube_idempotent_append(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("yt") / "youtube_analytics_raw")
+    tbl = ParquetTable(spark, path)
+    rows = [(f"2024-01-{d:02d}", 100 + d, 10, 5, 2, 1.5 * d) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "date STRING, views BIGINT, likes BIGINT, comments BIGINT, shares BIGINT, revenue DOUBLE")
+    upsert_youtube_metrics(tbl, df)
+    upsert_youtube_metrics(tbl, df)  # re-run must NOT duplicate (§3.3)
+    assert tbl.read().count() == 10
+    assert tbl.read().select("date").distinct().count() == 10

@@ -1,0 +1,92 @@
+"""Structured-Streaming layer tests (SURVEY §2.10 / §7 Phase 4):
+availableNow streaming == batch for windowed aggs; foreachBatch upsert
+sink is idempotent across micro-batches; streaming dedup replaces the
+driver-memory seen-set.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+from shopify_youtube_etl_spark.plans.windows import tumbling_agg
+from shopify_youtube_etl_spark.sources.tables import load_table
+from shopify_youtube_etl_spark.streaming.windows import (
+    read_event_stream,
+    write_with_upsert,
+)
+
+EVENT_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+@pytest.fixture(scope="module")
+def event_json_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_json"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").json(d)
+    return d
+
+
+def test_streaming_tumbling_equals_batch(spark, event_json_dir, tmp_path_factory):
+    stream = read_event_stream(spark, event_json_dir, EVENT_SCHEMA, watermark_delay="1 hour")
+    q = (
+        tumbling_agg(stream, "15 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_tumbling")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = tumbling_agg(spark.read.schema(EVENT_SCHEMA).json(event_json_dir), "15 minutes")
+    got = sorted(spark.sql("SELECT * FROM stream_tumbling").collect())
+    want = sorted(batch.collect())
+    assert got == want and len(got) > 0
+
+
+def test_foreach_batch_upsert_sink(spark, event_json_dir, tmp_path_factory):
+    """Micro-batch upsert on event_id: processing the same files again
+    (fresh checkpoint = redelivery) must not duplicate keys — the
+    exactly-once-on-keys contract of the staging→MERGE discipline."""
+    table = ParquetTable(spark, str(tmp_path_factory.mktemp("sink") / "latest_events"))
+
+    def run_once(cpdir):
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")  # force several micro-batches
+            .json(event_json_dir)
+        )
+        q = write_with_upsert(stream, table, ["event_id"], cpdir).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    run_once(str(tmp_path_factory.mktemp("cp1")))
+    n_events = spark.read.schema(EVENT_SCHEMA).json(event_json_dir).count()
+    assert table.read().count() == n_events
+    run_once(str(tmp_path_factory.mktemp("cp2")))  # full redelivery
+    assert table.read().count() == n_events
+    assert table.read().select("event_id").distinct().count() == n_events
+
+
+def test_streaming_dedup(spark, event_json_dir, tmp_path_factory):
+    """Streaming dropDuplicates == the reference's cross-page
+    processed_order_ids set (:285-347), with distributed state."""
+    # Duplicate every event by writing the dir twice into one source dir.
+    src = str(tmp_path_factory.mktemp("dup_events"))
+    df = spark.read.schema(EVENT_SCHEMA).json(event_json_dir)
+    df.write.mode("append").json(src)
+    df.write.mode("append").json(src)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src).dropDuplicates(["event_id"])
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
+    assert out["n"] == out["d"] == df.select("event_id").distinct().count()
