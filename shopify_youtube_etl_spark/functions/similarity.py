@@ -122,3 +122,66 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def simhash64(token_hashes_col: str) -> Column:
+    """64-bit SimHash from a MATERIALIZED array<long> token-hash column.
+
+    Classic sign-sum: bit b of the result is 1 iff Σ_tokens (±1 by bit b
+    of the token hash) > 0.  Pure SQL higher-order functions — map-side,
+    no shuffle, no UDF; 64 × |tokens| integer ops per doc.
+
+    Near-dup docs differ in few tokens ⇒ small Hamming distance
+    (``hamming64``); candidate search buckets on 16-bit bands
+    (``simhash_bands``) so an exact match on ANY band is required before
+    pairwise verification — same LSH shape as MinHash banding.
+    """
+    bitsum = (
+        f"aggregate({token_hashes_col}, 0, (acc2, h) ->"
+        " acc2 + IF((shiftright(h, b) & 1) = 1, 1, -1))"
+    )
+    return F.expr(
+        "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->"
+        f" acc + IF({bitsum} > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 fingerprints (bit_count(xor))."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_bands(simhash_col: Column, bands: int = 4) -> Column:
+    """Split a 64-bit simhash into ``bands`` equal bit-slices as an
+    array<struct<band_id,band_hash>> for LSH bucketing; docs within
+    Hamming distance < bands must collide on ≥ 1 band (pigeonhole)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_id"),
+                F.shiftrightunsigned(simhash_col, k * width).bitwiseAND(F.lit(mask)).alias("band_hash"),
+            )
+            for k in range(bands)
+        ]
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH (driver-side
+    constants, broadcast as literals — no data dependence)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v · plane_i).  Vectors with small
+    angle agree on most signs ⇒ land in the same bucket."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return bucket

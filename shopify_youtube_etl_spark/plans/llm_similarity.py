@@ -233,3 +233,118 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+@query(
+    "simhash_neardup",
+    ref="SimHash fingerprint near-dup (north star) — sign-sum bits, banded Hamming search",
+    doc="SimHash band-bucket candidate pairs with Hamming distance ≤ 12; rows-only (bit-level hash family).",
+    oracle=None,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side 64-bit SimHash per doc (no shuffle, no UDF), then LSH on
+    16-bit bands: near-dups (few differing tokens) collide on ≥1 band
+    by pigeonhole, so the pair search is bucket-local.  Verified by
+    exact Hamming ≤ 12.  tests/test_llm_ops.py checks planted near-dups
+    are found."""
+    from shopify_youtube_etl_spark.functions.similarity import (
+        hamming64,
+        simhash64,
+        simhash_bands,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .where(F.size(words(F.col("text"))) >= 3)
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .select("doc_id", F.transform("ws", lambda w: F.xxhash64(w)).alias("th"))
+        .select("doc_id", simhash64("th").alias("sh"))
+    )
+    banded = docs.select(
+        "doc_id", "sh", F.explode(simhash_bands(F.col("sh"), bands=4)).alias("b")
+    ).select("doc_id", "sh", "b.band_id", "b.band_hash")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(members, x -> transform(members, y -> struct(x AS a, y AS b)))),"
+                " p -> p.a.doc_id < p.b.doc_id)"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.doc_id").alias("id_a"),
+        F.col("p.b.doc_id").alias("id_b"),
+        hamming64(F.col("p.a.sh"), F.col("p.b.sh")).alias("hamming"),
+    )
+    return pairs.where(F.col("hamming") <= 12).distinct()
+
+
+@query(
+    "ann_ivf_topk",
+    ref="similarity search scale path — IVF (coarse k-means quantizer, nprobe bucket search)",
+    doc="IVF top-5 neighbors for 16 probes (k=16 centroids, nprobe=3); rows-only (clustering not oracle-portable).",
+    oracle=None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB answer to brute-force ANN: partition the corpus into
+    k centroid cells (inverted file), search only the nprobe cells
+    nearest each probe — corpus side shuffles ONCE on cell id, probe×cell
+    join replaces probe×corpus.  Centroids here are fit per-call on the
+    (small) corpus with seeded k-means; at scale they are precomputed on
+    a sample and persisted.  tests/test_llm_ops.py checks recall@5 vs
+    the oracle-checked brute-force query."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    ml_df = e.select("vec_id", array_to_vector("v").alias("features"))
+    model = KMeans(k=16, seed=42, maxIter=10).fit(ml_df)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def sqdist_to(center: list[float]):
+        c = F.array(*[F.lit(x) for x in center])
+        diff = F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = F.array(*[sqdist_to(c) for c in centers])
+    # cell assignment = argmin; probe cells = 3 nearest centroids.
+    corpus = e.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        ),
+        1,
+        3,
+    )
+    probes = (
+        e.where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"),
+                F.explode(ranked).alias("rc"))
+        .select("probe_id", "pv", F.col("rc.i").cast("int").alias("cell"))
+    )
+    scored = (
+        probes.join(corpus, "cell")
+        .where(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,105 @@
+"""Paginated REST source model (SURVEY §2.1 S1-S3).
+
+The reference fetches Shopify orders page-by-page (cursor in the
+``Link: <url>; rel="next"`` header, parsed by regex ``<(.+?)>`` F11),
+pushes ``updated_at_min`` server-side (S2), and wraps every request in
+retry/backoff honoring 429 Retry-After (S3, shopify_etl.py:271-331).
+
+In Spark this is inherently a DRIVER-SIDE ingestion concern: the pages
+land as rows and become a DataFrame.  For the oracle-checked engine the
+equivalent capability is the NDJSON drop-zone read (S8,
+``normalize.read_raw_orders``); this module models the live path so the
+full reference surface exists: an injectable ``fetch(url) ->
+(rows, link_header)`` callable (HTTP, or a fake in tests), the
+reference's retry policy constants, and chunked ``createDataFrame``
+conversion.  At real scale, page fetch parallelizes by key-range
+partitioning the cursor space — noted inline.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Reference constants (shopify_etl.py:271-331, BASELINE.md).
+PAGE_SIZE = 250
+MAX_PAGES = 5000
+MAX_RETRIES = 5
+TIMEOUT_SEC = 30
+BACKOFF_BASE = 3  # 3 · 2^attempt seconds (:324)
+
+LINK_NEXT_RE = re.compile(r'<(.+?)>;\s*rel="next"')  # F11 :442
+
+# fetch(url) -> (rows, link_header_or_none)
+Fetcher = Callable[[str], tuple[list[dict], str | None]]
+
+
+class RateLimited(Exception):
+    """HTTP 429 with a Retry-After hint (:312-316)."""
+
+    def __init__(self, retry_after: float = 60.0):
+        super().__init__(f"429 rate limited, retry after {retry_after}s")
+        self.retry_after = retry_after
+
+
+def parse_next_url(link_header: str | None) -> str | None:
+    """Cursor extraction from the Link header (:436-449)."""
+    if not link_header:
+        return None
+    m = LINK_NEXT_RE.search(link_header)
+    return m.group(1) if m else None
+
+
+def fetch_all_pages(
+    fetcher: Fetcher,
+    first_url: str,
+    max_pages: int = MAX_PAGES,
+    max_retries: int = MAX_RETRIES,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Iterator[list[dict]]:
+    """Follow cursor pagination with the reference's retry policy:
+    429 → honor Retry-After; other errors → 3·2^attempt backoff, give
+    up after ``max_retries`` attempts (:295-331)."""
+    url: str | None = first_url
+    pages = 0
+    while url and pages < max_pages:  # :291 cap
+        attempt = 0
+        while True:
+            try:
+                rows, link = fetcher(url)
+                break
+            except RateLimited as rl:
+                sleep(rl.retry_after)
+            except Exception:
+                attempt += 1
+                if attempt >= max_retries:
+                    raise
+                sleep(BACKOFF_BASE * 2**attempt)
+        yield rows
+        url = parse_next_url(link)
+        pages += 1
+
+
+def read_paginated(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    first_url: str,
+    schema,
+    max_pages: int = MAX_PAGES,
+    sleep: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """Drain the paginated source into a schema'd DataFrame.
+
+    Driver-side by design (matches the reference's single-threaded
+    fetch).  Scale path: shard the cursor space (e.g. created_at
+    ranges) and run one ``read_paginated`` per shard into the drop
+    zone, then ingest with the S8 reader — the API, not Spark, is the
+    bottleneck either way.
+    """
+    all_rows: list[dict] = []
+    for page in fetch_all_pages(fetcher, first_url, max_pages=max_pages, sleep=sleep):
+        all_rows.extend(page)
+    return spark.createDataFrame(all_rows, schema)

@@ -94,3 +94,33 @@ def test_multimodal_plumbing_deterministic(spark, sf_dir):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_simhash_hamming_small_for_planted_dups(spark, docs_with_planted_dups):
+    from shopify_youtube_etl_spark.functions.similarity import hamming64, simhash64
+
+    d = (
+        docs_with_planted_dups.select("doc_id", words(F.col("text")).alias("ws"))
+        .select("doc_id", F.transform("ws", lambda w: F.xxhash64(w)).alias("th"))
+        .select("doc_id", simhash64("th").alias("sh"))
+    )
+    a = d.where(F.col("doc_id") < 100000).select(F.col("doc_id").alias("k"), F.col("sh").alias("sa"))
+    b = d.where(F.col("doc_id") >= 100000).select((F.col("doc_id") - 100000).alias("k"), F.col("sh").alias("sb"))
+    pairs = a.join(b, "k").select(hamming64(F.col("sa"), F.col("sb")).alias("h"))
+    stats = pairs.agg(F.max("h").alias("mx"), F.avg("h").alias("avg")).first()
+    # One appended token barely moves the sign-sums.
+    assert stats["mx"] <= 12, f"max hamming {stats['mx']}"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    brute = specs["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    ivf = specs["ann_ivf_topk"].fn(spark, sf_dir).collect()
+    truth = {(r["probe_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["probe_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    # nprobe=3 of k=16 cells on near-uniform vectors: recall well above
+    # the 3/16 random-cell floor proves the quantizer routes correctly.
+    assert recall >= 0.5, f"IVF recall@5 {recall:.2%}"
