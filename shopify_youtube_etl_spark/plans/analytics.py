@@ -1,0 +1,495 @@
+"""Analytic-SQL extensions (SURVEY.md §2.4/§2.5 extension scope).
+
+The reference's analytics ambitions (README.md:49-52 "revenue trends,
+customer behavior") stop at GROUP BY because BigQuery supplies the
+rest; these queries declare the rest natively: grouping sets / cube,
+running totals, lag/lead deltas, rank/ntile, pivot, exact percentiles,
+as-of join, range join, gaps-and-islands sessionization, and
+INTERSECT/EXCEPT — all stock Catalyst plans with DuckDB oracles.
+
+Scale notes are per-query; the common theme is one shuffle on the
+partition/grouping key and window functions only over already-reduced
+or per-key data (never a global unpartitioned window over raw rows —
+except day-grain series whose cardinality is ~365·years regardless of
+input scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from shopify_youtube_etl_spark.plans.common import day_str, money, t, ts_str
+from shopify_youtube_etl_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Grouping sets / cube
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cube_status_priority",
+    ref="SURVEY §2.4 extension (cube is free in Spark); generalizes A1/A7",
+    doc="CUBE(status, priority) with grouping_id disambiguating subtotal levels.",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL')    AS status,
+       coalesce(o_orderpriority, 'ALL')  AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT)          AS n_orders,
+       round(sum(o_totalprice), 2)       AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id() distinguishes a real NULL group from a subtotal
+    row — required for correct sentinel-filling (the ROLLUP query
+    relies on the data having no NULL keys; this one does not)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.col("gid").cast("long"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    ref="SURVEY §2.4 extension (grouping sets)",
+    doc="Explicit GROUPING SETS ((segment, nation), (segment), ()) over a broadcast star join.",
+    oracle="""
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(n_name, 'ALL')       AS nation,
+       CAST(count(*) AS BIGINT)      AS n_orders,
+       round(sum(o_totalprice), 2)   AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 DataFrame.groupingSets — one shuffle produces all three
+    granularities (Catalyst expands to a single Expand+Aggregate, not
+    three scans; at 100 TB that's a 3× scan saving over UNION ALL)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.groupingSets(
+            [["c_mktsegment", "n_name"], ["c_mktsegment"], []],
+            "c_mktsegment",
+            "n_name",
+        )
+        .agg(F.count("*").alias("n_orders"), money(F.sum("o_totalprice")).alias("total_price"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "running_revenue_by_day",
+    ref="SURVEY §2.5 extension — running total over the A7 day series",
+    doc="Cumulative daily revenue: agg to day grain, then windowed running sum.",
+    oracle="""
+SELECT day,
+       daily_value,
+       round(sum(daily_value) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM (
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           round(sum(value), 2)                        AS daily_value
+    FROM events
+    GROUP BY 1
+)
+""",
+)
+def running_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unpartitioned window runs over the ALREADY-AGGREGATED day
+    series (~30 rows/month regardless of raw scale), so the single-
+    partition window stage is O(days), never O(events)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(day_str(F.col("ts")).alias("day"))
+        .agg(money(F.sum("value")).alias("daily_value"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select("day", "daily_value", money(F.sum("daily_value").over(w)).alias("running_value"))
+
+
+@query(
+    "day_over_day_delta",
+    ref="SURVEY §2.5 extension — lag/lead over the A7 day series",
+    doc="Day-over-day event-count delta and next-day preview via lag/lead.",
+    oracle="""
+SELECT day,
+       n_events,
+       CAST(n_events - lag(n_events) OVER (ORDER BY day) AS BIGINT)  AS delta_vs_prev,
+       CAST(lead(n_events) OVER (ORDER BY day) AS BIGINT)            AS next_day_events
+FROM (
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT)                    AS n_events
+    FROM events
+    GROUP BY 1
+)
+""",
+)
+def day_over_day_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(day_str(F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w)).cast("long").alias("delta_vs_prev"),
+        F.lead("n_events").over(w).cast("long").alias("next_day_events"),
+    )
+
+
+@query(
+    "ranked_customers_per_segment",
+    ref="SURVEY §2.5 extension — rank family partitioned by key",
+    doc="Top-5 customers by balance per market segment with rank/dense_rank/ntile.",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drnk, quartile
+FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+           row_number()      OVER w            AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+)
+WHERE rn <= 5
+""",
+)
+def ranked_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on the segment key serves all four rank functions
+    (same WINDOW spec ⇒ Catalyst computes them in a single Window
+    physical node)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_counts",
+    ref="SURVEY §2.4 extension — pivot (conditional aggregation)",
+    doc="Order counts per priority pivoted by status (= FILTERed aggregates).",
+    oracle="""
+SELECT o_orderpriority                                            AS priority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT)      AS n_f,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT)      AS n_o,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT)      AS n_p,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2)   AS open_value
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot-value list ('F','O','P') keeps the plan a single
+    partial-aggregating pass — omitting it would force a distinct-scan
+    to discover values first (two jobs; never do that at 100 TB)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        money(F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")))).alias("open_value"),
+    )
+
+
+@query(
+    "percentile_order_value",
+    ref="SURVEY §2.4 extension — exact percentiles per group",
+    doc="Exact continuous p50/p90/p99 of order value per status.",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       round(avg(o_totalprice), 4)                 AS mean
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact `percentile` (interpolated, matches quantile_cont) for
+    oracle parity; at 100 TB swap to approx_percentile — same plan
+    shape, sketch-mergeable instead of full-sort-per-group."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join / range join / sessionization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_click_attribution",
+    ref="custom-operator class (b): as-of join as a composition of DataFrame ops",
+    doc="For each purchase, the latest click by the same user at-or-before it (as-of backward join).",
+    oracle="""
+SELECT event_id AS purchase_id,
+       user_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       last_click_id
+FROM (
+    SELECT event_id, user_id, ts, is_probe,
+           last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+    FROM (
+        SELECT event_id, user_id, ts, 0 AS is_probe FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, user_id, ts, 1 AS is_probe FROM events WHERE event_type = 'purchase'
+    )
+)
+WHERE is_probe = 1
+""",
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join via the union-and-carry-forward pattern:
+    union both sides tagged probe/build, ONE shuffle on the join key,
+    sort within partition by (ts, tag), carry the last build row
+    forward with last(ignorenulls).  This is the scalable formulation —
+    the naive inequality join (probe × all-earlier-build) is O(n·m)
+    per key; this is O((n+m) log(n+m)) and never widens rows.
+    Ties: a click at exactly the purchase ts attributes (tag orders the
+    click first), matching DuckDB ASOF >= semantics."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_probe")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_probe")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).withColumn(
+        "last_click_id",
+        F.last(F.when(F.col("is_probe") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return carried.where(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        ts_str(F.col("ts")).alias("purchase_ts"),
+        "last_click_id",
+    )
+
+
+@query(
+    "range_join_value_bands",
+    ref="custom-operator class (a): range join against a broadcast band table",
+    doc="Events bucketed into value bands via inequality join (lo <= value < hi).",
+    oracle="""
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS band_value
+FROM events
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1000.0))
+     AS bands(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+""",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band table is a literal — broadcast it so the inequality
+    join plans as BroadcastNestedLoopJoin over 3 rows (per-row band
+    probe), never a shuffle CartesianProduct.  Equivalently at scale:
+    a width_bucket-style CASE projection; the join form generalizes to
+    data-driven band tables."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    e = t(spark, sf_dir, "events")
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"), money(F.sum("value")).alias("band_value"))
+    )
+
+
+@query(
+    "sessionize_gaps_islands",
+    ref="SURVEY §2.10 sessionization, batch form (gaps-and-islands)",
+    doc="Per-user session stats with 30-minute inactivity gap (lag + cumulative flag sum).",
+    oracle="""
+SELECT user_id,
+       CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT)                   AS n_events,
+       CAST(max(session_len) AS BIGINT)           AS max_session_events
+FROM (
+    SELECT user_id, session_id, count(*) OVER (PARTITION BY user_id, session_id) AS session_len
+    FROM (
+        SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS is_new
+            FROM events
+        )
+    )
+)
+GROUP BY user_id
+""",
+)
+def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch twin of session_window_30m: flag rows whose gap from
+    the previous event exceeds 30 min, cumulative-sum the flags into
+    session ids.  All three windows share PARTITION BY user_id ⇒ one
+    shuffle total; per-user data sorts once in-partition."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user) <= 1800
+    sessions = (
+        t(spark, sf_dir, "events")
+        .withColumn("is_new", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    per_session = Window.partitionBy("user_id", "session_id")
+    return (
+        sessions.withColumn("session_len", F.count("*").over(per_session))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.max("session_len").alias("max_session_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / semi joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "intersect_repeat_buyers",
+    ref="SURVEY §2.7 gap (INTERSECT) — customers active in both 1996 and 1997",
+    doc="INTERSECT of per-year customer key sets.",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                               AND o_orderdate <  TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                               AND o_orderdate <  TIMESTAMP '1998-01-01'
+""",
+)
+def intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    y96 = o.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = o.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@query(
+    "except_churned_buyers",
+    ref="SURVEY §2.7 gap (EXCEPT) — 1996 customers gone in 1997",
+    doc="EXCEPT of per-year customer key sets (distinct semantics).",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                               AND o_orderdate <  TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                               AND o_orderdate <  TIMESTAMP '1998-01-01'
+""",
+)
+def except_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    y96 = o.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = o.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    return y96.subtract(y97)
+
+
+@query(
+    "semi_join_urgent_customers",
+    ref="SURVEY §2.3 gap (semi join) — EXISTS as left_semi",
+    doc="Customers with at least one urgent open order, via left-semi join.",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')
+""",
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi returns each probe row at most once without widening —
+    Catalyst never materializes the match, so no post-join distinct is
+    needed (the EXISTS plan, natively)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")

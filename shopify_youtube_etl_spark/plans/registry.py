@@ -27,6 +27,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Modules that register queries on import.
 _PLAN_MODULES = [
     "shopify_youtube_etl_spark.plans.relational",
+    "shopify_youtube_etl_spark.plans.analytics",
     "shopify_youtube_etl_spark.plans.nested",
     "shopify_youtube_etl_spark.plans.etl",
     "shopify_youtube_etl_spark.plans.windows",
