@@ -1,0 +1,106 @@
+"""Declared queries for the advanced IO/state surface.
+
+Both queries stage their own input from the testdata tables (the
+pagination fetch and the stream arrival are inherently outside the
+relational plan), then run the distributed operator under test and
+return an oracle-checkable aggregate — so even the custom DataSource
+and the stateful streaming operator get full value-hash verification,
+not just rows-only checks.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.plans.common import money, t
+from shopify_youtube_etl_spark.plans.registry import query
+
+
+@query(
+    "pagestore_ingest",
+    ref="S1/S8 scale path — Spark 4 Python DataSource, partition-per-page (SURVEY §2.1)",
+    doc="Land documents as 250-row NDJSON pages, re-ingest via the pagestore DataSource (one partition per page), profile per language.",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def pagestore_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the documents table through the paginated landing
+    zone: driver lands pages (the fetch is driver-side by nature, S1),
+    executors parse them in parallel — one InputPartition per page.
+    The declared schema omits `text`/`source`, exercising the S8
+    unknown-keys-dropped contract at the reader."""
+    from shopify_youtube_etl_spark.sources.pagestore import (
+        PageStoreDataSource,
+        write_page_store,
+    )
+
+    rows = [r.asDict() for r in t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").collect()]
+    # text/source never leave the driver; add a decoy key the schema drops.
+    landed = [{**r, "extra_key": "ignored"} for r in rows]
+    out_dir = tempfile.mkdtemp(prefix="pagestore_")
+    write_page_store(landed, out_dir, page_size=250)
+
+    spark.dataSource.register(PageStoreDataSource)
+    docs = (
+        spark.read.format("pagestore")
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .option("path", out_dir)
+        .load()
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query(
+    "stateful_user_totals",
+    ref="§2.10 custom stateful operator — applyInPandasWithState (engine-managed per-key state)",
+    doc="Streaming per-user running totals via applyInPandasWithState (availableNow), reduced to final state.",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stateful_user_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming operator (not a batch stand-in): events
+    land as NDJSON, an availableNow stream folds them into engine-
+    managed per-key state, and the update-mode emissions are reduced to
+    the final row per key (n_events is monotone, so max(struct) picks
+    it).  The final state must equal the batch GROUP BY — that equality
+    is the oracle check."""
+    from shopify_youtube_etl_spark.streaming.stateful import stateful_user_totals
+
+    tmp = tempfile.mkdtemp(prefix="stateful_")
+    src = f"{tmp}/src"
+    t(spark, sf_dir, "events").select("user_id", "value").write.mode("overwrite").json(src)
+
+    stream = spark.readStream.schema("user_id BIGINT, value DOUBLE").json(src)
+    sink = f"totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emissions = spark.table(sink)
+    return (
+        emissions.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"), money(F.col("s.total_value")).alias("total_value"))
+    )

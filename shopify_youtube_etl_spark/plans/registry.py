@@ -34,6 +34,7 @@ _PLAN_MODULES = [
     "shopify_youtube_etl_spark.plans.llm_text",
     "shopify_youtube_etl_spark.plans.llm_similarity",
     "shopify_youtube_etl_spark.plans.multimodal",
+    "shopify_youtube_etl_spark.plans.advanced_io",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Partition-per-page NDJSON ingestion as a Spark 4 Python DataSource.
+
+SURVEY §2.1 S1 names the scale path for the reference's cursor-paginated
+fetch (shopify_etl.py:271-331): "custom Python Data Source API (Spark 4)
+with partition-per-page".  This implements it: a landed page store
+(one NDJSON file per fetched page, ``page-*.ndjson``) is exposed as a
+DataSource whose ``partitions()`` returns one InputPartition per page
+file, so N pages parse on N executor cores — the distributed half of
+the ingestion that ``sources/paginated.py`` models driver-side.
+
+Parse semantics mirror the reference's load job (S8,
+shopify_etl.py:130-135): unknown JSON keys are dropped, missing keys
+become NULL (``ignore_unknown_values=True``).
+
+Scale notes: the read side scales with page count (100 TB of landed
+pages = millions of partitions — Spark schedules them like any file
+scan).  Schema is caller-declared; no inference pass over the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class PagePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class PageStoreReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.dir = options["path"]
+        self.schema = schema
+
+    def partitions(self) -> Sequence[PagePartition]:
+        # One partition per landed page file — sorted for determinism.
+        files = sorted(
+            f for f in os.listdir(self.dir) if f.startswith("page-") and f.endswith(".ndjson")
+        )
+        return [PagePartition(os.path.join(self.dir, f)) for f in files]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        fields = [f.name for f in self.schema.fields]
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                row = json.loads(line)
+                # S8 semantics: project the declared fields only;
+                # missing -> None, unknown keys dropped.
+                yield tuple(row.get(name) for name in fields)
+
+
+class PageStoreDataSource(DataSource):
+    """``spark.read.format("pagestore").schema(s).option("path", d)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pagestore"
+
+    def reader(self, schema: StructType) -> PageStoreReader:
+        return PageStoreReader(self.options, schema)
+
+
+def write_page_store(rows: list[dict], out_dir: str, page_size: int = 250) -> int:
+    """Land rows as page files (the reference's 250-row pages, S1
+    :274; driver-side by nature — the fetch IS driver-side).  Returns
+    the page count."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_pages = 0
+    for i in range(0, len(rows), page_size):
+        page = rows[i : i + page_size]
+        path = os.path.join(out_dir, f"page-{n_pages:05d}.ndjson")
+        with open(path, "w", encoding="utf-8") as fh:
+            for row in page:
+                fh.write(json.dumps(row, default=str) + "\n")
+        n_pages += 1
+    return n_pages

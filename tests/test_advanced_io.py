@@ -1,0 +1,88 @@
+"""Python DataSource (partition-per-page) + applyInPandasWithState tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.plans.registry import all_queries
+from shopify_youtube_etl_spark.sources.pagestore import (
+    PageStoreDataSource,
+    write_page_store,
+)
+from shopify_youtube_etl_spark.sources.tables import load_table
+from shopify_youtube_etl_spark.streaming.stateful import stateful_user_totals
+
+SPECS = all_queries()
+
+
+def test_pagestore_partition_per_page(spark, tmp_path):
+    rows = [{"doc_id": i, "lang": "en", "n_chars": 10 * i, "junk": "x"} for i in range(1000)]
+    n_pages = write_page_store(rows, str(tmp_path), page_size=250)
+    assert n_pages == 4
+
+    spark.dataSource.register(PageStoreDataSource)
+    df = (
+        spark.read.format("pagestore")
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, missing STRING")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    # one InputPartition per landed page
+    assert df.rdd.getNumPartitions() == 4
+    got = df.orderBy("doc_id").collect()
+    assert len(got) == 1000
+    # S8 semantics: unknown key dropped, missing declared key -> NULL
+    assert got[7]["doc_id"] == 7 and got[7]["n_chars"] == 70
+    assert got[0]["missing"] is None and "junk" not in df.columns
+
+
+def test_pagestore_query_matches_direct_read(spark, sf_dir):
+    got = {
+        (r["lang"], r["n_docs"], r["total_chars"])
+        for r in SPECS["pagestore_ingest"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r["lang"], r["n_docs"], r["total_chars"])
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_totals_across_micro_batches(spark, sf_dir, tmp_path):
+    """maxFilesPerTrigger=1 forces one micro-batch per file; the final
+    state must still equal batch GROUP BY — proving state actually
+    carries across micro-batches (not recomputed per batch)."""
+    src = str(tmp_path / "src")
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    events.repartition(4).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals_mb")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = (
+        spark.table("totals_mb")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"))
+    )
+    want = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    mismatches = final.join(want, "user_id").where(final.n_events != want.n_events).count()
+    assert mismatches == 0
+    assert final.count() == want.count()
+    # >1 emission per key proves multiple micro-batches actually ran
+    assert spark.table("totals_mb").count() > final.count()
