@@ -40,6 +40,11 @@ HEADLINE = [
     "token_stats",
     "minhash_lsh_neardup",
     "ann_cosine_topk",
+    "grouping_sets_revenue",
+    "asof_click_attribution",
+    "sessionize_gaps_islands",
+    "simhash_neardup",
+    "sql_nation_rank",
 ]
 
 

@@ -111,6 +111,12 @@ class ParquetTable:
         src = schema_source if schema_source is not None else self.read()
         self.overwrite(src.limit(0))
 
+    def backup(self, out_dir: str) -> None:
+        """Export/backup sink (S12, monitoring-guide.md:113-117):
+        ``bq extract --destination_format=NEWLINE_DELIMITED_JSON`` ≡
+        write the current generation as NDJSON, one file per partition."""
+        self.read().write.mode("overwrite").json(out_dir)
+
     def merge_from(self, staging: "ParquetTable", keys: list[str], order_col: str | None = None) -> None:
         """merge_staging_to_final (shopify_etl.py:558-590): upsert then
         truncate staging — one call per table per micro-batch."""

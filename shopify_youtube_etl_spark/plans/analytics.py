@@ -472,6 +472,43 @@ def except_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y96.subtract(y97)
 
 
+# One SQL text, two engines: the reference's entire relational layer is
+# SQL strings issued to BigQuery (SURVEY §3 "query IR is f-string SQL");
+# this query keeps that entry point alive — spark.sql() over registered
+# views runs the IDENTICAL string DuckDB runs as the oracle.
+_NATION_RANK_SQL = """
+WITH nation_rev AS (
+    SELECT n_name                                            AS nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT)        AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT nation, revenue, n_orders,
+       CAST(rank() OVER (ORDER BY revenue DESC) AS BIGINT) AS rev_rank
+FROM nation_rev
+"""
+
+
+@query(
+    "sql_nation_rank",
+    ref="SURVEY §3 — SQL-text entry point (the reference's query IR), run via spark.sql",
+    doc="CTE + star join + window rank submitted as raw SQL text; the oracle runs the identical string.",
+    oracle=_NATION_RANK_SQL,
+)
+def sql_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst parses/optimizes the same text DuckDB runs — SQL and
+    DataFrame APIs converge on the same logical plan, so every plan
+    property (pushdown, broadcast, rank-sort) holds here too."""
+    from shopify_youtube_etl_spark.sources.tables import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(_NATION_RANK_SQL)
+
+
 @query(
     "semi_join_urgent_customers",
     ref="SURVEY §2.3 gap (semi join) — EXISTS as left_semi",

@@ -96,3 +96,13 @@ def test_sync_control_watermark_semantics(spark, tmp_path):
     sc.record_run("orders", t2, 7, "success")
     assert sc.last_sync_timestamp() == t2 - OVERLAP
     assert sc.start_date(force_full_load=True) == FALLBACK_START
+
+
+def test_backup_ndjson_roundtrip(spark, tmp_path):
+    """S12 export sink: NDJSON backup reloads to the identical table."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], "k INT, v STRING")
+    t.overwrite(df)
+    t.backup(str(tmp_path / "bak"))
+    back = spark.read.schema("k INT, v STRING").json(str(tmp_path / "bak"))
+    assert sorted(back.collect()) == sorted(df.collect())
