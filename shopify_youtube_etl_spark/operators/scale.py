@@ -1,0 +1,76 @@
+"""Shuffle-shaping operators for cluster scale: salting and bucketing.
+
+The reference never faces skew (BigQuery's planner owns it); at 100 TB
+on Spark these are the two levers the engine must supply itself:
+
+- **Salted join** — when one join key carries a disproportionate share
+  of rows (a viral order, a bot user), the task holding that key
+  becomes the straggler.  Salting splits the hot key across
+  ``salt_buckets`` tasks: the large side gets a deterministic salt,
+  the small side is replicated once per salt value.  AQE's skew-join
+  handles moderate skew automatically (``spark.sql.adaptive.skewJoin``);
+  salting is the explicit fallback for extreme single-key skew where a
+  key exceeds one executor's memory.
+
+- **Bucketed co-located join** — two fact tables bucketed on the join
+  key join with ZERO shuffle: bucket n of the left matches bucket n of
+  the right by layout.  At 100 TB this converts the dominant
+  lineitem⋈orders exchange (both sides shuffled every query) into a
+  one-time write-side cost amortized over every subsequent join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: ``large`` rows get a deterministic salt
+    (hash of the whole row via all columns — uniform, reproducible),
+    ``small`` is replicated ``salt_buckets``× so every (key, salt) pair
+    finds its match.  Result is row-identical to ``large.join(small,
+    key, how)``; only the shuffle layout changes.  Replication cost:
+    |small| · salt_buckets rows — use for small-to-medium build sides.
+    """
+    salted_large = large.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*large.columns), F.lit(salt_buckets)).cast("int")
+    )
+    salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    salted_small = small.withColumn(SALT_COL, F.explode(salts))
+    out = salted_large.join(salted_small, [key, SALT_COL], how)
+    return out.drop(SALT_COL)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_key: str, n_buckets: int = 8
+) -> None:
+    """Persist a table bucketed+sorted on its join key so later joins
+    on that key are exchange-free (Spark bucketing works on the
+    in-memory catalog; no Hive metastore needed)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str
+) -> DataFrame:
+    """Join two same-bucket-count tables on their bucket keys; with
+    matching bucketing the physical plan has no Exchange on either side
+    (verified in tests/test_scale.py)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, left[left_key] == right[right_key])

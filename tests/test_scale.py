@@ -1,0 +1,74 @@
+"""Skew-salting and bucketing: correctness + plan-shape proof."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from shopify_youtube_etl_spark.sources.tables import load_table
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture()
+def skewed(spark):
+    """95% of fact rows share one key — the straggler scenario."""
+    hot = spark.range(9500).select(F.lit(7).alias("k"), F.col("id").alias("payload"))
+    cold = spark.range(500).select((F.col("id") % 100).alias("k"), F.col("id").alias("payload"))
+    fact = hot.unionByName(cold)
+    dim = spark.range(100).select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name"))
+    return fact, dim
+
+
+def test_salted_join_row_identical(spark, skewed):
+    fact, dim = skewed
+    plain = fact.join(dim, "k").select("k", "payload", "name")
+    salted = salted_join(fact, dim, "k", salt_buckets=8).select("k", "payload", "name")
+    assert salted.count() == plain.count() == 10000
+    assert salted.subtract(plain).count() == 0
+    assert plain.subtract(salted).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    """The hot key must land in >1 shuffle partition after salting."""
+    fact, _ = skewed
+    from shopify_youtube_etl_spark.operators.scale import SALT_COL
+
+    salted = fact.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*fact.columns), F.lit(8)).cast("int")
+    )
+    n_salts = (
+        salted.where(F.col("k") == 7).select(SALT_COL).distinct().count()
+    )
+    assert n_salts > 1  # hot key split across salt buckets
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Matching bucket layout ⇒ SortMergeJoin with no Exchange on
+    either side (the amortized-shuffle claim)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_bkt", "o_orderkey", n_buckets=4)
+    write_bucketed(li, "lineitem_bkt", "l_orderkey", n_buckets=4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "lineitem_bkt", "orders_bkt", "l_orderkey", "o_orderkey")
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it still computes the right thing
+        expected = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
