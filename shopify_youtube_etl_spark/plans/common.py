@@ -25,6 +25,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# (sf_dir, name) -> whether the scan needs spreading; the probe
+# (df.rdd.getNumPartitions) costs a plan conversion, so pay it once.
+_SPREAD_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def spread(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame:
+    """Load a table, repartitioning ONLY when the scan yields fewer
+    partitions than the cluster has cores — i.e., a small single-file
+    input whose heavy map-side work (shingling, hashing) would
+    otherwise run serially.  At real scale the file scan is already
+    split past core count and this is a no-op, so no shuffle of raw
+    text ever happens there."""
+    df = t(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    key = (sf_dir, name)
+    if key not in _SPREAD_CACHE:
+        _SPREAD_CACHE[key] = df.rdd.getNumPartitions() < p
+    if _SPREAD_CACHE[key]:
+        return df.repartition(p, *cols) if cols else df.repartition(p)
+    return df
+
+
 def money(col: Column) -> Column:
     """Round a double aggregate for hash-stable comparison."""
     return F.round(col, MONEY_ROUND)

@@ -19,7 +19,7 @@ from shopify_youtube_etl_spark.functions.similarity import (
     minhash_signature,
 )
 from shopify_youtube_etl_spark.functions.text import shingles_from_words, words
-from shopify_youtube_etl_spark.plans.common import t
+from shopify_youtube_etl_spark.plans.common import spread, t
 from shopify_youtube_etl_spark.plans.registry import query
 
 # Shared DuckDB fragments.
@@ -170,8 +170,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the MinHash-LSH query approximates.  Probe-side broadcast keeps
     it one corpus pass; full all-pairs at scale goes through LSH."""
     d = (
-        t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", words(F.col("text")).alias("ws"))
         .select("doc_id", shingles_from_words("ws", 3).alias("shingles"))
     )
@@ -204,13 +203,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard, so false positives cost compute, never correctness.
     tests/test_llm_ops.py asserts LSH ⊇ the oracle-checked exact pairs
     on planted near-dups."""
-    # Small single-file parquet arrives as ONE partition; spread the
-    # shingle/hash work across the cluster before the heavy lifting (at
-    # real scale the scan is already split and this repartition is a
-    # cheap no-op guard against stragglers).
-    docs = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(spark, sf_dir, "documents", "doc_id")
     # Pre-filter on the RAW text (cheap) rather than on the computed
     # shingle column: a filter on a projected alias gets substituted
     # below the project and re-evaluates the whole shingle expression
@@ -254,8 +247,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = (
-        t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(spark, sf_dir, "documents", "doc_id")
         .where(F.size(words(F.col("text"))) >= 3)
         .select("doc_id", words(F.col("text")).alias("ws"))
         .select("doc_id", F.transform("ws", lambda w: F.xxhash64(w)).alias("th"))
