@@ -40,6 +40,7 @@ HEADLINE = [
     "token_stats",
     "minhash_lsh_neardup",
     "ann_cosine_topk",
+    "ann_cosine_topk_np",
     "grouping_sets_revenue",
     "asof_click_attribution",
     "sessionize_gaps_islands",

@@ -277,6 +277,90 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_cosine_topk_np",
+    ref="similarity search — Arrow-vectorized brute force (mapInPandas block matmul)",
+    doc="Same top-5 cosine search as ann_cosine_topk via numpy block matrix multiply with partition-local top-k.",
+    oracle=f"""
+WITH p AS (
+    SELECT vec_id AS probe_id, {_D_VEC} AS pv FROM embeddings WHERE vec_id < 16
+),
+c AS (
+    SELECT vec_id AS neighbor_id, {_D_VEC} AS cv FROM embeddings
+),
+s AS (
+    SELECT probe_id, neighbor_id,
+           round(list_dot_product(pv, cv)
+                 / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+    FROM p, c
+    WHERE probe_id <> neighbor_id
+),
+r AS (
+    SELECT probe_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM s
+)
+SELECT probe_id, neighbor_id, cos AS cosine, rank
+FROM r WHERE rank <= 5
+""",
+)
+def ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow fast path for the same computation: probes ship to
+    executors as a closure-captured (16×dim) numpy matrix; each corpus
+    Arrow batch becomes one normalized block matmul (BLAS), pruned to a
+    partition-local top-5 per probe BEFORE the shuffle — so the window
+    stage sees O(partitions · probes · 5) rows, not the full cross
+    product.  This is the 100 TB brute-force shape: per-block GEMM +
+    local top-k + tiny global re-merge.  The local prune orders by
+    (rounded cosine, neighbor_id) — identical to the global sort — so
+    pruning can never change the final top-5."""
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    probe_rows = (
+        e.where(F.col("vec_id") < 16).select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    P = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+
+    out_schema = "probe_id long, neighbor_id long, cosine double"
+
+    def block_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = np.round(Cn @ Pn.T, 6)  # (block, n_probes), rounded like the oracle
+            for j, pid in enumerate(probe_ids):
+                col = sims[:, j]
+                mask = ids != pid  # exclude self-match
+                cand_ids, cand_cos = ids[mask], col[mask]
+                # local top-5 by (cos desc, neighbor_id asc) — same key
+                # as the global sort, so the prune is lossless.
+                order = np.lexsort((cand_ids, -cand_cos))[:5]
+                yield pd.DataFrame(
+                    {
+                        "probe_id": pid,
+                        "neighbor_id": cand_ids[order],
+                        "cosine": cand_cos[order],
+                    }
+                )
+
+    local = e.select("vec_id", "embedding").mapInPandas(block_topk, out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@query(
     "ann_ivf_topk",
     ref="similarity search scale path — IVF (coarse k-means quantizer, nprobe bucket search)",
     doc="IVF top-5 neighbors for 16 probes (k=16 centroids, nprobe=3); rows-only (clustering not oracle-portable).",

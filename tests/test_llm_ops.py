@@ -124,3 +124,16 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     # nprobe=3 of k=16 cells on near-uniform vectors: recall well above
     # the 3/16 random-cell floor proves the quantizer routes correctly.
     assert recall >= 0.5, f"IVF recall@5 {recall:.2%}"
+
+
+def test_vectorized_ann_equals_builtin(spark, sf_dir):
+    """The Arrow/numpy block-matmul path must produce the exact same
+    ranked result as the expression-fold baseline (same rounding, same
+    tie-break) — the local top-k prune is lossless by construction."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    a = specs["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    b = specs["ann_cosine_topk_np"].fn(spark, sf_dir).collect()
+    key = lambda r: (r["probe_id"], r["rank"])
+    assert sorted(a, key=key) == sorted(b, key=key)
