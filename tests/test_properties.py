@@ -1,0 +1,79 @@
+"""Property-based tests (SURVEY §5.4) over generated inputs.
+
+upsert/dedup algebraic laws and explode conservation, with hypothesis
+driving the row sets — small example counts since each example runs
+real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from shopify_youtube_etl_spark.operators.dedup import dedup_keep_first
+from shopify_youtube_etl_spark.operators.upsert import upsert
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_st = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-50, 50)), min_size=0, max_size=20
+)
+
+
+def _df(spark, rows):
+    # seq = arrival order (the reference's O2 asc-fetch determinism)
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    return spark.createDataFrame(data, "k INT, v INT, seq INT")
+
+
+@given(base=rows_st, batch=rows_st)
+@SETTINGS
+def test_upsert_idempotent(spark, base, batch):
+    """upsert(upsert(T,B),B) == upsert(T,B) — reprocessing an
+    overlapping window must be a no-op (the MERGE contract)."""
+    t0 = dedup_keep_first(_df(spark, base), ["k"], order_col="seq")
+    b = _df(spark, batch)
+    once = upsert(t0, b, ["k"], order_col="seq")
+    twice = upsert(once, b, ["k"], order_col="seq")
+    assert sorted(once.collect()) == sorted(twice.collect())
+    # uniqueness invariant holds after any upsert
+    assert once.groupBy("k").count().where("count > 1").count() == 0
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_dedup_keep_first_laws(spark, rows):
+    """Idempotent; keeps exactly the min-seq row per key."""
+    df = _df(spark, rows)
+    d1 = dedup_keep_first(df, ["k"], order_col="seq")
+    d2 = dedup_keep_first(d1, ["k"], order_col="seq")
+    assert sorted(d1.collect()) == sorted(d2.collect())
+    firsts = {
+        (r["k"], r["seq"])
+        for r in df.groupBy("k").agg(F.min("seq").alias("seq")).collect()
+    }
+    assert {(r["k"], r["seq"]) for r in d1.collect()} == firsts
+
+
+@given(
+    arrays=st.lists(
+        st.lists(st.integers(0, 9), min_size=0, max_size=5), min_size=0, max_size=12
+    )
+)
+@SETTINGS
+def test_explode_conservation(spark, arrays):
+    """sum(size(arr)) == row count after explode (N1 conservation);
+    explode_outer adds exactly one row per empty/missing array."""
+    data = [(i, a) for i, a in enumerate(arrays)]
+    df = spark.createDataFrame(data, "id INT, arr ARRAY<INT>")
+    exploded = df.select("id", F.explode("arr"))
+    total = df.agg(F.coalesce(F.sum(F.size("arr")), F.lit(0))).first()[0]
+    assert exploded.count() == total
+    outer = df.select("id", F.explode_outer("arr"))
+    n_empty = df.where(F.size("arr") == 0).count()
+    assert outer.count() == total + n_empty

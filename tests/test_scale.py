@@ -72,3 +72,30 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + status filter ⇒ PartitionFilters in the
+    scan, so non-matching directories are never opened (the partition-
+    pruning contract every 100 TB layout depends on)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+
+    pruned = spark.read.parquet(out).where(F.col("o_orderstatus") == "O")
+    plan = _explain(pruned)
+    import re
+
+    assert re.search(r"PartitionFilters: \[.*o_orderstatus#\d+ = O\)", plan)
+    assert pruned.count() == orders.where(F.col("o_orderstatus") == "O").count()
+
+
+def test_chunked_write_max_records(spark, tmp_path):
+    """S7 chunked staging (10k-row objects, shopify_etl.py:100-103) via
+    maxRecordsPerFile — bounded file sizes without a repartition."""
+    out = str(tmp_path / "chunks")
+    spark.range(25000).coalesce(1).write.option("maxRecordsPerFile", 10000).json(out)
+    import glob
+
+    files = glob.glob(out + "/part-*")
+    assert len(files) == 3  # 10k + 10k + 5k
