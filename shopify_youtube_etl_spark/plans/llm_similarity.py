@@ -146,6 +146,72 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_lsh_neardup",
+    ref="embedding near-dup scale path — multi-table sign-LSH (random hyperplanes)",
+    doc="All-pairs cosine ≥ 0.35 via 8 LSH tables × 4 hyperplanes, bucket-local pair search; rows-only (hash family).",
+    oracle=None,
+)
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-pairs version of embedding_near_dup without the O(n²)
+    cross join: bit i of a bucket id is sign(v·plane_i), so vectors at
+    small angle collide with prob (1-θ/π)^k per table; L independent
+    tables drive recall to 1-(1-p^k)^L (~70% at cos 0.35, higher for
+    closer pairs).  Bucket ids are map-side literal arithmetic; the
+    only shuffles are the bucket groupBy and the verify join-backs.
+    Candidates are verified with exact cosine, so precision is exact —
+    LSH only affects recall.  tests/test_llm_ops.py measures recall
+    against the oracle-checked exact query."""
+    from shopify_youtube_etl_spark.functions.similarity import (
+        hyperplane_bucket,
+        random_hyperplanes,
+    )
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    dim = e.select(F.size("v")).first()[0]
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(ti).alias("table_id"),
+                hyperplane_bucket(F.col("v"), random_hyperplanes(dim, 4, seed=101 + ti)).alias(
+                    "bucket"
+                ),
+            )
+            for ti in range(8)
+        ]
+    )
+    banded = e.select("vec_id", F.explode(tables).alias("b")).select(
+        "vec_id", "b.table_id", "b.bucket"
+    )
+    buckets = (
+        banded.groupBy("table_id", "bucket")
+        .agg(F.collect_list("vec_id").alias("members"))
+        .where(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(members, x -> transform(members, y -> struct(x AS a, y AS b)))),"
+                    " p -> p.a < p.b)"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.35)
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     ref="n-gram Jaccard near-dup (exact, probe slice)",
     doc="Word-3-gram Jaccard ≥ 0.3 between probe docs and the corpus.",

@@ -137,3 +137,24 @@ def test_vectorized_ann_equals_builtin(spark, sf_dir):
     b = specs["ann_cosine_topk_np"].fn(spark, sf_dir).collect()
     key = lambda r: (r["probe_id"], r["rank"])
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_embedding_lsh_recall_and_precision(spark, sf_dir):
+    """Sign-LSH pairs are exact-cosine-verified (precision 1 within the
+    probe slice) and recall a healthy fraction of the exact pairs."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in specs["embedding_near_dup"].fn(spark, sf_dir).collect()
+    }
+    lsh_rows = specs["embedding_lsh_neardup"].fn(spark, sf_dir).collect()
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_rows}
+    # precision: every LSH pair in the exact query's probe domain must
+    # be an exact pair (cosine verify makes false positives impossible)
+    probe_domain = {p for p in lsh if p[0] % 10 == 0}
+    assert probe_domain <= exact
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.4, f"sign-LSH recall {recall:.2%}"
