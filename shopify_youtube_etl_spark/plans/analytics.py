@@ -472,6 +472,73 @@ def except_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y96.subtract(y97)
 
 
+@query(
+    "below_avg_quantity_revenue",
+    ref="SURVEY §2.4 extension — correlated aggregate filter (per-key avg as join)",
+    doc="Revenue from line items whose quantity is under 20% of their part's average (decorrelated as agg + join).",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)                 AS n_items,
+       round(sum(l_extendedprice) / 7.0, 2)     AS avg_yearly
+FROM lineitem
+JOIN (
+    SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cut
+    FROM lineitem
+    GROUP BY l_partkey
+) ON l_partkey = pk
+WHERE l_quantity < qty_cut
+""",
+)
+def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery pattern (`WHERE qty < (SELECT 0.2*avg
+    ... same part)`) decorrelated the way Catalyst itself would: one
+    partial-aggregating pass builds the per-key cutoff, then an
+    equi-join filters the fact side — two shuffles on the same key,
+    AQE-coalesced.  Never a per-row subquery execution."""
+    li = t(spark, sf_dir, "lineitem")
+    cuts = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(cuts, li.l_partkey == cuts.pk)
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "order_count_distribution",
+    ref="SURVEY §2.4 extension — distribution of per-key counts (left join + double group)",
+    doc="How many customers placed exactly N orders, including N=0 (left outer join, two-level group).",
+    oracle="""
+SELECT n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY n_orders
+""",
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(col) over a left join counts only matched rows, so
+    customers with no orders land in the N=0 bucket — the null-aware
+    aggregate the anti-join queries (J1/J2) special-case."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
 # One SQL text, two engines: the reference's entire relational layer is
 # SQL strings issued to BigQuery (SURVEY §3 "query IR is f-string SQL");
 # this query keeps that entry point alive — spark.sql() over registered

@@ -90,3 +90,31 @@ def test_streaming_dedup(spark, event_json_dir, tmp_path_factory):
     q.awaitTermination(120)
     out = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
     assert out["n"] == out["d"] == df.select("event_id").distinct().count()
+
+
+def test_streaming_session_window_equals_batch(spark, event_json_dir):
+    """session_window merges incrementally across micro-batches; the
+    availableNow run (forced multi-batch) must converge to the batch
+    result — the hardest window parity (sessions can merge as late
+    events arrive within the watermark)."""
+    from shopify_youtube_etl_spark.plans.windows import session_agg
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .json(event_json_dir)
+    )
+    q = (
+        session_agg(stream.withWatermark("ts", "1 hour"), "30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = session_agg(spark.read.schema(EVENT_SCHEMA).json(event_json_dir), "30 minutes")
+    got = sorted(spark.sql("SELECT * FROM stream_sessions").collect())
+    want = sorted(batch.collect())
+    assert got == want and len(got) > 0
