@@ -55,8 +55,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
-    # Warmup: JVM, codegen, parquet footer caches.
+    # Warmup: JVM, codegen, parquet footer caches — plus one tiny
+    # mapInPandas so the Arrow-path queries measure steady state, not
+    # the one-time Python worker pool startup.
     specs["flagship_revenue"].fn(spark, SF_DIR).count()
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
