@@ -77,3 +77,68 @@ def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
+
+
+# Frame sampling output: one row per sampled frame (the 1→N shape).
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame BINARY, frame_bytes BIGINT"
+
+# Resize output: binary in → binary out with new metadata.
+RESIZED_SCHEMA = "doc_id BIGINT, resized BINARY, width INT, height INT"
+
+
+def sample_frames(df: DataFrame, frame_size: int = 1024, every_n: int = 1) -> DataFrame:
+    """Frame sampling over a binary video-like column: each payload
+    yields one output row per ``every_n``-th fixed-size frame — the
+    one-to-many mapInPandas shape (explode done Python-side, Arrow
+    batches both directions).  The 'codec' is a STUB: frames are
+    contiguous ``frame_size``-byte slices; a real implementation swaps
+    the slicer for a container demuxer and nothing else changes."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for k, start in enumerate(range(0, n, frame_size)):
+                    if k % every_n:
+                        continue
+                    ids.append(did)
+                    idxs.append(k)
+                    frames.append(payload[start : start + frame_size])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "frame_bytes": pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Binary-to-binary transform plumbing (resize/transcode shape).
+    The decode+resample is STUBBED deterministically (digest-expanded
+    bytes of exactly width·height); swap the stub for PIL/ffmpeg and
+    the Spark plumbing — schema, batching, memory profile — is
+    unchanged."""
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(payload).digest()
+                reps = target // len(digest) + 1
+                out.append((digest * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": pd.Series(out, dtype=object),
+                    "width": pd.Series([width] * len(out), dtype="int32"),
+                    "height": pd.Series([height] * len(out), dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(resize, RESIZED_SCHEMA)

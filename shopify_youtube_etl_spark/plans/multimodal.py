@@ -37,3 +37,32 @@ def media_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(t(spark, sf_dir, "documents"))
     feats = extract_media_features(d, fake=True)
     return feats.select("doc_id", "n_bytes", "payload_md5")
+
+
+@query(
+    "media_frame_sample",
+    ref="multimodal frame sampling — 1→N mapInPandas over a binary column",
+    doc="Per-doc sampled-frame counts from fixed-size frame slicing; oracle derives counts from byte lengths.",
+    oracle="""
+SELECT doc_id,
+       CAST(ceil(strlen(text) / 1024.0) AS BIGINT) AS n_frames,
+       CAST(strlen(text) AS BIGINT)                AS total_frame_bytes
+FROM documents
+WHERE strlen(text) > 0
+""",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-pipeline shape: one binary payload row fans out to one
+    row per 1024-byte frame inside the Python worker (Arrow in, Arrow
+    out), then aggregates back per doc.  The stub slicer makes frame
+    counts a pure function of byte length, which is what the oracle
+    recomputes from strlen — so the 1→N plumbing is value-checked,
+    not just row-counted."""
+    from shopify_youtube_etl_spark.functions.multimodal import sample_frames
+
+    d = with_binary_payload(t(spark, sf_dir, "documents"))
+    frames = sample_frames(d, frame_size=1024, every_n=1)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").alias("total_frame_bytes"),
+    )

@@ -158,3 +158,35 @@ def test_embedding_lsh_recall_and_precision(spark, sf_dir):
     if exact:
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.4, f"sign-LSH recall {recall:.2%}"
+
+
+def test_frame_sampling_every_n(spark, sf_dir):
+    """every_n=2 keeps frames 0,2,4,... — the sampling contract."""
+    from shopify_youtube_etl_spark.functions.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    d = with_binary_payload(load_table(spark, sf_dir, "documents").limit(20))
+    all_frames = sample_frames(d, frame_size=100, every_n=1)
+    sampled = sample_frames(d, frame_size=100, every_n=2)
+    assert sampled.where(F.col("frame_idx") % 2 != 0).count() == 0
+    kept = all_frames.where(F.col("frame_idx") % 2 == 0).count()
+    assert sampled.count() == kept
+
+
+def test_resize_media_deterministic_shape(spark, sf_dir):
+    from shopify_youtube_etl_spark.functions.multimodal import (
+        resize_media,
+        with_binary_payload,
+    )
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    d = with_binary_payload(load_table(spark, sf_dir, "documents").limit(10))
+    r1 = resize_media(d, 16, 16).collect()
+    r2 = resize_media(d, 16, 16).collect()
+    assert sorted((x["doc_id"], bytes(x["resized"])) for x in r1) == sorted(
+        (x["doc_id"], bytes(x["resized"])) for x in r2
+    )
+    assert all(len(bytes(x["resized"])) == 256 for x in r1)
