@@ -99,3 +99,20 @@ def test_chunked_write_max_records(spark, tmp_path):
 
     files = glob.glob(out + "/part-*")
     assert len(files) == 3  # 10k + 10k + 5k
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A filtered dim joined on the fact's partition column must inject
+    a dynamicpruning expression into the fact scan — at 100 TB this is
+    what keeps a dim-filtered star join from reading every partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "fact_by_status")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), ("P", "pending")], "st string, label string"
+    )
+    j = fact.join(dim.where(F.col("label") == "open"), fact.o_orderstatus == dim.st)
+    plan = _explain(j)
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == orders.where(F.col("o_orderstatus") == "O").count()
