@@ -569,10 +569,11 @@ FROM nation_rev
 def sql_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalyst parses/optimizes the same text DuckDB runs — SQL and
     DataFrame APIs converge on the same logical plan, so every plan
-    property (pushdown, broadcast, rank-sort) holds here too."""
-    from shopify_youtube_etl_spark.sources.tables import register_testdata_views
-
-    register_testdata_views(spark, sf_dir)
+    property (pushdown, broadcast, rank-sort) holds here too.  Only the
+    four referenced tables are registered (full registration costs a
+    schema/read setup per table per call)."""
+    for name in ("lineitem", "orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_NATION_RANK_SQL)
 
 
