@@ -89,3 +89,15 @@ def test_no_cartesian_in_oracle_queries(spark, sf_dir):
         plan = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_single_shuffle_window_queries(spark, sf_dir):
+    """as-of join and sessionization must shuffle exactly once (on the
+    partition key) — the property that makes them viable at scale."""
+    import re
+
+    for name in ["asof_click_attribution", "sessionize_gaps_islands"]:
+        plan = plan_of(spark, name, sf_dir)
+        # detail headers like "(8) Exchange" count each physical node once
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+        assert n_exchanges == 1, f"{name}: {n_exchanges} shuffles"
