@@ -40,7 +40,17 @@ def salted_join(
     finds its match.  Result is row-identical to ``large.join(small,
     key, how)``; only the shuffle layout changes.  Replication cost:
     |small| · salt_buckets rows — use for small-to-medium build sides.
+
+    Only probe-side-preserving join types are allowed: for right/full
+    outer, unmatched ``small`` rows would surface once per salt replica
+    (salt_buckets duplicates), so those types are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side rows "
+            f"would duplicate once per salt replica (allowed: inner/left/semi/anti)"
+        )
     salted_large = large.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*large.columns), F.lit(salt_buckets)).cast("int")
     )

@@ -10,8 +10,23 @@ not just rows-only checks.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 import tempfile
 import uuid
+
+
+def _staging_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(kind, sf_dir) staging dir, cleared on reuse —
+    repeated invocations overwrite one directory instead of leaking a
+    fresh mkdtemp per call (the written files must outlive this
+    function: the returned DataFrame reads them lazily at execution)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"sye_{kind}_{key}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,7 +61,7 @@ def pagestore_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [r.asDict() for r in t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").collect()]
     # text/source never leave the driver; add a decoy key the schema drops.
     landed = [{**r, "extra_key": "ignored"} for r in rows]
-    out_dir = tempfile.mkdtemp(prefix="pagestore_")
+    out_dir = _staging_dir("pagestore", sf_dir)
     write_page_store(landed, out_dir, page_size=250)
 
     spark.dataSource.register(PageStoreDataSource)
@@ -82,7 +97,7 @@ def stateful_user_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the oracle check."""
     from shopify_youtube_etl_spark.streaming.stateful import stateful_user_totals
 
-    tmp = tempfile.mkdtemp(prefix="stateful_")
+    tmp = _staging_dir("stateful", sf_dir)
     src = f"{tmp}/src"
     t(spark, sf_dir, "events").select("user_id", "value").write.mode("overwrite").json(src)
 

@@ -400,7 +400,12 @@ def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     session ids.  All three windows share PARTITION BY user_id ⇒ one
     shuffle total; per-user data sorts once in-partition."""
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user) <= 1800
+    # Compare at microsecond precision (unix_micros), NOT cast-to-long
+    # seconds: truncation would misclassify sub-second gaps straddling
+    # the 30-minute boundary and break parity with the oracle's exact
+    # interval comparison.
+    us = F.unix_micros(F.col("ts"))
+    gap_ok = us - F.lag(us).over(by_user) <= 1_800_000_000
     sessions = (
         t(spark, sf_dir, "events")
         .withColumn("is_new", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))

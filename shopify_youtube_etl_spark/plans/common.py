@@ -25,9 +25,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# (sf_dir, name) -> whether the scan needs spreading; the probe
-# (df.rdd.getNumPartitions) costs a plan conversion, so pay it once.
-_SPREAD_CACHE: dict[tuple[str, str], bool] = {}
+# (sf_dir, name, parallelism) -> whether the scan needs spreading; the
+# probe (df.rdd.getNumPartitions) costs a plan conversion, so pay it
+# once.  Parallelism is part of the key so a session with a different
+# core count re-probes instead of reusing a stale decision.
+_SPREAD_CACHE: dict[tuple[str, str, int], bool] = {}
 
 
 def spread(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame:
@@ -39,7 +41,7 @@ def spread(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame
     text ever happens there."""
     df = t(spark, sf_dir, name)
     p = spark.sparkContext.defaultParallelism
-    key = (sf_dir, name)
+    key = (sf_dir, name, p)
     if key not in _SPREAD_CACHE:
         _SPREAD_CACHE[key] = df.rdd.getNumPartitions() < p
     if _SPREAD_CACHE[key]:

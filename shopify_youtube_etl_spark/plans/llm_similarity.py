@@ -199,29 +199,15 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(ids, n_tables),
-                    "table_id": np.tile(np.arange(n_tables, dtype=np.int64), len(ids)),
-                    "bucket": buckets.reshape(-1),
+                    "band_id": np.tile(np.arange(n_tables, dtype=np.int64), len(ids)),
+                    "band_hash": buckets.reshape(-1),
                 }
             )
 
-    banded = e.mapInPandas(assign_buckets, "vec_id long, table_id long, bucket long")
-    buckets = (
-        banded.groupBy("table_id", "bucket")
-        .agg(F.collect_list("vec_id").alias("members"))
-        .where(F.size("members") > 1)
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(members, x -> transform(members, y -> struct(x AS a, y AS b)))),"
-                    " p -> p.a < p.b)"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
-    )
+    # (table_id, bucket) plays the role of (band_id, band_hash): reuse
+    # the shared bucket→pair expansion rather than re-implementing it.
+    banded = e.mapInPandas(assign_buckets, "vec_id long, band_id long, band_hash long")
+    pairs = lsh_candidate_pairs(banded, "vec_id")
     va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     candidates = pairs.join(va, "id_a").join(vb, "id_b")
@@ -335,15 +321,19 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simhash_neardup",
     ref="SimHash fingerprint near-dup (north star) — sign-sum bits, banded Hamming search",
-    doc="SimHash band-bucket candidate pairs with Hamming distance ≤ 12; rows-only (bit-level hash family).",
+    doc="SimHash band-bucket candidate pairs verified to Hamming ≤ 12; recall guaranteed < 4, probabilistic above; rows-only.",
     oracle=None,
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-side 64-bit SimHash per doc (no shuffle, no UDF), then LSH on
-    16-bit bands: near-dups (few differing tokens) collide on ≥1 band
-    by pigeonhole, so the pair search is bucket-local.  Verified by
-    exact Hamming ≤ 12.  tests/test_llm_ops.py checks planted near-dups
-    are found."""
+    16-bit bands so the pair search is bucket-local.  Recall contract:
+    pigeonhole GUARANTEES a shared band only for Hamming < 4 (one
+    distance per band); pairs at distance 4-12 are found only when
+    their differing bits happen to spare one band — the standard
+    SimHash banding precision/recall trade (more/narrower bands raise
+    recall and candidate volume).  Survivors are verified with exact
+    Hamming ≤ 12, so precision is exact.  tests/test_llm_ops.py checks
+    planted near-dups (distance ≤ 3 by construction) are found."""
     from shopify_youtube_etl_spark.functions.similarity import (
         hamming64,
         simhash64,

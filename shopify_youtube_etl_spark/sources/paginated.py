@@ -66,18 +66,27 @@ def fetch_all_pages(
     url: str | None = first_url
     pages = 0
     while url and pages < max_pages:  # :291 cap
-        attempt = 0
-        while True:
+        # Faithful to the reference's `for attempt in range(max_retries)`
+        # (:295-331): 429 sleeps Retry-After and consumes an attempt (no
+        # infinite 429 loop); other errors back off 3·2^attempt starting
+        # at attempt=0 (first retry after 3 s, then 6, 12, 24).
+        last_exc: Exception | None = None
+        for attempt in range(max_retries):
             try:
                 rows, link = fetcher(url)
                 break
             except RateLimited as rl:
+                last_exc = rl
+                if attempt >= max_retries - 1:
+                    raise
                 sleep(rl.retry_after)
-            except Exception:
-                attempt += 1
-                if attempt >= max_retries:
+            except Exception as exc:
+                last_exc = exc
+                if attempt >= max_retries - 1:
                     raise
                 sleep(BACKOFF_BASE * 2**attempt)
+        else:  # pragma: no cover — loop always breaks or raises
+            raise last_exc  # type: ignore[misc]
         yield rows
         url = parse_next_url(link)
         pages += 1

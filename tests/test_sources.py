@@ -56,7 +56,7 @@ def test_fetch_follows_cursor_with_retries():
         fetch_all_pages(srv.fetch, "https://x.test/orders?page=0", sleep=sleeps.append)
     )
     assert [len(p) for p in pages] == [100, 100, 62]
-    assert 6.0 in [round(s, 2) for s in sleeps]  # 3·2^1 backoff (:324)
+    assert 3.0 in [round(s, 2) for s in sleeps]  # 3·2^0 first backoff (:324)
     assert 0.01 in sleeps  # Retry-After honored (:312-316)
 
 
@@ -87,3 +87,17 @@ def test_retries_exhaust():
 
     with pytest.raises(ConnectionError):
         list(fetch_all_pages(always_fail, "u", sleep=lambda s: None))
+
+
+def test_persistent_rate_limit_gives_up():
+    """A server that always answers 429 must exhaust max_retries and
+    raise — never loop forever (reference bounds 429s at 5 attempts)."""
+    import pytest
+
+    def always_429(url):
+        raise RateLimited(retry_after=0.0)
+
+    sleeps = []
+    with pytest.raises(RateLimited):
+        list(fetch_all_pages(always_429, "https://x.test", max_retries=4, sleep=sleeps.append))
+    assert len(sleeps) == 3  # max_retries-1 sleeps, then raise
