@@ -133,3 +133,57 @@ def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's gaps-and-islands break condition mirrors that with
     ``>= gap``."""
     return session_agg(t(spark, sf_dir, "events"), "30 minutes")
+
+
+def interval_join_builder(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Shared batch/streaming interval-join builder: each purchase
+    matched to the same user's clicks in the preceding 30 minutes.
+    In streaming, both sides carry watermarks and the time-range
+    condition lets the engine expire join state — without it a
+    stream-stream join buffers forever."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+
+
+@query(
+    "interval_join_clicks_before_purchase",
+    ref="§2.10 extension — interval (time-range) join; streaming twin is a watermarked stream-stream join",
+    doc="Purchases joined to same-user clicks within the preceding 30 minutes.",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id  AS user_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+""",
+)
+def interval_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N-matches sibling of the as-of join (which keeps only the
+    latest click): equi-join on user plus a time-range predicate.
+    Batch planning: shuffle both sides once on user_id, range filter
+    inside the sort-merge join.  tests/test_streaming.py proves the
+    watermarked stream-stream twin converges to this result."""
+    e = t(spark, sf_dir, "events")
+    return interval_join_builder(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+    )

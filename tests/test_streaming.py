@@ -118,3 +118,38 @@ def test_streaming_session_window_equals_batch(spark, event_json_dir):
     got = sorted(spark.sql("SELECT * FROM stream_sessions").collect())
     want = sorted(batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, event_json_dir):
+    """Watermarked stream-stream join with a time-range condition must
+    produce exactly the batch interval join — the condition is what
+    lets the engine bound and expire buffered join state."""
+    from shopify_youtube_etl_spark.plans.windows import interval_join_builder
+
+    def side(event_type):
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .json(event_json_dir)
+            .where(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 hour")
+        )
+
+    q = (
+        interval_join_builder(side("purchase"), side("click"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_interval_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch_events = spark.read.schema(EVENT_SCHEMA).json(event_json_dir)
+    want = sorted(
+        interval_join_builder(
+            batch_events.where(F.col("event_type") == "purchase"),
+            batch_events.where(F.col("event_type") == "click"),
+        ).collect()
+    )
+    got = sorted(spark.sql("SELECT * FROM stream_interval_join").collect())
+    assert got == want and len(got) > 0
