@@ -583,6 +583,125 @@ def sql_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "moving_average_7d",
+    ref="SURVEY §2.5 extension — RANGE-framed window (value-based frame vs ROWS)",
+    doc="7-day moving average of daily revenue using a RANGE frame over day numbers (gaps in the series handled correctly).",
+    oracle="""
+SELECT day,
+       daily_value,
+       round(avg(daily_value) OVER (ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma_7d
+FROM (
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')             AS day,
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(min(CAST(ts AS TIMESTAMP)) AS DATE)) AS BIGINT) AS day_num,
+           round(sum(value), 2)                                    AS daily_value
+    FROM events
+    GROUP BY 1
+)
+""",
+)
+def moving_average_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame, not ROWS: a missing day in the series
+    still bounds the window to the true 7 calendar days — the ROWS
+    formulation silently widens over gaps.  Ordering key is the epoch
+    day number so the frame arithmetic is numeric on both engines."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(day_str(F.col("ts")).alias("day"))
+        .agg(
+            F.datediff(F.min(F.col("ts").cast("date")), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+            money(F.sum("value")).alias("daily_value"),
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day", "daily_value", F.round(F.avg("daily_value").over(w), 4).alias("ma_7d")
+    )
+
+
+@query(
+    "edit_distance_pairs",
+    ref="near-dup family — character-level edit distance (levenshtein)",
+    doc="Pairwise Levenshtein distance + normalized similarity over 80-char prefixes of a probe slice.",
+    oracle="""
+WITH p AS (
+    SELECT doc_id, substr(text, 1, 80) AS prefix
+    FROM documents WHERE doc_id % 100 = 0
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist,
+       round(1.0 - levenshtein(a.prefix, b.prefix)
+             / greatest(strlen(a.prefix), strlen(b.prefix), 1), 6) AS similarity
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+""",
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: O(n·m) per pair, so inputs are bounded
+    (80-char prefixes, probe slice) — the production pattern gates
+    expensive edit distance BEHIND a cheap candidate filter (LSH or
+    fingerprint equality), never all-pairs over full texts."""
+    p = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 100 == 0)
+        .select("doc_id", F.substring("text", 1, 80).alias("prefix"))
+    )
+    a = p.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = p.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    lev = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("edit_dist"),
+            F.round(
+                1.0 - lev / F.greatest(F.length("pa"), F.length("pb"), F.lit(1)), 6
+            ).alias("similarity"),
+        )
+    )
+
+
+@query(
+    "datetime_functions",
+    ref="F6/F7 generalization — calendar function pack (trunc, ISO week/dow, quarter, epoch days)",
+    doc="Calendar projections of order dates: week start, ISO week/day-of-week, quarter, epoch day number.",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')                          AS order_day,
+       strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')      AS week_start,
+       CAST(week(o_orderdate) AS BIGINT)                          AS iso_week,
+       CAST(isodow(o_orderdate) AS BIGINT)                        AS iso_dow,
+       CAST(quarter(o_orderdate) AS BIGINT)                       AS qtr,
+       CAST(date_diff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) AS BIGINT)       AS epoch_day
+FROM orders
+WHERE o_orderkey % 20 = 0
+""",
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar functions with cross-engine-identical conventions:
+    date_trunc('week') → Monday on both; Spark weekday() is 0=Monday so
+    +1 matches DuckDB isodow; weekofyear is ISO week on both."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        day_str(d).alias("order_day"),
+        F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias("week_start"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.datediff(d.cast("date"), F.lit("1970-01-01").cast("date")).cast("long").alias("epoch_day"),
+    )
+
+
+@query(
     "semi_join_urgent_customers",
     ref="SURVEY §2.3 gap (semi join) — EXISTS as left_semi",
     doc="Customers with at least one urgent open order, via left-semi join.",
