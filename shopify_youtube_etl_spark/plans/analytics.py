@@ -702,6 +702,77 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_functions",
+    ref="SURVEY §2.8 extension — array + higher-order functions (collect, sort, filter, fold)",
+    doc="Per-customer order-total arrays: sorted collect, lambda filter, lambda fold — the array surface as one query.",
+    oracle="""
+SELECT o_custkey,
+       CAST(len(totals) AS BIGINT)                                     AS n_orders,
+       round(totals[1], 2)                                             AS smallest,
+       round(list_aggregate(list_filter(totals, x -> x > 100000),
+                            'sum'), 2)                                 AS big_order_sum
+FROM (
+    SELECT o_custkey, list_sort(list(o_totalprice)) AS totals
+    FROM orders
+    GROUP BY o_custkey
+)
+WHERE o_custkey % 10 = 0
+""",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is UNORDERED (shuffle arrival order) — array_sort
+    immediately after is what makes the array deterministic and
+    hash-comparable; the lambda filter/fold then run map-side over the
+    materialized array.  Note DuckDB list_aggregate('sum') of an empty
+    list yields NULL, as does folding nothing here (start NULL-safe)."""
+    agg = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 10 == 0)
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_totalprice")).alias("totals"))
+    )
+    big = F.filter(F.col("totals"), lambda x: x > 100000)
+    return agg.select(
+        "o_custkey",
+        F.size("totals").cast("long").alias("n_orders"),
+        money(F.element_at("totals", 1)).alias("smallest"),
+        money(
+            F.when(
+                F.size(big) > 0,
+                F.aggregate(big, F.lit(0.0), lambda acc, x: acc + x),
+            )
+        ).alias("big_order_sum"),
+    )
+
+
+@query(
+    "json_extraction",
+    ref="F9/F10 generalization — semi-structured JSON column extraction + aggregate",
+    doc="Parse the events.props JSON string, extract $.k, aggregate per event type.",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                              AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6)       AS k_avg
+FROM events
+GROUP BY event_type
+""",
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata parsing — the training-pipeline staple.
+    get_json_object extracts without declaring a full schema; at scale
+    prefer from_json with an explicit schema once the shape is known
+    (single parse, typed columns, Catalyst pruning)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.round(F.avg(k), 6).alias("k_avg"),
+    )
+
+
+@query(
     "semi_join_urgent_customers",
     ref="SURVEY §2.3 gap (semi join) — EXISTS as left_semi",
     doc="Customers with at least one urgent open order, via left-semi join.",
