@@ -340,6 +340,11 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_bands,
     )
 
+    # The sign-sum stays a JVM expression on purpose: the Arrow variant
+    # (simhash_signsum_np, bit-for-bit equal — see tests) must ship
+    # every token hash to Python and measured no faster locally; at
+    # scale that transfer only gets worse.  Compare ann_cosine_topk_np,
+    # where the reverse held (matmul >> expression fold).
     docs = (
         spread(spark, sf_dir, "documents", "doc_id")
         .where(F.size(words(F.col("text"))) >= 3)

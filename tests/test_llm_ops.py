@@ -190,3 +190,22 @@ def test_resize_media_deterministic_shape(spark, sf_dir):
         (x["doc_id"], bytes(x["resized"])) for x in r2
     )
     assert all(len(bytes(x["resized"])) == 256 for x in r1)
+
+
+def test_simhash_np_equals_expression(spark, sf_dir):
+    """The numpy sign-sum must be bit-for-bit identical to the
+    simhash64 Column expression (same shiftright/vote semantics)."""
+    from shopify_youtube_etl_spark.functions.similarity import (
+        simhash64,
+        simhash_signsum_np,
+    )
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    hashed = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.size(words(F.col("text"))) >= 3)
+        .select("doc_id", F.transform(words(F.col("text")), lambda w: F.xxhash64(w)).alias("th"))
+    )
+    expr = {r["doc_id"]: r["sh"] for r in hashed.select("doc_id", simhash64("th").alias("sh")).collect()}
+    npv = {r["doc_id"]: r["sh"] for r in simhash_signsum_np(hashed).collect()}
+    assert expr == npv
