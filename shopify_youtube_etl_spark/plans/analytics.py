@@ -773,6 +773,39 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "posexplode_tokens",
+    ref="N1 generalization — ordinal explode (position-preserving array fan-out)",
+    doc="posexplode of document token arrays: one row per (doc, position, token).",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+    FROM documents WHERE doc_id % 50 = 0
+)
+SELECT doc_id,
+       CAST(r['pos'] AS BIGINT) AS pos,
+       r['word']                AS token
+FROM (
+    SELECT doc_id,
+           unnest(list_transform(ws, (w, i) -> {'pos': i - 1, 'word': w})) AS r
+    FROM base
+)
+""",
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode — position survives the fan-out, which plain
+    explode discards; required whenever downstream logic is
+    order-sensitive (n-gram reconstruction, positional features)."""
+    from shopify_youtube_etl_spark.functions.text import words
+
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id", F.posexplode(words(F.col("text"))).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long"), "token")
+    )
+
+
+@query(
     "semi_join_urgent_customers",
     ref="SURVEY §2.3 gap (semi join) — EXISTS as left_semi",
     doc="Customers with at least one urgent open order, via left-semi join.",
