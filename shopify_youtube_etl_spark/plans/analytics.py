@@ -773,6 +773,36 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_profile",
+    ref="SURVEY §2.4 extension — statistical aggregates (stddev/variance/corr/covar)",
+    doc="Per-returnflag dispersion and correlation statistics over lineitem.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)                            AS n_rows,
+       round(stddev_samp(l_extendedprice), 4)              AS price_stddev,
+       round(var_samp(l_quantity), 4)                      AS qty_var,
+       round(corr(l_quantity, l_extendedprice), 6)         AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4)   AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion + bivariate stats in one grouped pass — all
+    sketch-mergeable aggregates (sum/sum-of-squares/cross-products), so
+    Catalyst computes them with ordinary partial aggregation: one
+    shuffle of tiny per-group states regardless of input size."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+    )
+
+
+@query(
     "posexplode_tokens",
     ref="N1 generalization — ordinal explode (position-preserving array fan-out)",
     doc="posexplode of document token arrays: one row per (doc, position, token).",
