@@ -194,29 +194,43 @@ def simhash_signsum_np(hashed_df: DataFrame, id_col: str = "doc_id", th_col: str
     hashing stays JVM-side (xxhash64); only the vote crosses to Python.
 
     Ragged token arrays are flattened once and reduced per-doc with
-    ``np.add.reduceat`` — no per-row Python loop."""
+    ``np.add.reduceat`` — no per-row Python loop.  Peak memory is
+    O(total_tokens): the 64 bit-planes are reduced one at a time rather
+    than materializing a (tokens, 64) matrix.  Edge parity with
+    ``simhash64``: empty and null arrays → 0 (the expression's IF takes
+    the else branch on a NULL bitsum; reduceat with an empty segment
+    would otherwise bleed the NEXT doc's votes in)."""
     import numpy as np
     import pandas as pd
 
     def signsum(batches):
         weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        shifts = np.arange(64, dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
-            lens = pdf[th_col].map(len).to_numpy(dtype=np.int64)
-            flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf[th_col]])
-            # (total_tokens, 64) ±1 votes; >> on int64 is arithmetic,
-            # matching Spark's shiftright on negative hashes.
-            votes = (((flat[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            per_doc = np.add.reduceat(votes, offsets, axis=0)  # (docs, 64)
-            packed = ((per_doc > 0).astype(np.uint64) * weights).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "sh": packed.astype(np.int64),  # two's-complement reinterpret
-                }
-            )
+            th_vals = list(pdf[th_col])
+            n = len(th_vals)
+            out = pd.array([0] * n, dtype="Int64")
+            nonempty = [
+                i for i, a in enumerate(th_vals) if a is not None and len(a) > 0
+            ]
+            if nonempty:
+                lens = np.array([len(th_vals[i]) for i in nonempty], dtype=np.int64)
+                flat = np.concatenate(
+                    [np.asarray(th_vals[i], dtype=np.int64) for i in nonempty]
+                )
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                per_doc = np.empty((len(nonempty), 64), dtype=np.int64)
+                for b in range(64):
+                    # >> on int64 is arithmetic, matching Spark's
+                    # shiftright on negative hashes; one (tokens,) temp
+                    # per bit-plane instead of a (tokens, 64) matrix.
+                    bits = ((flat >> b) & 1) * 2 - 1
+                    per_doc[:, b] = np.add.reduceat(bits, offsets)
+                packed = ((per_doc > 0).astype(np.uint64) * weights).sum(axis=1)
+                signed = packed.astype(np.int64)  # two's-complement reinterpret
+                for j, i in enumerate(nonempty):
+                    out[i] = int(signed[j])
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sh": out})
 
     return hashed_df.select(id_col, th_col).mapInPandas(signsum, f"{id_col} long, sh long")

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from shopify_youtube_etl_spark.plans.common import day_str, money, t, ts_str
+from shopify_youtube_etl_spark.functions.text import words
+from shopify_youtube_etl_spark.plans.common import day_str, epoch_day, money, t, ts_str
 from shopify_youtube_etl_spark.plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -610,9 +611,7 @@ def moving_average_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .groupBy(day_str(F.col("ts")).alias("day"))
         .agg(
-            F.datediff(F.min(F.col("ts").cast("date")), F.lit("1970-01-01").cast("date"))
-            .cast("long")
-            .alias("day_num"),
+            epoch_day(F.min(F.col("ts").cast("date"))).alias("day_num"),
             money(F.sum("value")).alias("daily_value"),
         )
     )
@@ -628,7 +627,8 @@ def moving_average_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Pairwise Levenshtein distance + normalized similarity over 80-char prefixes of a probe slice.",
     oracle="""
 WITH p AS (
-    SELECT doc_id, substr(text, 1, 80) AS prefix
+    SELECT doc_id,
+           regexp_replace(substr(text, 1, 80), '[^\\x00-\\x7F]', '?', 'g') AS prefix
     FROM documents WHERE doc_id % 100 = 0
 )
 SELECT a.doc_id AS id_a,
@@ -647,7 +647,13 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 100 == 0)
-        .select("doc_id", F.substring("text", 1, 80).alias("prefix"))
+        .select(
+            "doc_id",
+            # ASCII-sanitize: DuckDB levenshtein/strlen count BYTES,
+            # Spark's count CHARS — identical only when every char is
+            # one byte, so non-ASCII folds to '?' on both engines.
+            F.regexp_replace(F.substring("text", 1, 80), r"[^\x00-\x7F]", "?").alias("prefix"),
+        )
     )
     a = p.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
     b = p.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
@@ -697,7 +703,7 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear(d).cast("long").alias("iso_week"),
         (F.weekday(d) + 1).cast("long").alias("iso_dow"),
         F.quarter(d).cast("long").alias("qtr"),
-        F.datediff(d.cast("date"), F.lit("1970-01-01").cast("date")).cast("long").alias("epoch_day"),
+        epoch_day(d.cast("date")).alias("epoch_day"),
     )
 
 
@@ -825,8 +831,6 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinal explode — position survives the fan-out, which plain
     explode discards; required whenever downstream logic is
     order-sensitive (n-gram reconstruction, positional features)."""
-    from shopify_youtube_etl_spark.functions.text import words
-
     return (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 50 == 0)

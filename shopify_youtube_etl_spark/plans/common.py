@@ -49,6 +49,13 @@ def spread(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame
     return df
 
 
+def epoch_day(col: Column) -> Column:
+    """Days since 1970-01-01 as a long — the numeric ordering key used
+    by RANGE-framed windows and calendar queries (DuckDB twin:
+    ``date_diff('day', DATE '1970-01-01', ...)``)."""
+    return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+
+
 def money(col: Column) -> Column:
     """Round a double aggregate for hash-stable comparison."""
     return F.round(col, MONEY_ROUND)

@@ -209,3 +209,12 @@ def test_simhash_np_equals_expression(spark, sf_dir):
     expr = {r["doc_id"]: r["sh"] for r in hashed.select("doc_id", simhash64("th").alias("sh")).collect()}
     npv = {r["doc_id"]: r["sh"] for r in simhash_signsum_np(hashed).collect()}
     assert expr == npv
+
+    # edge parity: empty and null arrays (mid-batch and trailing)
+    edge = spark.createDataFrame(
+        [(1, [5, 9]), (2, []), (3, None), (4, [7]), (5, [])],
+        "doc_id long, th array<long>",
+    )
+    e = {r["doc_id"]: r["sh"] for r in edge.select("doc_id", simhash64("th").alias("sh")).collect()}
+    n = {r["doc_id"]: r["sh"] for r in simhash_signsum_np(edge).collect()}
+    assert e == n
