@@ -171,3 +171,46 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("q"), 6).alias("min_quality"),
         F.round(F.max("q"), 6).alias("max_quality"),
     )
+
+
+@query(
+    "stable_sample_split",
+    ref="training-data staple — deterministic content-hash sampling (stable train/val/test split)",
+    doc="Split assignment by md5(text) bucket: reproducible across runs, engines, and partitionings.",
+    oracle="""
+SELECT split,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)    AS total_chars
+FROM (
+    SELECT CASE
+             WHEN bucket < 204 THEN 'train'
+             WHEN bucket < 230 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           n_chars
+    FROM (
+        SELECT n_chars,
+               CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS bucket
+        FROM documents
+    )
+)
+GROUP BY split
+""",
+)
+def stable_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling that survives reprocessing: the split key is a hash of
+    the CONTENT, not row position or rand() — identical rows land in
+    the same split on any engine, partitioning, or run (rand()/
+    TABLESAMPLE give neither).  Buckets 0-255 from the first md5 byte:
+    ~80% train / ~10% val / ~10% test.  Map-side only; one tiny
+    aggregate shuffle."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.encode("text", "UTF-8")), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
