@@ -333,7 +333,12 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash banding precision/recall trade (more/narrower bands raise
     recall and candidate volume).  Survivors are verified with exact
     Hamming ≤ 12, so precision is exact.  tests/test_llm_ops.py checks
-    planted near-dups (distance ≤ 3 by construction) are found."""
+    planted near-dups (distance ≤ 3 by construction) are found.
+
+    Pipeline order contract: run exact dedup (dedup_exact) FIRST —
+    k identical copies of one doc produce C(k,2) zero-distance pairs
+    here (quadratic in copy count; measured 14M pairs on a corpus of
+    10× exact copies), all of which exact dedup collapses for free."""
     from shopify_youtube_etl_spark.functions.similarity import (
         hamming64,
         simhash64,
