@@ -214,3 +214,88 @@ def stable_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@query(
+    "doc_chunking",
+    ref="training-data staple — overlapping token-window chunking (long-doc splitting)",
+    doc="Split documents into 5-token chunks with stride 3 (2-token overlap), positions preserved.",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+    FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id,
+       CAST(s AS BIGINT)                                     AS chunk_start,
+       array_to_string(list_slice(ws, s, s + 4), ' ')        AS chunk_text,
+       CAST(len(list_slice(ws, s, s + 4)) AS BIGINT)         AS n_tokens
+FROM base, unnest(generate_series(1, len(ws), 3)) AS g(s)
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document splitting for context-bounded training: stride <
+    width gives overlapping windows so no boundary context is lost.
+    sequence+explode+slice is all map-side (one fan-out, no shuffle);
+    width/stride are the 5/3 miniature of the production 2048/1536."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 25 == 0)
+        .select("doc_id", words(F.col("text")).alias("ws"))
+    )
+    chunks = d.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(1), F.size("ws"), F.lit(3))).alias("chunk_start"),
+    )
+    sliced = F.slice(F.col("ws"), F.col("chunk_start"), 5)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_start").cast("long"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.size(sliced).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "vocab_top_tokens",
+    ref="training-data staple — corpus vocabulary statistics (token frequency top-k)",
+    doc="Top-20 tokens by corpus frequency with document frequency, deterministic tie-break.",
+    oracle="""
+SELECT token, n_occurrences, n_docs, rank
+FROM (
+    SELECT token,
+           CAST(count(*) AS BIGINT)                 AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT)   AS n_docs,
+           row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+)
+WHERE rank <= 20
+""",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: explode is map-side; the groupBy
+    shuffles (token, partial counts) — Catalyst's partial aggregation
+    means each partition ships one row per distinct token it saw, not
+    one per occurrence.  Top-k via row_number with a token tie-break
+    so the cut is deterministic."""
+    from pyspark.sql.window import Window
+
+    tokens = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return (
+        tokens.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("token", "n_occurrences", "n_docs", "rank")
+    )
