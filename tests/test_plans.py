@@ -101,3 +101,11 @@ def test_single_shuffle_window_queries(spark, sf_dir):
         # detail headers like "(8) Exchange" count each physical node once
         n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
         assert n_exchanges == 1, f"{name}: {n_exchanges} shuffles"
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Blanket gate: NO registered query may plan a shuffle
+    CartesianProduct — probe-side cross joins must broadcast."""
+    for name, spec in SPECS.items():
+        plan = explain_str(spec.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
