@@ -433,6 +433,32 @@ def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "union_distinct_active_keys",
+    ref="SURVEY §2.7 gap (UNION DISTINCT) — completes the set-op family",
+    doc="UNION DISTINCT of customer keys active in 1996 or 1997 (dedup across branches).",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                               AND o_orderdate <  TIMESTAMP '1997-01-01'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                               AND o_orderdate <  TIMESTAMP '1998-01-01'
+""",
+)
+def union_distinct_active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) = unionByName + distinct; Catalyst plans the
+    dedup as one hash aggregate over the concatenated inputs — same
+    single shuffle as a plain distinct, not one per branch."""
+    o = t(spark, sf_dir, "orders")
+    y96 = o.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = o.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    return y96.unionByName(y97).distinct()
+
+
+@query(
     "intersect_repeat_buyers",
     ref="SURVEY §2.7 gap (INTERSECT) — customers active in both 1996 and 1997",
     doc="INTERSECT of per-year customer key sets.",
