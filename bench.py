@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 from shopify_youtube_etl_spark.plans.registry import all_queries
 from shopify_youtube_etl_spark.session import get_spark
 
@@ -49,6 +52,19 @@ HEADLINE = [
 ]
 
 
+def force_eval(df: DataFrame) -> int:
+    """Row count + an xxhash64 checksum over EVERY output column in one
+    pass.  A bare count() lets Catalyst prune unused projections, so a
+    projection-heavy query (e.g. token_stats) would be timed as little
+    more than a parquet row-count scan (ADVICE round 1); the checksum
+    forces each output column to actually be computed."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("checksum"),
+    ).first()
+    return row["n"]
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -58,7 +74,7 @@ def main() -> None:
     # Warmup: JVM, codegen, parquet footer caches — plus one tiny
     # mapInPandas so the Arrow-path queries measure steady state, not
     # the one-time Python worker pool startup.
-    specs["flagship_revenue"].fn(spark, SF_DIR).count()
+    force_eval(specs["flagship_revenue"].fn(spark, SF_DIR))
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     # Best of 2 runs per query: the first run absorbs per-query codegen
@@ -68,7 +84,7 @@ def main() -> None:
         best, n = float("inf"), 0
         for _ in range(2):
             start = time.perf_counter()
-            n = specs[name].fn(spark, SF_DIR).count()
+            n = force_eval(specs[name].fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)

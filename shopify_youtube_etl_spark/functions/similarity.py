@@ -100,25 +100,43 @@ def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int =
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str, max_bucket_size: int = 256
+) -> DataFrame:
     """Bucket grouping → distinct candidate (id_a < id_b) pairs.
 
     groupBy + in-array pair expansion instead of a bucket self-join:
     one shuffle on (band_id, band_hash), no second evaluation of the
-    upstream plan, and the pair blow-up stays bounded per bucket (LSH
-    buckets are small by construction; a hot bucket means the band
-    parameters are wrong, not that the join should absorb it)."""
+    upstream plan.
+
+    Hot-bucket hardening (VERDICT r1 item #7): a bucket of n members
+    expands to C(n,2) pairs — one adversarial bucket (boilerplate text,
+    a degenerate band hash) could emit billions of rows from a single
+    task and OOM an executor at 100 TB.  The collect_list buffer itself
+    is only O(n) longs (harmless); the quadratic pair expansion is the
+    risk, so buckets larger than ``max_bucket_size`` degrade to STAR
+    expansion: every member pairs with the bucket's min id only (n-1
+    pairs, linear).  For dedup clustering this preserves exactly the
+    bucket's connected component (all members stay reachable through
+    the hub), while the downstream exact verify (Jaccard/cosine/
+    Hamming) still filters false positives pair-by-pair.  Tests plant a
+    hot bucket and assert linear output (tests/test_llm_ops.py)."""
     buckets = (
         bands_df.groupBy("band_id", "band_hash")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    all_pairs = F.expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS id_a, y AS id_b)))),"
+        " p -> p.id_a < p.id_b)"
+    )
+    star_pairs = F.expr(
+        "transform(filter(ids, x -> x <> array_min(ids)),"
+        " x -> struct(array_min(ids) AS id_a, x AS id_b))"
+    )
     pairs = buckets.select(
         F.explode(
-            F.expr(
-                "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS id_a, y AS id_b)))),"
-                " p -> p.id_a < p.id_b)"
-            )
+            F.when(F.size("ids") <= max_bucket_size, all_pairs).otherwise(star_pairs)
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()

@@ -1,4 +1,4 @@
-"""Key-based dedup with the reference's exact keep-first semantics.
+"""Key-based dedup with the reference's keep-first semantics.
 
 The reference dedups in-memory with Python sets (shopify_etl.py:496-542):
 - single key (:507-516): keep FIRST occurrence; rows whose key is null
@@ -10,6 +10,15 @@ The reference dedups in-memory with Python sets (shopify_etl.py:496-542):
   must supply an explicit ``order_col`` to make "first" well-defined in
   a distributed engine (Spark's ``dropDuplicates`` keeps an arbitrary
   row; SURVEY §2.4 A5).
+
+Documented DEVIATIONS (deterministic superset, ADVICE round 1):
+- The reference runs its dedup pass only when ``len(rows) != len(set)``
+  detects actual duplicates, so null-key rows survive duplicate-free
+  batches; we apply the null-key policy unconditionally — the output is
+  batch-content-independent (the same row always gets the same fate).
+- The reference's single-key guard is falsy (``if key``), dropping
+  empty-string and 0 keys too; we drop only true SQL NULLs — '' and 0
+  are legitimate key values in a typed engine.
 
 Scale: one shuffle on the dedup keys (window partition); no driver
 state — unlike the reference's O(n) driver-memory set, this scales to

@@ -49,10 +49,15 @@ GROUP BY lang
 )
 def pagestore_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trips the documents table through the paginated landing
-    zone: driver lands pages (the fetch is driver-side by nature, S1),
-    executors parse them in parallel — one InputPartition per page.
-    The declared schema omits `text`/`source`, exercising the S8
-    unknown-keys-dropped contract at the reader."""
+    zone: driver lands pages (faithful to S1 — the reference's fetch IS
+    driver-side), executors parse them in parallel — one InputPartition
+    per page.  The declared schema omits `text`/`source`, exercising the
+    S8 unknown-keys-dropped contract at the reader.
+
+    The driver ``collect()`` here is the S1 simulation, NOT the scale
+    path: at 100 TB pages are pre-landed in object storage (executors
+    read them directly — no driver round-trip) or landed by
+    ``land_pages_distributed`` (see ``pagestore_distributed_ingest``)."""
     from shopify_youtube_etl_spark.sources.pagestore import (
         PageStoreDataSource,
         write_page_store,
@@ -72,6 +77,49 @@ def pagestore_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query(
+    "pagestore_distributed_ingest",
+    ref="S1 scale path — executor-side page landing, zero driver round-trip (VERDICT r1 item #6)",
+    doc="Land documents as pages FROM THE EXECUTORS (mapInPandas writers), re-ingest via the pagestore DataSource, profile per source.",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+""",
+)
+def pagestore_distributed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB landing shape: each executor partition writes its own
+    page files (Arrow batches → NDJSON, driver sees only the tiny
+    manifest), then the pagestore DataSource reads one partition per
+    page.  End-to-end value check: the per-source profile after the
+    land+re-ingest round-trip must equal the direct oracle aggregate."""
+    from shopify_youtube_etl_spark.sources.pagestore import (
+        PageStoreDataSource,
+        land_pages_distributed,
+    )
+
+    out_dir = _staging_dir("pagestore_dist", sf_dir)
+    manifest = land_pages_distributed(
+        t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        out_dir,
+        page_size=250,
+    )
+    manifest.count()  # materialize → pages land executor-side
+
+    spark.dataSource.register(PageStoreDataSource)
+    docs = (
+        spark.read.format("pagestore")
+        .schema("doc_id BIGINT, source STRING, n_chars BIGINT")
+        .option("path", out_dir)
+        .load()
+    )
+    return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
 

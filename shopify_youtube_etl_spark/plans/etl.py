@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shopify_youtube_etl_spark.operators.upsert import upsert
+from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
 from shopify_youtube_etl_spark.operators.verify import fk_report, uniqueness_report
 from shopify_youtube_etl_spark.plans.common import money, t
 from shopify_youtube_etl_spark.plans.registry import query
@@ -163,4 +163,73 @@ def verify_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_nationkey",
             ),
         }
+    )
+
+
+@query(
+    "run_ledger_daily_summary",
+    ref="monitoring-guide.md:71-87 — daily run summary over sync_control (VERDICT r1 item #5)",
+    doc="Per-day run/success/error counts + ingested records + last success watermark from a deterministic ledger.",
+    oracle="""
+WITH ledger AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 'error' ELSE 'success' END AS status,
+           CAST(count(*) AS BIGINT) AS records
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+    GROUP BY 1, o_orderpriority
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(CASE WHEN status = 'success' THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+       CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN status = 'success' THEN records ELSE 0 END) AS BIGINT) AS records_ingested,
+       strftime(max(CASE WHEN status = 'success' THEN CAST(day AS TIMESTAMP) END),
+                '%Y-%m-%d %H:%M:%S') AS last_success_wm
+FROM ledger
+GROUP BY day
+""",
+)
+def run_ledger_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring runbook's daily-run summary (monitoring-guide.md
+    :71-87): GROUP BY day over sync_control with per-status counts and
+    the day's last successful watermark.  A deterministic ledger — one
+    'run' per (order day, priority) in Jan 1992, errors for 5-LOW — is
+    written through the REAL ``ParquetTable`` commit path and read back,
+    so the query exercises ledger storage + the summary aggregation; the
+    oracle recomputes both from ``orders`` directly."""
+    import datetime as _dt
+    import tempfile
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-02-01"))
+    ledger = (
+        o.groupBy("o_orderdate", "o_orderpriority")
+        .agg(F.count("*").alias("records_processed"))
+        .select(
+            F.lit("orders").alias("table_name"),
+            F.col("o_orderdate").cast("timestamp").alias("last_sync_timestamp"),
+            F.col("records_processed"),
+            F.when(F.col("o_orderpriority") == "5-LOW", F.lit("error"))
+            .otherwise(F.lit("success"))
+            .alias("status"),
+            F.md5(F.concat_ws("|", "o_orderdate", "o_orderpriority")).alias("run_id"),
+            F.lit("").alias("notes"),
+            F.lit(_dt.datetime(2024, 1, 1)).cast("timestamp").alias("created_at"),
+        )
+    )
+    tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="ledger-"))
+    tbl.overwrite(ledger)
+    # day as yyyy-MM-dd string — repo convention for engine-portable hashing.
+    led = tbl.read().withColumn("day", F.date_format("last_sync_timestamp", "yyyy-MM-dd"))
+    return led.groupBy("day").agg(
+        F.count("*").alias("n_runs"),
+        F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("n_success"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("n_error"),
+        F.sum(
+            F.when(F.col("status") == "success", F.col("records_processed")).otherwise(0)
+        ).alias("records_ingested"),
+        F.date_format(
+            F.max(F.when(F.col("status") == "success", F.col("last_sync_timestamp"))),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("last_success_wm"),
     )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from shopify_youtube_etl_spark.functions.multimodal import (
     extract_media_features,
+    resize_media,
     with_binary_payload,
 )
 from shopify_youtube_etl_spark.plans.common import t
@@ -65,4 +66,36 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),
         F.sum("frame_bytes").alias("total_frame_bytes"),
+    )
+
+
+@query(
+    "resize_media",
+    ref="multimodal binary→binary resize/transcode plumbing (VERDICT r1 item #4)",
+    doc="Stub resize to 32×32 via mapInPandas; oracle value-checks the sha256-seeded output bytes.",
+    oracle="""
+SELECT doc_id,
+       CAST(32 AS INT)       AS width,
+       CAST(32 AS INT)       AS height,
+       CAST(1024 AS BIGINT)  AS resized_len,
+       sha256(text)          AS digest_hex
+FROM documents
+""",
+)
+def resize_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in → binary-out transform (the resize/transcode shape).
+    The stub emits sha256(payload) bytes tiled to exactly width·height,
+    so the oracle can value-check real output BYTES, not just shapes:
+    the first 32 bytes of the resized blob must equal the sha256 digest
+    DuckDB computes over the same UTF-8 payload.  Swap the stub for
+    PIL/ffmpeg (functions/multimodal.py:120) and the plumbing — Arrow
+    batching, schema, memory profile — is unchanged."""
+    d = with_binary_payload(t(spark, sf_dir, "documents"))
+    resized = resize_media(d, width=32, height=32)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("resized").cast("long").alias("resized_len"),
+        F.lower(F.hex(F.substring(F.col("resized"), 1, 32))).alias("digest_hex"),
     )

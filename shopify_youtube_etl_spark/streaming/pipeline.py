@@ -18,9 +18,14 @@ Documented deviation: the reference stamps the new watermark with
 ``datetime.now()`` (:209) because it fetches from a LIVE API whose
 ``updated_at_min`` compares against server time.  A file-drop source
 must use DATA time — we stamp ``max(updated_at)`` of the processed
-batch (falling back to now when the batch is empty), otherwise the
-next run's watermark would skip data landed late.  The 1-hour overlap
-rewind (:191-198 intended semantics) still applies on read.
+batch, otherwise the next run's watermark would skip data landed late.
+An EMPTY batch re-records the previous watermark (never ``now()`` —
+that would advance the watermark past data time and silently skip
+files landed late after an empty run; ADVICE round 1).  Re-recording
+an older value is safe because the watermark read is ORDER BY
+last_sync_timestamp DESC LIMIT 1 — monotonic by construction.  The
+1-hour overlap rewind (:191-198 intended semantics) still applies on
+read.
 
 Scale: one cached raw DF fans out to six write branches (vs the
 reference's six driver-memory row lists); every stage is a DataFrame
@@ -39,7 +44,7 @@ from pyspark.sql import functions as F
 from shopify_youtube_etl_spark.normalize import normalize_orders, read_raw_orders
 from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
 from shopify_youtube_etl_spark.operators.verify import fk_report, uniqueness_report
-from shopify_youtube_etl_spark.operators.watermark import SyncControl
+from shopify_youtube_etl_spark.operators.watermark import FALLBACK_START, OVERLAP, SyncControl
 from shopify_youtube_etl_spark.schemas import (
     FINAL_TABLE_SCHEMAS,
     UNIQUE_KEYS,
@@ -108,8 +113,13 @@ class IncrementalPipeline:
             timings["merge_sec"] = round(time.perf_counter() - t0, 3)
             raw.unpersist()
 
-            # 6. success ledger row (:684).
-            new_wm = max_upd_row or dt.datetime.now(dt.timezone.utc)
+            # 6. success ledger row (:684).  Empty batch → re-record the
+            # prior watermark (data-time stamping; see module doc).
+            if max_upd_row is not None:
+                new_wm = max_upd_row
+            else:
+                prev = self.control.last_sync_timestamp("orders")
+                new_wm = (prev + OVERLAP) if prev is not None else FALLBACK_START
             if new_wm.tzinfo is None:
                 new_wm = new_wm.replace(tzinfo=dt.timezone.utc)
             run_id = self.control.record_run(

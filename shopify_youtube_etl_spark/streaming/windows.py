@@ -6,8 +6,8 @@ idiomatic Spark forms are:
 - file-stream source over a drop-zone directory (``readStream``),
 - ``withWatermark`` for the 1-hour late-data overlap (:191-198),
 - the SAME window builders as the batch queries (plans/windows.py),
-- streaming dedup (``dropDuplicates`` with watermark state) replacing
-  the cross-page ``processed_order_ids`` set (:285-347),
+- streaming dedup (``dropDuplicatesWithinWatermark``, bounded state)
+  replacing the cross-page ``processed_order_ids`` set (:285-347),
 - a ``foreachBatch`` upsert sink reusing the MERGE rewrite — the
   idempotent-write contract of :572-583.
 
@@ -40,9 +40,19 @@ def streaming_tumbling_counts(events: DataFrame, width: str = "15 minutes") -> D
 
 
 def streaming_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
-    """Streaming keep-one-per-key with watermark-bounded state — the
-    distributed form of the driver-memory ``processed_order_ids`` set."""
-    return events.dropDuplicates(keys)
+    """Streaming keep-one-per-key — the distributed form of the
+    driver-memory ``processed_order_ids`` set (:285-347).
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), NOT plain
+    ``dropDuplicates``: with keys like ``['event_id']`` that exclude the
+    event-time column, ``dropDuplicates`` state is never evicted even
+    with ``withWatermark`` set (eviction only happens when the
+    event-time column is part of the key subset) — unbounded state at
+    100 TB.  ``dropDuplicatesWithinWatermark`` evicts a key's state once
+    the watermark passes its event time + delay, so state is bounded by
+    the late-data window (ADVICE round 1).  Requires ``withWatermark``
+    on ``events`` (read_event_stream sets it)."""
+    return events.dropDuplicatesWithinWatermark(keys)
 
 
 def foreach_batch_upsert(table: ParquetTable, keys: list[str]):

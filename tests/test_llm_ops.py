@@ -58,6 +58,23 @@ def test_minhash_lsh_catches_planted_neardups(docs_with_planted_dups):
     assert recall >= 0.95, f"LSH recall {recall:.2%} on planted near-dups"
 
 
+def test_lsh_hot_bucket_degrades_to_star_expansion(spark):
+    """VERDICT r1 item #7: an adversarial bucket (300 members) must emit
+    linear star pairs, not C(300,2)=44850 — one hot bucket can't OOM an
+    executor.  Normal buckets keep full pair expansion, and every hot
+    member remains connected through the hub (dedup components intact)."""
+    hot = [(i, 0, 777) for i in range(300)]  # 300 ids share band_hash 777
+    normal = [(1000 + i, 1, 42) for i in range(3)]  # C(3,2)=3 pairs
+    bands = spark.createDataFrame(hot + normal, "doc_id LONG, band_id INT, band_hash LONG")
+
+    pairs = lsh_candidate_pairs(bands, "doc_id", max_bucket_size=256).collect()
+    hot_pairs = [(r["id_a"], r["id_b"]) for r in pairs if r["id_a"] < 1000]
+    normal_pairs = {(r["id_a"], r["id_b"]) for r in pairs if r["id_a"] >= 1000}
+
+    assert normal_pairs == {(1000, 1001), (1000, 1002), (1001, 1002)}
+    assert sorted(hot_pairs) == [(0, i) for i in range(1, 300)]  # star on min id
+
+
 def test_exact_jaccard_confirms_planted_pairs(docs_with_planted_dups):
     d = _shingled(docs_with_planted_dups)
     a = d.where(F.col("doc_id") < 100000).select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))

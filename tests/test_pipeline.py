@@ -75,6 +75,30 @@ def test_two_batch_incremental_run(spark, batches, tmp_path_factory):
         assert stg.read().count() == 0, name
 
 
+def test_empty_batch_does_not_advance_watermark(spark, batches, tmp_path_factory):
+    """ADVICE round 1 (pipeline.py:112): an empty micro-batch must
+    re-record the PREVIOUS watermark, not datetime.now() — otherwise a
+    file landed late after an empty run (updated_at older than now-1h
+    but newer than the prior watermark) is silently never ingested."""
+    base = str(tmp_path_factory.mktemp("pipe_empty"))
+    pipe = IncrementalPipeline(spark, base)
+    pipe.execute(batches["b1"])
+    wm_before = pipe.control.last_sync_timestamp("orders")
+    assert wm_before is not None
+
+    # Empty batch: every row in b1 is already below the watermark+overlap?
+    # No — replay b1 through a filter that excludes everything by using a
+    # source file with zero qualifying rows (b1 is pre-watermark except
+    # the 1h overlap, so craft a truly empty NDJSON instead).
+    empty_src = str(tmp_path_factory.mktemp("empty") / "empty.ndjson")
+    write_ndjson([], empty_src)
+    r = pipe.execute(empty_src)
+    assert r["status"] == "success" and r["records_processed"] == 0
+
+    wm_after = pipe.control.last_sync_timestamp("orders")
+    assert wm_after == wm_before  # unchanged — late files stay ingestible
+
+
 def test_error_path_writes_error_row(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("pipe_err"))
     pipe = IncrementalPipeline(spark, base)

@@ -71,15 +71,21 @@ def test_foreach_batch_upsert_sink(spark, event_json_dir, tmp_path_factory):
 
 
 def test_streaming_dedup(spark, event_json_dir, tmp_path_factory):
-    """Streaming dropDuplicates == the reference's cross-page
-    processed_order_ids set (:285-347), with distributed state."""
+    """streaming_dedup (dropDuplicatesWithinWatermark) == the reference's
+    cross-page processed_order_ids set (:285-347), with BOUNDED
+    distributed state (evicted as the watermark advances)."""
+    from shopify_youtube_etl_spark.streaming.windows import streaming_dedup
+
     # Duplicate every event by writing the dir twice into one source dir.
     src = str(tmp_path_factory.mktemp("dup_events"))
     df = spark.read.schema(EVENT_SCHEMA).json(event_json_dir)
     df.write.mode("append").json(src)
     df.write.mode("append").json(src)
 
-    stream = spark.readStream.schema(EVENT_SCHEMA).json(src).dropDuplicates(["event_id"])
+    stream = streaming_dedup(
+        read_event_stream(spark, src, EVENT_SCHEMA, watermark_delay="1 hour"),
+        ["event_id"],
+    )
     q = (
         stream.writeStream.outputMode("append")
         .format("memory")
