@@ -1,0 +1,73 @@
+"""Distributed connected components (dedup clustering).
+
+After pair finding (LSH / SimHash / exact hash), a dedup pipeline must
+cluster the near-dup PAIRS into components and keep one representative
+per cluster.  Spark has no native connected-components operator, so
+this implements iterative min-label propagation with path compression:
+
+- each node starts labeled with its own id;
+- each round takes the min label over neighbors (one shuffle on dst),
+- then compresses paths: label ← label[label] (a self-join), which
+  doubles the effective propagation distance → O(log diameter) rounds;
+- ``localCheckpoint`` per round truncates lineage so the plan doesn't
+  grow unboundedly (at 100 TB: ``checkpoint`` to reliable storage
+  instead, and feed edges from the verified near-dup pairs).
+
+The min label is monotonically non-increasing and bounded below by the
+component minimum, so the iteration converges; the final label of every
+node IS its component's minimum node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Label every node with its component's min node id.
+
+    ``edges``: (src, dst) pairs, any direction (symmetrized here).
+    ``nodes``: single-column DataFrame of node ids (isolated nodes keep
+    their own id as label).  Returns (node, label).
+    """
+    node_col = nodes.columns[0]
+    sym = (
+        edges.select(F.col("src"), F.col("dst"))
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
+            labels["node"],
+            F.least(
+                labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+            ).alias("label"),
+        )
+        # Path compression: labels are node ids, so the self-join always
+        # finds the referenced row.
+        a, b = stepped.alias("a"), stepped.alias("b")
+        compressed = a.join(b, F.col("a.label") == F.col("b.node")).select(
+            F.col("a.node").alias("node"), F.col("b.label").alias("label")
+        )
+        new_labels = compressed.localCheckpoint()
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "node")
+            .where(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -450,6 +450,59 @@ def _block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_components",
+    ref="dedup clustering — distributed connected components over near-dup edges "
+    "(iterative min-label propagation with path compression)",
+    doc="Connected components over deterministic chain edges; component = (lang, source) group reached via multi-hop propagation.",
+    oracle="""
+SELECT CAST(min(doc_id) AS BIGINT) AS component_id,
+       lang,
+       source,
+       CAST(count(*) AS BIGINT)    AS n_members
+FROM documents
+GROUP BY lang, source
+""",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER pair finding in a dedup pipeline: near-dup PAIRS
+    must be clustered into components so each cluster keeps one
+    representative.  Spark has no native connected-components, so this
+    is iterative min-label propagation with path compression
+    (label ← label[label] halves chain distance each round →
+    O(log diameter) iterations), `localCheckpoint` per round to
+    truncate lineage.  At 100 TB: checkpoint to reliable storage, edges
+    come from the LSH/SimHash verified pairs, and each iteration is two
+    shuffles (neighbor-min + compression join) over the shrinking label
+    frontier.
+
+    The edge set here is a deterministic CHAIN through each
+    (lang, source) group — consecutive doc_ids linked pairwise — so
+    components require genuine multi-hop propagation (diameter ≈ group
+    size, ~25-250 hops at test SF) yet the expected result is exactly
+    the (lang, source) partition, which the oracle states in one
+    GROUP BY.  tests/test_llm_ops.py checks convergence on a planted
+    multi-chain graph too."""
+    from pyspark.sql.window import Window
+
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    chain = (
+        d.withColumn("prev", F.lag("doc_id").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    labels = connected_components(chain, d.select("doc_id"))
+    return (
+        labels.join(d, labels["node"] == d["doc_id"])
+        .groupBy(F.col("label").alias("component_id"), "lang", "source")
+        .agg(F.count("*").alias("n_members"))
+        .select("component_id", "lang", "source", "n_members")
+    )
+
+
+@query(
     "ann_ivf_topk",
     ref="similarity search scale path — IVF (coarse k-means quantizer, nprobe bucket search)",
     doc="IVF top-5 neighbors for 16 probes (k=16 centroids, nprobe=3); rows-only (clustering not oracle-portable).",

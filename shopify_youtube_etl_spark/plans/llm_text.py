@@ -257,6 +257,233 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    ref="training-data staple — TF-IDF top terms per document (corpus-wide IDF)",
+    doc="Top-3 TF-IDF terms per sampled doc; IDF computed over the FULL corpus.",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_D_WORDS}) AS token FROM documents
+),
+df AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+    SELECT doc_id, token, count(*) AS tfc
+    FROM toks WHERE doc_id % 25 = 0 GROUP BY doc_id, token
+),
+lens AS (
+    SELECT doc_id, len({_D_WORDS}) AS n_tokens
+    FROM documents WHERE doc_id % 25 = 0
+),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           round((tfc * 1.0 / n_tokens) * ln(n_docs * 1.0 / df.df), 6) AS tfidf
+    FROM tf
+    JOIN df USING (token)
+    JOIN lens USING (doc_id)
+    CROSS JOIN n
+),
+r AS (
+    SELECT doc_id, token, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+    FROM scored
+)
+SELECT doc_id, token, tfidf, rank FROM r WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF at scale: document frequency aggregates over the FULL
+    corpus (one explode + token groupBy — partial aggregation ships one
+    row per distinct token per partition), the per-doc TF side is
+    restricted to the probe slice.  The tf⋈df join shuffles on token;
+    at 100 TB the df table is vocab-sized (Zipf: far smaller than the
+    corpus) and the join benefits from AQE's build-side election.
+    Rounding to 6 dp BEFORE ranking makes the top-3 cut hash-stable
+    across engines (same discipline as ann_cosine_topk)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar: corpus size (tiny driver action)
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    df_tbl = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        toks.where(F.col("doc_id") % 25 == 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tfc"))
+    )
+    lens = d.where(F.col("doc_id") % 25 == 0).select(
+        "doc_id", F.size(words(F.col("text"))).alias("n_tokens")
+    )
+    scored = (
+        tf.join(df_tbl, "token")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tfc") / F.col("n_tokens")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
+# PII patterns shared by the Spark query and its oracle (RE2-safe: the
+# same syntax means the same matches in Java regex and DuckDB).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_PHONE_RE = "\\+1-555-[0-9][0-9][0-9][0-9]"
+
+
+@query(
+    "pii_redaction",
+    ref="training-data staple — PII scrubbing (email/phone redaction) before training",
+    doc="Redact planted emails/phones via regexp_replace; oracle value-checks the redacted bytes (md5) and match counts.",
+    oracle=(
+        """
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug_text
+    FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(aug_text, '"""
+        + _EMAIL_RE
+        + """', '[EMAIL]', 'g'), '"""
+        + _PHONE_RE
+        + """', '[PHONE]', 'g')) AS redacted_md5,
+       CAST(len(regexp_extract_all(aug_text, '"""
+        + _EMAIL_RE
+        + """')) + len(regexp_extract_all(aug_text, '"""
+        + _PHONE_RE
+        + """')) AS BIGINT) AS n_pii
+FROM aug
+"""
+    ),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as a pure JVM expression chain (regexp_replace —
+    codegen'd, no Python, embarrassingly parallel: the 100 TB shape is
+    a map-only stage with zero shuffle).  Deterministic emails/phones
+    are planted per doc so the testdata actually exercises both
+    patterns; the oracle md5s the redacted text, so every replaced byte
+    is value-checked, and counts matches via the same non-overlapping
+    regexp_extract_all semantics both engines share."""
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
+        n_pii.alias("n_pii"),
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    ref="training-data staple — per-stratum deterministic downsampling (language rebalancing)",
+    doc="Content-hash sampling with per-language rates (en 10%, others 50%); per-lang achieved counts.",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM (
+    SELECT lang,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS bucket,
+           CASE WHEN lang = 'en' THEN 26 ELSE 128 END AS threshold
+    FROM documents
+)
+GROUP BY lang
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: the dominant language is downsampled (~10%)
+    while the rest keep ~50% — per-stratum rates over a CONTENT-hash
+    bucket, so the sample is reproducible across engines, runs, and
+    partitionings (rand()/sampleBy give neither).  Map-side except one
+    tiny per-lang aggregate."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.encode("text", "UTF-8")), 1, 2), 16, 10).cast("int")
+    threshold = F.when(F.col("lang") == "en", F.lit(26)).otherwise(F.lit(128))
+    return (
+        d.select("lang", bucket.alias("bucket"), threshold.alias("threshold"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("threshold"), 1).otherwise(0)).alias(
+                "n_sampled"
+            ),
+        )
+    )
+
+
+_D_QUALITY = f"""round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (len(list_distinct({_D_WORDS})) * 1.0 / greatest(len({_D_WORDS}), 1))
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                        / greatest(length(text), 1)), 6)"""
+
+
+@query(
+    "groupwise_quality_zscore",
+    ref="§2.11 grouped-map surface — applyInPandas per-group normalization",
+    doc="Per-language z-score of the quality score via applyInPandas; oracle uses window functions.",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, {_D_QUALITY} AS q FROM documents
+)
+SELECT doc_id, lang,
+       round((q - avg(q) OVER (PARTITION BY lang))
+             / stddev_samp(q) OVER (PARTITION BY lang), 6) AS z
+FROM scored
+""",
+)
+def groupwise_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map Pandas API (``applyInPandas``) — the remaining
+    Arrow surface after mapInPandas and applyInPandasWithState: each
+    language group arrives as ONE pandas DataFrame and is normalized
+    in-group (z = (q - mean)/stddev, sample stddev to match DuckDB's
+    stddev_samp).  At 100 TB the shuffle is one exchange on the group
+    key and each group must fit one executor's memory — for
+    high-cardinality keys this is the right tool; for a handful of
+    giant groups prefer the window-function form the oracle uses
+    (identical result, no per-group materialization)."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("q")
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["q"].mean()
+        sd = pdf["q"].std(ddof=1)  # sample stddev == stddev_samp
+        out = pdf[["doc_id", "lang"]].copy()
+        out["z"] = ((pdf["q"] - mu) / sd).round(6)
+        return out
+
+    return d.groupBy("lang").applyInPandas(zscore, "doc_id long, lang string, z double")
+
+
+@query(
     "vocab_top_tokens",
     ref="training-data staple — corpus vocabulary statistics (token frequency top-k)",
     doc="Top-20 tokens by corpus frequency with document frequency, deterministic tie-break.",

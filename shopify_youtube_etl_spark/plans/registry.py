@@ -35,6 +35,7 @@ _PLAN_MODULES = [
     "shopify_youtube_etl_spark.plans.llm_similarity",
     "shopify_youtube_etl_spark.plans.multimodal",
     "shopify_youtube_etl_spark.plans.advanced_io",
+    "shopify_youtube_etl_spark.plans.scale_ops",
 ]
 
 

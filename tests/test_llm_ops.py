@@ -75,6 +75,26 @@ def test_lsh_hot_bucket_degrades_to_star_expansion(spark):
     assert sorted(hot_pairs) == [(0, i) for i in range(1, 300)]  # star on min id
 
 
+def test_connected_components_multi_chain(spark):
+    """Planted graph: two long chains + one isolated node.  Min-label
+    propagation with path compression must converge (O(log diameter)
+    rounds) to the chain minimum for every member."""
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    # Chain A: 0-1-2-...-49 (diameter 49); chain B: 100-101-...-119;
+    # isolated node 999.
+    edges = [(i, i + 1) for i in range(49)] + [(100 + i, 101 + i) for i in range(19)]
+    edges_df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    nodes_df = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(100 + i,) for i in range(20)] + [(999,)],
+        "node LONG",
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges_df, nodes_df).collect()}
+    assert all(labels[i] == 0 for i in range(50))
+    assert all(labels[100 + i] == 100 for i in range(20))
+    assert labels[999] == 999  # isolated node keeps its own label
+
+
 def test_exact_jaccard_confirms_planted_pairs(docs_with_planted_dups):
     d = _shingled(docs_with_planted_dups)
     a = d.where(F.col("doc_id") < 100000).select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))

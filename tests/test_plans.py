@@ -84,8 +84,9 @@ def test_hot_paths_whole_stage_codegen(spark, sf_dir):
 
 def test_no_cartesian_in_oracle_queries(spark, sf_dir):
     """Probe-side crossJoins must compile to Broadcast NLJ, never a
-    shuffle CartesianProduct."""
-    for name in ["ann_cosine_topk", "embedding_near_dup", "ngram_jaccard_pairs"]:
+    shuffle CartesianProduct.  (ann_cosine_topk left this list when it
+    switched to the mapInPandas block-matmul path — no join at all.)"""
+    for name in ["embedding_near_dup", "ngram_jaccard_pairs"]:
         plan = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" in plan, name
