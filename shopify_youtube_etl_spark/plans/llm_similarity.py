@@ -450,6 +450,136 @@ def _block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benchmark_contamination",
+    ref="training-data staple — benchmark/eval-set contamination check (n-gram overlap)",
+    doc="Per-doc fraction of 3-gram shingles shared with the held-out benchmark slice (doc_id % 50 = 7).",
+    oracle=f"""
+WITH bench AS (
+    SELECT DISTINCT unnest({_D_SHINGLES}) AS sh
+    FROM documents WHERE doc_id % 50 = 7
+),
+docs AS (
+    SELECT doc_id, unnest({_D_SHINGLES}) AS sh
+    FROM documents WHERE doc_id % 50 <> 7
+),
+tot AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM docs GROUP BY doc_id
+),
+hit AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM docs JOIN bench USING (sh) GROUP BY doc_id
+)
+SELECT tot.doc_id,
+       n_shingles,
+       COALESCE(n_contaminated, 0)                                   AS n_contaminated,
+       round(COALESCE(n_contaminated, 0) * 1.0 / n_shingles, 6)      AS contamination
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+""",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage detection before training: the benchmark
+    slice's distinct shingle set joins against every training doc's
+    shingles.  100 TB shape: the benchmark side is tiny relative to
+    the corpus (eval suites are MBs), so it is broadcast — the scan of
+    the training corpus is one map-side pass with a broadcast-hash
+    probe, no corpus shuffle except the per-doc count aggregation.
+    Contaminated docs (high overlap fraction) get dropped or flagged
+    upstream of training."""
+    d = t(spark, sf_dir, "documents")
+
+    def shingled(df):
+        # Materialize the words array first — shingles_from_words binds
+        # the array once per row (see its docstring's perf warning).
+        return df.select("doc_id", words(F.col("text")).alias("ws")).select(
+            "doc_id", F.explode(shingles_from_words("ws", 3)).alias("sh")
+        )
+
+    bench = shingled(d.where(F.col("doc_id") % 50 == 7)).select("sh").distinct()
+    docs = shingled(d.where(F.col("doc_id") % 50 != 7))
+    tot = docs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        docs.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("contamination"),
+    )
+
+
+# Non-distinct 3-gram list (repetition needs duplicate shingles kept).
+_D_SHINGLES_ALL = """
+CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+     THEN list_transform(
+              generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+              i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                   string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                   string_split_regex(trim(text), '\\s+')[i+2])
+     ELSE [] END
+"""
+
+
+@query(
+    "repetition_profile",
+    ref="training-data staple — intra-document repetition detection (quality filter)",
+    doc="Per-doc 3-gram repetition stats: total vs distinct shingles, max single-shingle count, repetition ratio.",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_D_SHINGLES_ALL}) AS sh FROM documents
+),
+per_sh AS (
+    SELECT doc_id, sh, count(*) AS c FROM toks GROUP BY doc_id, sh
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT)                        AS n_total,
+       CAST(count(*) AS BIGINT)                      AS n_distinct,
+       CAST(max(c) AS BIGINT)                        AS max_repeat,
+       round(1.0 - count(*) * 1.0 / sum(c), 6)       AS rep_ratio
+FROM per_sh
+GROUP BY doc_id
+""",
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition is the classic low-quality signal (boilerplate, spam,
+    decoding loops): a doc whose 3-grams repeat heavily gets filtered
+    before training.  Map-side explode (duplicates KEPT — list_distinct
+    would erase the signal), then a two-level aggregation: per-(doc,
+    shingle) counts roll up to per-doc totals in the SAME shuffle
+    (partial aggregation ships one row per distinct shingle per
+    partition)."""
+    d = t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    all_shingles = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_sh = (
+        d.select("doc_id", F.explode(all_shingles).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_sh.groupBy("doc_id").agg(
+        F.sum("c").alias("n_total"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_repeat"),
+        F.round(1.0 - F.count("*") / F.sum("c"), 6).alias("rep_ratio"),
+    )
+
+
+@query(
     "neardup_components",
     ref="dedup clustering — distributed connected components over near-dup edges "
     "(iterative min-label propagation with path compression)",

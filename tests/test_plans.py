@@ -82,6 +82,14 @@ def test_hot_paths_whole_stage_codegen(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The eval-set probe must be a broadcast hash join — shuffling the
+    training corpus against a tiny benchmark set would be the wrong
+    plan at any scale."""
+    plan = plan_of(spark, "benchmark_contamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
 def test_no_cartesian_in_oracle_queries(spark, sf_dir):
     """Probe-side crossJoins must compile to Broadcast NLJ, never a
     shuffle CartesianProduct.  (ann_cosine_topk left this list when it
