@@ -150,11 +150,46 @@ class ParquetTable:
     def overwrite(self, df: DataFrame) -> None:
         self._commit([self._write_segment(df)])
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, auto_compact_at: int | None = None) -> None:
         """WRITE_APPEND semantics (U1/S8): lands ONLY the new batch's
-        files; existing segments are referenced, not rewritten."""
+        files; existing segments are referenced, not rewritten.
+
+        ``auto_compact_at``: optional LSM-style maintenance — when the
+        segment count reaches this threshold, the table is compacted
+        after the append (one O(table) rewrite amortized over that many
+        O(batch) appends).  Left off by default so the append itself
+        stays strictly O(batch)."""
         prior = self._manifest_segments(m) if (m := self.current_manifest()) else []
         self._commit(prior + [self._write_segment(df)])
+        if auto_compact_at is not None and len(self.segments()) >= auto_compact_at:
+            self.compact()
+
+    def compact(self) -> None:
+        """Rewrite the live segments as ONE segment (small-file
+        maintenance for append-heavy tables — many tiny segments mean
+        many tiny parquet footers and tasks at read time).  Safe against
+        concurrent readers like any commit: the old segments stay on
+        disk for KEEP_GENERATIONS more commits."""
+        self.overwrite(self.read())
+
+    def read_at(self, generations_back: int = 0) -> DataFrame:
+        """Time travel over the retained generations: 0 = current,
+        1 = previous commit, up to KEEP_GENERATIONS back (older
+        manifests are GC'd).  The audit/debug read for 'what did the
+        table hold before that merge?'."""
+        manifests = sorted(
+            (f for f in os.listdir(self.path) if f.startswith("manifest-")),
+            reverse=True,
+        )
+        if generations_back >= len(manifests):
+            raise FileNotFoundError(
+                f"only {len(manifests)} generation(s) retained at {self.path}"
+            )
+        segs = [
+            os.path.join(self.path, s)
+            for s in self._manifest_segments(manifests[generations_back])
+        ]
+        return self.spark.read.parquet(*segs)
 
     def truncate(self, schema_source: DataFrame | None = None) -> None:
         """TRUNCATE TABLE (S11, shopify_etl.py:587-590)."""

@@ -117,6 +117,34 @@ def test_parquet_table_retains_generations_for_lazy_readers(spark, tmp_path):
     assert t.read().count() == 5
 
 
+def test_parquet_table_compaction_and_time_travel(spark, tmp_path):
+    """compact() folds N append segments into one; read_at() reads the
+    retained previous generations (bounded time travel)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).withColumnRenamed("id", "x"))
+    for start in (10, 20, 30):
+        t.append(spark.range(start, start + 10).withColumnRenamed("id", "x"))
+    assert len(t.segments()) == 4
+    t.compact()
+    assert len(t.segments()) == 1
+    assert t.read().count() == 40
+    # Time travel: generation 1 back is the pre-compaction 4-segment view.
+    assert t.read_at(1).count() == 40
+    assert t.read_at(0).count() == 40
+    with pytest.raises(FileNotFoundError):
+        t.read_at(99)
+
+
+def test_parquet_table_auto_compaction(spark, tmp_path):
+    """append(auto_compact_at=N) keeps the segment count bounded."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).withColumnRenamed("id", "x"))
+    for start in range(5, 30, 5):
+        t.append(spark.range(start, start + 5).withColumnRenamed("id", "x"), auto_compact_at=3)
+    assert len(t.segments()) < 3
+    assert t.read().count() == 30
+
+
 def test_merge_from_applies_and_truncates(spark, tmp_path):
     final = ParquetTable(spark, str(tmp_path / "final"))
     stg = ParquetTable(spark, str(tmp_path / "stg"))

@@ -126,6 +126,23 @@ def test_streaming_session_window_equals_batch(spark, event_json_dir):
     assert got == want and len(got) > 0
 
 
+def test_transform_with_state_gated_by_capability(spark):
+    """transformWithStateInPandas needs google.protobuf (absent here);
+    the operator must refuse cleanly instead of crashing the Python
+    runner mid-query.  On a provisioned cluster the gate opens and the
+    operator runs as written."""
+    from shopify_youtube_etl_spark.streaming.stateful import (
+        stateful_distinct_types,
+        transform_with_state_available,
+    )
+
+    if transform_with_state_available():
+        pytest.skip("protobuf present — covered by live runs on real clusters")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        dummy = spark.createDataFrame([(1, "click")], "user_id BIGINT, event_type STRING")
+        stateful_distinct_types(dummy)
+
+
 def test_stream_stream_interval_join_equals_batch(spark, event_json_dir):
     """Watermarked stream-stream join with a time-range condition must
     produce exactly the batch interval join — the condition is what
