@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
 from shopify_youtube_etl_spark.operators.verify import fk_report, uniqueness_report
-from shopify_youtube_etl_spark.plans.common import money, t
+from shopify_youtube_etl_spark.plans.common import day_str, money, t
 from shopify_youtube_etl_spark.plans.registry import query
 
 
@@ -164,6 +164,53 @@ def verify_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         }
     )
+
+
+@query(
+    "incremental_rollup_merge",
+    ref="incremental materialized-view maintenance — recompute affected partitions, MERGE on grain key",
+    doc="Day rollup maintained incrementally: base (pre-cutoff) + full recompute of delta-touched days, merged on day; oracle is the full rollup.",
+    oracle="""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')  AS day,
+       CAST(count(*) AS BIGINT)                     AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT)      AS n_users,
+       round(sum(value), 2)                         AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production pattern for keeping a day-grain rollup fresh
+    without full recompute: the materialized base covers everything
+    before the incremental cutoff (so its boundary day is PARTIAL), the
+    delta recomputes every day the new data touches IN FULL from raw
+    events, and MERGE on the day key replaces the boundary day while
+    leaving closed days untouched.  Recomputing whole affected
+    partitions (not adding partial aggregates) is what keeps
+    non-additive metrics like count(DISTINCT user_id) correct.  The
+    oracle describes the full one-shot rollup — the driver hash check
+    proves base+delta+MERGE converges to it exactly.  At 100 TB the
+    delta scan prunes to the affected day partitions and the MERGE
+    shuffles only day-grain rows (thousands, not billions)."""
+    import tempfile
+
+    e = t(spark, sf_dir, "events")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(day_str(F.col("ts")).alias("day")).agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            money(F.sum("value")).alias("total_value"),
+        )
+
+    cutoff = "2024-01-20 12:00:00"  # mid-day: the boundary day is split
+    base_tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="mv-"))
+    base_tbl.overwrite(rollup(e.where(F.col("ts") < F.lit(cutoff))))
+
+    delta_days_start = "2024-01-20"  # all days touched by post-cutoff data
+    delta = rollup(e.where(day_str(F.col("ts")) >= F.lit(delta_days_start)))
+
+    return upsert(base_tbl.read(), delta, keys=["day"])
 
 
 @query(

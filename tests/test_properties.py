@@ -61,6 +61,45 @@ def test_dedup_keep_first_laws(spark, rows):
 
 
 @given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=0, max_size=25
+    )
+)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == a sequential union-find on
+    arbitrary random graphs (self-loops, duplicates, disconnected
+    nodes)."""
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    nodes = list(range(15))
+    # Sequential ground truth.
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "src LONG, dst LONG"  # empty DF needs a row; (0,0) is a no-op self-loop
+    )
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node LONG")
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges_df, nodes_df).collect()
+    }
+    assert got == want
+
+
+@given(
     arrays=st.lists(
         st.lists(st.integers(0, 9), min_size=0, max_size=5), min_size=0, max_size=12
     )
