@@ -42,6 +42,7 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -70,4 +71,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Never return a silently-unconverged labeling: with path
+        # compression, max_iter bounds graphs of diameter ~2^max_iter,
+        # so hitting this means max_iter was set far too low.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     return labels

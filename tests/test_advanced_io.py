@@ -51,6 +51,31 @@ def test_pagestore_query_matches_direct_read(spark, sf_dir):
     assert got == want
 
 
+def test_land_pages_distributed_writes_from_executors(spark, sf_dir, tmp_path):
+    """Executor-side landing: the manifest's page files exist on disk
+    with the declared row counts, the pagestore reader round-trips them
+    losslessly, and the driver never materialized a data row."""
+    import os
+
+    from shopify_youtube_etl_spark.sources.pagestore import land_pages_distributed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").repartition(4)
+    out = str(tmp_path / "pages")
+    manifest = land_pages_distributed(docs, out, page_size=100).collect()
+    assert sum(r["n_rows"] for r in manifest) == docs.count()
+    assert all(os.path.isfile(r["page_path"]) for r in manifest)
+    assert all(r["n_rows"] <= 100 for r in manifest)
+
+    spark.dataSource.register(PageStoreDataSource)
+    back = (
+        spark.read.format("pagestore")
+        .schema("doc_id BIGINT, n_chars BIGINT")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(back.collect()) == sorted(docs.collect())
+
+
 def test_stateful_totals_across_micro_batches(spark, sf_dir, tmp_path):
     """maxFilesPerTrigger=1 forces one micro-batch per file; the final
     state must still equal batch GROUP BY — proving state actually
