@@ -484,6 +484,124 @@ def groupwise_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_packing",
+    ref="training-data staple — sequence packing (concat-and-chunk into fixed token budgets)",
+    doc="Docs packed into 2048-token bins per shard (exclusive prefix-sum binning); per-bin doc/token stats.",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           doc_id % 8 AS shard,
+           CAST(len({_D_WORDS}) AS BIGINT) AS n_tok
+    FROM documents
+),
+pref AS (
+    SELECT doc_id, shard, n_tok,
+           COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+    FROM toks
+)
+SELECT shard,
+       CAST(prefix // 2048 AS BIGINT)  AS bin,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)      AS total_tokens,
+       CAST(min(doc_id) AS BIGINT)     AS first_doc,
+       CAST(max(doc_id) AS BIGINT)     AS last_doc
+FROM pref
+GROUP BY shard, bin
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How pretraining corpora become fixed-length training sequences:
+    concatenate docs in a deterministic order, chunk every 2048 tokens
+    (a doc whose exclusive prefix crosses a boundary starts the next
+    bin).  A single global order would serialize the cumsum at 100 TB,
+    so packing is SHARDED — docs hash to shards, the prefix-sum window
+    runs per shard (parallel across shards, ordered within), exactly
+    how production packers shard by file.  Window is one shuffle on the
+    shard key; integer arithmetic end-to-end so the binning is
+    hash-exact across engines."""
+    from pyspark.sql.window import Window
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = toks.withColumn("prefix", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        pref.withColumn("bin", F.floor(F.col("prefix") / 2048))
+        .groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "mixture_rebalance",
+    ref="training-data staple — data-mixture rebalancing (equalize source proportions)",
+    doc="Per-source downsampling rate derived FROM the data (smallest source sets the target); deterministic hash sampling.",
+    oracle="""
+WITH counts AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY source
+),
+rates AS (
+    SELECT source, n_total,
+           CAST((256 * min(n_total) OVER ()) // n_total AS BIGINT) AS threshold
+    FROM counts
+),
+sampled AS (
+    SELECT d.source,
+           CASE WHEN CAST(('0x' || substr(md5(d.text), 1, 2)) AS INTEGER) < r.threshold
+                THEN 1 ELSE 0 END AS keep
+    FROM documents d JOIN rates r ON d.source = r.source
+)
+SELECT r.source, r.n_total, r.threshold,
+       CAST(sum(s.keep) AS BIGINT) AS n_sampled
+FROM rates r JOIN sampled s ON r.source = s.source
+GROUP BY r.source, r.n_total, r.threshold
+""",
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike stratified_sample_by_lang (fixed rates), the rates here
+    are COMPUTED from the data: every source is downsampled toward the
+    smallest source's row count (threshold = 256·min/n in exact integer
+    arithmetic — no float rate can disagree between engines).  The
+    counts table is tiny (one row per source) so the rate join
+    broadcasts; sampling itself stays the deterministic content-hash
+    bucket filter.  This is the mixture-weights step of corpus
+    assembly, where rebalancing runs before tokenization."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    from pyspark.sql.window import Window
+
+    rates = counts.withColumn(
+        "threshold",
+        F.expr("256 * min(n_total) OVER () div n_total"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.encode("text", "UTF-8")), 1, 2), 16, 10).cast("int")
+    sampled = d.select("source", bucket.alias("bucket")).join(
+        F.broadcast(rates), "source"
+    )
+    return (
+        sampled.withColumn(
+            "keep", F.when(F.col("bucket") < F.col("threshold"), 1).otherwise(0)
+        )
+        .groupBy("source", "n_total", "threshold")
+        .agg(F.sum("keep").alias("n_sampled"))
+        .select("source", "n_total", "threshold", "n_sampled")
+    )
+
+
+@query(
     "vocab_top_tokens",
     ref="training-data staple — corpus vocabulary statistics (token frequency top-k)",
     doc="Top-20 tokens by corpus frequency with document frequency, deterministic tie-break.",
