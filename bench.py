@@ -43,7 +43,11 @@ HEADLINE = [
     "token_stats",
     "minhash_lsh_neardup",
     "ann_cosine_topk",
-    "ann_cosine_topk_np",
+    # ann_cosine_topk_np was dropped when ann_cosine_topk started
+    # delegating to the same block-matmul implementation (identical
+    # plan, timing it twice measured nothing); tfidf_top_terms takes
+    # the slot as a genuinely distinct heavy text-aggregation path.
+    "tfidf_top_terms",
     "grouping_sets_revenue",
     "asof_click_attribution",
     "sessionize_gaps_islands",

@@ -116,11 +116,16 @@ def lsh_candidate_pairs(
     is only O(n) longs (harmless); the quadratic pair expansion is the
     risk, so buckets larger than ``max_bucket_size`` degrade to STAR
     expansion: every member pairs with the bucket's min id only (n-1
-    pairs, linear).  For dedup clustering this preserves exactly the
-    bucket's connected component (all members stay reachable through
-    the hub), while the downstream exact verify (Jaccard/cosine/
-    Hamming) still filters false positives pair-by-pair.  Tests plant a
-    hot bucket and assert linear output (tests/test_llm_ops.py)."""
+    pairs, linear).  In the CANDIDATE graph this keeps the bucket one
+    connected component; note the recall caveat AFTER exact
+    verification — if the hub itself fails the verify against members
+    B and C, a genuine B≈C pair is not re-generated, so a hot bucket
+    trades bounded memory for possible non-hub recall loss.  That is
+    the intended degraded mode: a bucket this hot means the band
+    parameters are mis-tuned for that data slice, and emitting C(n,2)
+    candidate pairs would mostly be verify-rejected noise at OOM-scale
+    cost.  Tests plant a hot bucket and assert linear output
+    (tests/test_llm_ops.py)."""
     buckets = (
         bands_df.groupBy("band_id", "band_hash")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))

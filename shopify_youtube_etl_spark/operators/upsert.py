@@ -17,9 +17,10 @@ rewrite is::
 which is exactly MERGE's row-level semantics when the staging batch has
 one row per key.  At scale both sides shuffle once on the key columns;
 the anti join and the union reuse that partitioning.  For incremental
-pipelines the physical write is an atomic temp-dir swap
-(``ParquetTable.overwrite``) because overwriting a path that is being
-read is unsafe.
+pipelines the physical write goes through ``ParquetTable``'s
+manifest/segment commit protocol (see the class docstring): new data
+lands in fresh segment dirs and an atomic pointer flip publishes the
+new manifest, because overwriting a path that is being read is unsafe.
 """
 
 from __future__ import annotations
@@ -70,7 +71,7 @@ class ParquetTable:
       rewritten (the reference's WRITE_APPEND, shopify_etl.py:133, is
       likewise O(batch); round-1 verdict item #3).
     * Segments belonging to the last ``KEEP_GENERATIONS`` superseded
-    # manifests are retained, so a DataFrame obtained via ``read()``
+      manifests are retained, so a DataFrame obtained via ``read()``
       shortly before a concurrent commit still scans intact files;
       older segments are garbage-collected on the next commit
       (ADVICE round 1: immediate deletion broke lazy readers).

@@ -91,7 +91,10 @@ class SyncControl:
             ],
             SYNC_CONTROL,
         )
-        self.table.append(row)
+        # Control tables take one tiny append per pipeline run; without a
+        # compaction trigger the manifest would reference one segment per
+        # run forever (O(N) reads/commits after N runs).
+        self.table.append(row, auto_compact_at=16)
         return rid
 
     def record_error(self, table_name: str, notes: str) -> str:

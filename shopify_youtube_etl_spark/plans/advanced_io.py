@@ -10,28 +10,12 @@ not just rows-only checks.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import shutil
-import tempfile
 import uuid
-
-
-def _staging_dir(kind: str, sf_dir: str) -> str:
-    """Deterministic per-(kind, sf_dir) staging dir, cleared on reuse —
-    repeated invocations overwrite one directory instead of leaking a
-    fresh mkdtemp per call (the written files must outlive this
-    function: the returned DataFrame reads them lazily at execution)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"sye_{kind}_{key}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    return d
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shopify_youtube_etl_spark.plans.common import money, t
+from shopify_youtube_etl_spark.plans.common import money, staging_dir as _staging_dir, t
 from shopify_youtube_etl_spark.plans.registry import query
 
 

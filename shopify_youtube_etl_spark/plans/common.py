@@ -25,6 +25,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def staging_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(kind, sf_dir) staging dir, cleared on reuse —
+    repeated invocations overwrite one directory instead of leaking a
+    fresh mkdtemp per call (the written files must outlive the calling
+    function: returned DataFrames read them lazily at execution)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"sye_{kind}_{key}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # (sf_dir, name, parallelism) -> whether the scan needs spreading; the
 # probe (df.rdd.getNumPartitions) costs a plan conversion, so pay it
 # once.  Parallelism is part of the key so a session with a different

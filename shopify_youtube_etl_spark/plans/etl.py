@@ -192,7 +192,7 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves base+delta+MERGE converges to it exactly.  At 100 TB the
     delta scan prunes to the affected day partitions and the MERGE
     shuffles only day-grain rows (thousands, not billions)."""
-    import tempfile
+    from shopify_youtube_etl_spark.plans.common import staging_dir
 
     e = t(spark, sf_dir, "events")
 
@@ -204,7 +204,7 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cutoff = "2024-01-20 12:00:00"  # mid-day: the boundary day is split
-    base_tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="mv-"))
+    base_tbl = ParquetTable(spark, staging_dir("mv", sf_dir))
     base_tbl.overwrite(rollup(e.where(F.col("ts") < F.lit(cutoff))))
 
     delta_days_start = "2024-01-20"  # all days touched by post-cutoff data
@@ -241,12 +241,14 @@ def run_ledger_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monitoring runbook's daily-run summary (monitoring-guide.md
     :71-87): GROUP BY day over sync_control with per-status counts and
     the day's last successful watermark.  A deterministic ledger — one
-    'run' per (order day, priority) in Jan 1992, errors for 5-LOW — is
-    written through the REAL ``ParquetTable`` commit path and read back,
-    so the query exercises ledger storage + the summary aggregation; the
+    'run' per (order day, priority) in Jan 1995 (the testdata's first
+    month, ~31 days × 5 priorities), errors for 5-LOW — is written
+    through the REAL ``ParquetTable`` commit path and read back, so the
+    query exercises ledger storage + the summary aggregation; the
     oracle recomputes both from ``orders`` directly."""
     import datetime as _dt
-    import tempfile
+
+    from shopify_youtube_etl_spark.plans.common import staging_dir
 
     o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-02-01"))
     ledger = (
@@ -264,7 +266,7 @@ def run_ledger_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_dt.datetime(2024, 1, 1)).cast("timestamp").alias("created_at"),
         )
     )
-    tbl = ParquetTable(spark, tempfile.mkdtemp(prefix="ledger-"))
+    tbl = ParquetTable(spark, staging_dir("ledger", sf_dir))
     tbl.overwrite(ledger)
     # day as yyyy-MM-dd string — repo convention for engine-portable hashing.
     led = tbl.read().withColumn("day", F.date_format("last_sync_timestamp", "yyyy-MM-dd"))

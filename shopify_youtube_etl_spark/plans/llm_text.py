@@ -452,8 +452,12 @@ WITH scored AS (
     SELECT doc_id, lang, {_D_QUALITY} AS q FROM documents
 )
 SELECT doc_id, lang,
-       round((q - avg(q) OVER (PARTITION BY lang))
-             / stddev_samp(q) OVER (PARTITION BY lang), 6) AS z
+       CASE WHEN stddev_samp(q) OVER (PARTITION BY lang) IS NULL
+              OR stddev_samp(q) OVER (PARTITION BY lang) = 0
+            THEN NULL
+            ELSE round((q - avg(q) OVER (PARTITION BY lang))
+                       / stddev_samp(q) OVER (PARTITION BY lang), 6)
+       END AS z
 FROM scored
 """,
 )
@@ -474,10 +478,20 @@ def groupwise_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         mu = pdf["q"].mean()
         sd = pdf["q"].std(ddof=1)  # sample stddev == stddev_samp
         out = pdf[["doc_id", "lang"]].copy()
-        out["z"] = ((pdf["q"] - mu) / sd).round(6)
+        if pd.isna(sd) or sd == 0:
+            # Degenerate stratum (single doc / constant quality): emit
+            # SQL NULL, matching the oracle's CASE — pandas would give
+            # NaN here and NaN is a VALUE to Arrow, not a null.
+            out["z"] = pd.array([pd.NA] * len(pdf), dtype="Float64")
+        else:
+            out["z"] = pd.array(
+                np.round((pdf["q"] - mu) / sd, 6), dtype="Float64"
+            )
         return out
 
     return d.groupBy("lang").applyInPandas(zscore, "doc_id long, lang string, z double")
@@ -534,7 +548,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = toks.withColumn("prefix", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
     return (
-        pref.withColumn("bin", F.floor(F.col("prefix") / 2048))
+        # `div` keeps the binning in exact integer arithmetic (double
+        # division would round above 2^53 accumulated tokens).
+        pref.withColumn("bin", F.expr("prefix div 2048"))
         .groupBy("shard", "bin")
         .agg(
             F.count("*").alias("n_docs"),

@@ -116,10 +116,20 @@ def stateful_distinct_types(events: DataFrame) -> DataFrame:
         "DistinctTypesProcessor", (_DistinctTypesProcessor, StatefulProcessor), {}
     )()
     spark = events.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    # transformWithState requires the RocksDB state store.  Deliberately
+    # NOT set here: flipping the session-global providerClass as a side
+    # effect would change the state backend of every OTHER streaming
+    # query on the session (and break restarts of existing checkpoints
+    # written under the default provider).  The caller opts in
+    # explicitly, session-wide, before starting any queries.
+    provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    if "RocksDB" not in provider:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the RocksDB state store; set "
+            "spark.sql.streaming.stateStore.providerClass to "
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider before starting streaming queries"
+        )
     return events.groupBy("user_id").transformWithStateInPandas(
         proc, DISTINCT_TYPES_OUTPUT, "Update", "None"
     )

@@ -171,6 +171,19 @@ def test_sync_control_watermark_semantics(spark, tmp_path):
     assert sc.start_date(force_full_load=True) == FALLBACK_START
 
 
+def test_sync_control_segments_stay_bounded(spark, tmp_path):
+    """A long-lived pipeline appends one ledger row per run; the
+    control table must auto-compact so reads/commits never degrade
+    linearly with run count (code-review finding on O(batch) append)."""
+    sc = SyncControl(spark, str(tmp_path / "ctl"))
+    t0 = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    for i in range(20):
+        sc.record_run("orders", t0 + dt.timedelta(hours=i), i, "success")
+    assert len(sc.table.segments()) < 16
+    assert sc.read().count() == 20  # nothing lost across compactions
+    assert sc.last_sync_timestamp() == t0 + dt.timedelta(hours=19) - OVERLAP
+
+
 def test_backup_ndjson_roundtrip(spark, tmp_path):
     """S12 export sink: NDJSON backup reloads to the identical table."""
     t = ParquetTable(spark, str(tmp_path / "t"))
