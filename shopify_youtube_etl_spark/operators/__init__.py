@@ -1,5 +1,16 @@
+from shopify_youtube_etl_spark.operators.components import connected_components
 from shopify_youtube_etl_spark.operators.dedup import dedup_keep_first
-from shopify_youtube_etl_spark.operators.upsert import upsert
+from shopify_youtube_etl_spark.operators.scale import bucketed_join, salted_join
+from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
 from shopify_youtube_etl_spark.operators.verify import fk_orphans, uniqueness_report
 
-__all__ = ["dedup_keep_first", "upsert", "fk_orphans", "uniqueness_report"]
+__all__ = [
+    "ParquetTable",
+    "bucketed_join",
+    "connected_components",
+    "dedup_keep_first",
+    "fk_orphans",
+    "salted_join",
+    "uniqueness_report",
+    "upsert",
+]
