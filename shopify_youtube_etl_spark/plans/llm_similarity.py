@@ -449,6 +449,75 @@ def _block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Char-5-gram shingles over normalized text (DuckDB twin of
+# functions/text.py::char_shingles).
+_D_CHAR_SHINGLES = """
+CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 5
+     THEN list_distinct(list_transform(
+              generate_series(1, length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) - 4),
+              i -> substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), i, 5)))
+     ELSE [] END
+"""
+
+
+@query(
+    "char_ngram_neardup",
+    ref="near-dup family — character 5-gram Jaccard (tokenization-robust fuzzy dedup)",
+    doc="Probe-slice char-5-gram Jaccard >= 0.5 with a LOSSLESS size-ratio blocker; catches dups word-grams miss.",
+    oracle=f"""
+WITH p AS (
+    SELECT doc_id AS id_a, {_D_CHAR_SHINGLES} AS sa
+    FROM documents WHERE doc_id % 10 = 3
+),
+c AS (
+    SELECT doc_id AS id_b, {_D_CHAR_SHINGLES} AS sb FROM documents
+),
+pairs AS (
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa, sb)) * 1.0
+                 / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+    FROM p, c
+    WHERE id_a < id_b
+      AND len(sa) > 0 AND len(sb) > 0
+      AND greatest(len(sa), len(sb)) <= 2 * least(len(sa), len(sb))
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+""",
+)
+def char_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-shingle near-dup: robust where word shingles fail
+    (joined/split tokens, punctuation-only edits, no-whitespace
+    scripts).  The size-ratio blocker is LOSSLESS for the 0.5
+    threshold — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any surviving
+    pair must have sizes within 2× — and prunes most of the probe ×
+    corpus candidate space before the expensive array intersection.
+    At 100 TB the probe side is the broadcast slice (same pattern as
+    ngram_jaccard_pairs); the full-corpus form is MinHash-LSH over the
+    same shingles."""
+    from shopify_youtube_etl_spark.functions.text import char_shingles
+
+    d = t(spark, sf_dir, "documents")
+    probes = d.where(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("id_a"), char_shingles(F.col("text"), 5).alias("sa")
+    )
+    corpus = d.select(
+        F.col("doc_id").alias("id_b"), char_shingles(F.col("text"), 5).alias("sb")
+    )
+    na, nb = F.size("sa"), F.size("sb")
+    return (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (na > 0)
+            & (nb > 0)
+            & (F.greatest(na, nb) <= 2 * F.least(na, nb))
+        )
+        .select("id_a", "id_b", F.round(jaccard(F.col("sa"), F.col("sb")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
 @query(
     "benchmark_contamination",
     ref="training-data staple — benchmark/eval-set contamination check (n-gram overlap)",

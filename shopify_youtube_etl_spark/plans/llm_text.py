@@ -618,6 +618,49 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_lang_entropy",
+    ref="corpus diagnostics — per-source language-distribution entropy (mixture health check)",
+    doc="Shannon entropy of the language mix within each source, plus dominant-language share.",
+    oracle="""
+WITH c AS (
+    SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+    FROM documents GROUP BY source, lang
+),
+tot AS (
+    SELECT source, sum(n) AS nt, max(n) AS nmax FROM c GROUP BY source
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT)                       AS n_langs,
+       CAST(sum(c.n) AS BIGINT)                       AS n_docs,
+       round(-sum((c.n / t.nt) * ln(c.n / t.nt)), 6)  AS lang_entropy,
+       round(max(t.nmax) / max(t.nt), 6)              AS dominant_share
+FROM c JOIN tot t ON c.source = t.source
+GROUP BY c.source
+""",
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture health diagnostics: a source whose language entropy
+    collapses (or whose dominant share spikes) between corpus snapshots
+    signals a scraper or filter regression upstream.  Two tiny
+    aggregations over (source, lang) — the heavy scan is one pass, the
+    entropy math runs on a table with one row per (source, lang)."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").cast("double").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("nt"), F.max("n").alias("nmax"))
+    p = F.col("n") / F.col("nt")
+    return (
+        c.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_langs"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+            F.round(F.max("nmax") / F.max("nt"), 6).alias("dominant_share"),
+        )
+    )
+
+
+@query(
     "vocab_top_tokens",
     ref="training-data staple — corpus vocabulary statistics (token frequency top-k)",
     doc="Top-20 tokens by corpus frequency with document frequency, deterministic tie-break.",
