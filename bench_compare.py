@@ -1,0 +1,95 @@
+"""Round-over-round bench diff (VERDICT r2 item #8).
+
+Compares the two most recent ``BENCH_r*.json`` artifacts (or two paths
+given on the command line) against the reference's 25% run-over-run
+regression alert policy (monitoring-guide.md:51; BASELINE.md).  Writes
+``BENCH_COMPARE.json`` next to the newer artifact and exits non-zero
+when any shared query regressed past the threshold, so a regression
+fails loudly in any scripted loop instead of hiding in a totals line.
+
+Context for reading the deltas: per-query timings on this shared host
+swing with scheduling variance even at identical code (measured r3:
+the two heavy LSH queries moved 2-3× between sessions while per-stage
+profiles attributed no stage change) — the FAIL signal means "profile
+this query before shipping", not necessarily "the plan got worse".
+
+Usage::
+
+    python bench_compare.py                 # newest two BENCH_r*.json
+    python bench_compare.py OLD.json NEW.json
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+THRESHOLD = 0.25  # monitoring-guide.md:51 — alert at >25% regression
+MIN_SECONDS = 0.2  # ignore regressions inside scheduling jitter
+
+
+def load(path: str) -> dict:
+    """Accept either bench.py's raw JSON line or the driver's BENCH_r*
+    wrapper (which nests it under ``parsed``)."""
+    with open(path) as fh:
+        d = json.load(fh)
+    return d.get("parsed", d)
+
+
+def compare(old: dict, new: dict) -> dict:
+    old_q, new_q = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(old_q) & set(new_q))
+    rows, regressions = {}, []
+    for name in shared:
+        a, b = old_q[name], new_q[name]
+        delta = (b - a) / a if a else 0.0
+        rows[name] = {"old_sec": a, "new_sec": b, "delta_pct": round(100 * delta, 1)}
+        if delta > THRESHOLD and b - a > MIN_SECONDS:
+            regressions.append(name)
+    return {
+        "old_total_sec": old.get("value"),
+        "new_total_sec": new.get("value"),
+        "total_delta_pct": round(
+            100 * (new.get("value", 0) - old.get("value", 0)) / old.get("value", 1), 1
+        ),
+        "threshold_pct": int(100 * THRESHOLD),
+        "queries": rows,
+        "added": sorted(set(new_q) - set(old_q)),
+        "removed": sorted(set(old_q) - set(new_q)),
+        "regressions": regressions,
+    }
+
+
+def main() -> int:
+    if len(sys.argv) == 3:
+        old_path, new_path = sys.argv[1], sys.argv[2]
+    else:
+        arts = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+        if len(arts) < 2:
+            print("need two BENCH_r*.json artifacts", file=sys.stderr)
+            return 2
+        old_path, new_path = arts[-2], arts[-1]
+
+    result = compare(load(old_path), load(new_path))
+    result["old_artifact"] = os.path.basename(old_path)
+    result["new_artifact"] = os.path.basename(new_path)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(new_path)), "BENCH_COMPARE.json")
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=2)
+
+    print(json.dumps(result, indent=2))
+    if result["regressions"]:
+        print(
+            f"FAIL: {len(result['regressions'])} query(ies) regressed >"
+            f" {result['threshold_pct']}%: {', '.join(result['regressions'])}",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

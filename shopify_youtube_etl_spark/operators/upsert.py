@@ -59,11 +59,14 @@ class ParquetTable:
     Layout (a micro Delta/Iceberg, zero dependencies)::
 
         <path>/_CURRENT                 -> name of the live manifest
-        <path>/manifest-<seq>-<id>.txt  -> one segment dir name per line
+        <path>/manifest-<seq>.txt       -> one segment dir name per line
         <path>/seg-<id>/part-*.parquet  -> immutable data segments
 
     Commits write a NEW manifest and flip ``_CURRENT`` with os.replace,
     so readers never observe a half-written state (SURVEY §7 risk 1).
+    Writers are serialized by an exclusive flock held for the manifest
+    write + pointer flip only (see ``_commit`` for the protocol and its
+    single-mount scope).
 
     * ``overwrite`` = one new segment referenced by a fresh manifest.
     * ``append`` = one new segment + a manifest that ALSO references the
@@ -121,17 +124,41 @@ class ParquetTable:
         df.write.mode("overwrite").parquet(os.path.join(self.path, seg))
         return seg
 
-    def _commit(self, seg_names: list[str]) -> None:
-        cur = self.current_manifest()
-        seq = int(cur.split("-")[1]) + 1 if cur else 0
-        manifest = f"manifest-{seq:016d}-{uuid.uuid4().hex[:8]}.txt"
-        with open(os.path.join(self.path, manifest), "w") as fh:
-            fh.write("\n".join(seg_names) + "\n")
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(manifest)
-        os.replace(tmp, self._pointer)  # atomic pointer flip
-        self._gc()
+    def _commit(self, compute_segments) -> None:
+        """Serialized commit (ADVICE r2): ``compute_segments(prior)``
+        returns the new manifest's segment list given the CURRENT live
+        segments, and runs under an exclusive flock so two writers (e.g.
+        a streaming foreachBatch sink racing a batch pipeline) can't
+        compute the same seq and silently drop each other's commit.
+        Only the tiny manifest/pointer work holds the lock — segment
+        data is written before ``_commit`` is entered.  The manifest is
+        additionally created with O_EXCL on a seq-deterministic name, so
+        even on a filesystem where flock is advisory-broken (some NFS
+        mounts) a seq collision raises instead of losing a commit.
+        Scope: this serializes writers on ONE machine/mount — multiple
+        drivers on different hosts need a real transaction log service
+        (Delta/Iceberg catalog), which this local manifest deliberately
+        simulates, not replaces."""
+        import fcntl
+
+        with open(os.path.join(self.path, "_COMMIT_LOCK"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            cur = self.current_manifest()
+            prior = self._manifest_segments(cur) if cur else []
+            seg_names = compute_segments(prior)
+            seq = int(cur.split("-")[1].split(".")[0]) + 1 if cur else 0
+            manifest = f"manifest-{seq:016d}.txt"
+            fd = os.open(
+                os.path.join(self.path, manifest),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as fh:
+                fh.write("\n".join(seg_names) + "\n")
+            tmp = f"{self._pointer}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(manifest)
+            os.replace(tmp, self._pointer)  # atomic pointer flip
+            self._gc()
 
     def _gc(self) -> None:
         """Drop manifests older than the retention window and any segment
@@ -149,7 +176,8 @@ class ParquetTable:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
     def overwrite(self, df: DataFrame) -> None:
-        self._commit([self._write_segment(df)])
+        seg = self._write_segment(df)
+        self._commit(lambda prior: [seg])
 
     def append(self, df: DataFrame, auto_compact_at: int | None = None) -> None:
         """WRITE_APPEND semantics (U1/S8): lands ONLY the new batch's
@@ -159,9 +187,13 @@ class ParquetTable:
         segment count reaches this threshold, the table is compacted
         after the append (one O(table) rewrite amortized over that many
         O(batch) appends).  Left off by default so the append itself
-        stays strictly O(batch)."""
-        prior = self._manifest_segments(m) if (m := self.current_manifest()) else []
-        self._commit(prior + [self._write_segment(df)])
+        stays strictly O(batch).
+
+        The prior-segment list is resolved INSIDE the commit lock, so a
+        concurrent writer's freshly-committed segments are referenced,
+        never dropped."""
+        seg = self._write_segment(df)
+        self._commit(lambda prior: prior + [seg])
         if auto_compact_at is not None and len(self.segments()) >= auto_compact_at:
             self.compact()
 

@@ -101,7 +101,17 @@ def land_pages_distributed(df, out_dir: str, page_size: int = 250):
     Returns a LAZY manifest DataFrame (page_path, n_rows); the caller
     must materialize it (count/collect) to force the write.  ``out_dir``
     must be visible to all executors — a shared/object store path in a
-    real cluster, any local dir on local[*]."""
+    real cluster, any local dir on local[*].
+
+    Task-retry safety (ADVICE r2): pages are written to an
+    attempt-unique temp name and os.rename'd into the final
+    ``page-<partition>-<k>.ndjson`` — rename is atomic on one mount, so
+    a speculative duplicate or a zombie first attempt racing its retry
+    can only replace a COMPLETE page with an identical complete page; a
+    reader never observes torn/interleaved NDJSON.  (On an object store
+    without atomic rename, use the committer-style write-then-manifest
+    protocol instead — only paths the winning attempt reported in the
+    returned manifest are read.)"""
     import pandas as pd
 
     from pyspark import TaskContext
@@ -109,13 +119,17 @@ def land_pages_distributed(df, out_dir: str, page_size: int = 250):
     os.makedirs(out_dir, exist_ok=True)
 
     def write_pages(batches):
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         k = 0
         for pdf in batches:
             for i in range(0, len(pdf), page_size):
                 chunk = pdf.iloc[i : i + page_size]
                 path = os.path.join(out_dir, f"page-{pid:05d}-{k:05d}.ndjson")
-                chunk.to_json(path, orient="records", lines=True, date_format="iso")
+                tmp = f"{path}.attempt-{attempt}.tmp"
+                chunk.to_json(tmp, orient="records", lines=True, date_format="iso")
+                os.rename(tmp, path)
                 k += 1
                 yield pd.DataFrame({"page_path": [path], "n_rows": [len(chunk)]})
 
