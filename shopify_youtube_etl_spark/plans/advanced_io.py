@@ -151,3 +151,40 @@ def stateful_user_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
         .select("user_id", F.col("s.n_events").alias("n_events"), money(F.col("s.total_value")).alias("total_value"))
     )
+
+
+@query(
+    "csv_roundtrip_ingest",
+    ref="S6/S8 generalization — CSV serializer sink + schema'd lenient load",
+    doc="documents scalars → CSV (header, quoted) → schema'd read-back → per-lang profile; oracle = direct agg.",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)   AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def csv_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV leg of the serializer-sink family (NDJSON leg:
+    ``json_roundtrip_ingest``): scalar columns out through Spark's CSV
+    writer (header + quoting), back in through an explicit schema with
+    PERMISSIVE mode, then a per-lang profile that must equal the
+    direct aggregation — proving the sink/source pair is lossless for
+    typed scalars.  Free text stays OUT of the CSV on purpose: the
+    engine's contract for newline-bearing payloads is parquet/NDJSON,
+    and this query documents that boundary.  Executor-side partition
+    writes, no driver data path."""
+    src = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = _staging_dir("csvrt", sf_dir)
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

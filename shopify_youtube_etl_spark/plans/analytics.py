@@ -886,3 +886,164 @@ def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
     )
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "funnel_conversion",
+    ref="SURVEY §2.5 extension — ordered event funnel (view → click → purchase)",
+    doc="Users reaching each funnel stage in time order, with conversion rates.",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT)            AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT)            AS n_view_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT)            AS n_full_funnel,
+       round((SELECT count(*) FROM c) * 1.0
+             / greatest((SELECT count(*) FROM v), 1), 6)   AS view_to_click,
+       round((SELECT count(*) FROM p) * 1.0
+             / greatest((SELECT count(*) FROM c), 1), 6)   AS click_to_purchase
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with ONE shuffle: three window passes over the
+    same user_id partitioning compute first-view, first-click-after-
+    view, first-purchase-after-click without re-shuffling (the oracle's
+    three-CTE join chain states the same semantics relationally).  The
+    final global rollup reduces per-user flags map-side to a single
+    row, so the unpartitioned stage sees O(partitions) rows — the
+    standard product-analytics funnel at event-log scale."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("t_view").isNotNull()).alias("has_view"),
+            F.max(F.col("t_click").isNotNull()).alias("has_click"),
+            F.max(F.col("t_purchase").isNotNull()).alias("has_purchase"),
+        )
+    )
+    n_view = F.sum(F.col("has_view").cast("long"))
+    n_click = F.sum(F.col("has_click").cast("long"))
+    n_purch = F.sum(F.col("has_purchase").cast("long"))
+    return staged.agg(
+        n_view.alias("n_view"),
+        n_click.alias("n_view_click"),
+        n_purch.alias("n_full_funnel"),
+        F.round(n_click / F.greatest(n_view, F.lit(1)), 6).alias("view_to_click"),
+        F.round(n_purch / F.greatest(n_click, F.lit(1)), 6).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "rolling_distinct_users_7d",
+    ref="SURVEY §2.5 extension — rolling exact distinct over a calendar range",
+    doc="Per day: exact distinct users active in the trailing 7-day window.",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, user_id
+    FROM events
+),
+days AS (SELECT DISTINCT d FROM du)
+SELECT strftime(days.d, '%Y-%m-%d')              AS day,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+FROM days JOIN du
+  ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY 1
+""",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) has no window form in either engine, so the
+    rolling window is expressed as a range join of the (tiny) day
+    spine against the deduplicated (day, user) pairs — the join fans
+    each pair out at most 7×, then one exact distinct agg per day.
+    Scale shape: |du| ≤ days × daily_actives (already deduplicated —
+    NOT the raw event log), the day spine broadcasts, and the agg
+    shuffles on day.  For approximate needs at extreme scale, swap the
+    exact distinct for per-day HLL sketch unions."""
+    e = t(spark, sf_dir, "events")
+    du = e.select(
+        epoch_day(F.col("ts")).alias("d"), day_str(F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = du.select("d", "day").distinct()
+    pairs = F.broadcast(days.select(F.col("d").alias("spine_d"), "day")).join(
+        du.select("d", "user_id"),
+        (F.col("d") >= F.col("spine_d") - 6) & (F.col("d") <= F.col("spine_d")),
+    )
+    return (
+        pairs.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select("day", "users_7d")
+    )
+
+
+@query(
+    "lateral_top3_orders_per_customer",
+    ref="SURVEY §2.3 extension — correlated LATERAL subquery with per-group LIMIT",
+    doc="Each customer's top-3 orders by price via LATERAL (decorrelated by Catalyst).",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 3
+) o
+""",
+)
+def lateral_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-surface twin of the window-function top-k: Catalyst
+    decorrelates the LATERAL subquery into a join + per-key window
+    (no per-customer re-execution), so the physical plan matches the
+    hand-written row_number formulation — same single shuffle on the
+    correlation key at scale.  Registered to prove the engine's SQL
+    entry point covers correlated table subqueries, not just the
+    DataFrame API."""
+    from shopify_youtube_etl_spark.sources.tables import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) o
+        """
+    )

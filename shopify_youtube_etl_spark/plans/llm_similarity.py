@@ -24,6 +24,7 @@ from shopify_youtube_etl_spark.plans.registry import query
 
 # Shared DuckDB fragments.
 _D_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_D_WORDS = "string_split_regex(trim(text), '\\s+')"
 _D_SHINGLES = """
 CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
      THEN list_distinct(list_transform(
@@ -743,4 +744,299 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@query(
+    "dedup_representative_pick",
+    ref="dedup clustering step 2 — keep the best-quality doc per near-dup component",
+    doc="Per connected component: the representative (max quality, min doc_id tie-break) + member count.",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id, lang, source,
+           round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (len(list_distinct({_D_WORDS})) * 1.0 / greatest(len({_D_WORDS}), 1))
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                        / greatest(length(text), 1)), 6) AS quality
+    FROM documents
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY quality DESC, doc_id)   AS rn,
+           count(*)  OVER (PARTITION BY lang, source)          AS n_members,
+           min(doc_id) OVER (PARTITION BY lang, source)        AS component_id
+    FROM q
+)
+SELECT CAST(component_id AS BIGINT)   AS component_id,
+       CAST(doc_id AS BIGINT)         AS representative_id,
+       quality                        AS representative_quality,
+       CAST(n_members AS BIGINT)      AS n_members
+FROM r WHERE rn = 1
+""",
+)
+def dedup_representative_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step a dedup pipeline runs AFTER clustering: every near-dup
+    component keeps exactly one representative — here the max-quality
+    member (min doc_id on ties).  The components come from the REAL
+    iterative operator (``connected_components`` over the same
+    deterministic chain edges as ``neardup_components``, so components
+    == (lang, source) groups and the oracle can state the expected
+    pick in one window query).  Scale: one extra shuffle on the
+    component label for the row_number window, after the O(log
+    diameter) propagation rounds."""
+    from pyspark.sql.window import Window
+
+    from shopify_youtube_etl_spark.functions.text import quality_score
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w_chain = Window.partitionBy("lang", "source").orderBy("doc_id")
+    chain = (
+        d.withColumn("prev", F.lag("doc_id").over(w_chain))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    labels = connected_components(chain, d.select("doc_id"))
+    members = labels.join(d, labels["node"] == d["doc_id"]).select(
+        F.col("label").alias("component_id"), "doc_id", "quality"
+    )
+    w_pick = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w_pick))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component_id")))
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("representative_id"),
+            F.col("quality").alias("representative_quality"),
+            "n_members",
+        )
+    )
+
+
+@query(
+    "anti_join_decontaminate",
+    ref="training-data staple — drop benchmark-contaminated docs (left-anti at scale)",
+    doc="Corpus minus docs sharing >=20% 3-gram shingles with the benchmark slice; surviving doc counts per source.",
+    oracle=f"""
+WITH bench AS (
+    SELECT DISTINCT unnest({_D_SHINGLES}) AS sh
+    FROM documents WHERE doc_id % 50 = 7
+),
+docs AS (
+    SELECT doc_id, unnest({_D_SHINGLES}) AS sh
+    FROM documents WHERE doc_id % 50 <> 7
+),
+tot AS (
+    SELECT doc_id, count(*) AS n_shingles FROM docs GROUP BY doc_id
+),
+hit AS (
+    SELECT doc_id, count(*) AS n_contaminated
+    FROM docs JOIN bench USING (sh) GROUP BY doc_id
+),
+contaminated AS (
+    SELECT tot.doc_id
+    FROM tot JOIN hit ON tot.doc_id = hit.doc_id
+    WHERE n_contaminated * 1.0 / n_shingles >= 0.2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_clean_docs,
+       CAST(sum(n_chars) AS BIGINT) AS clean_chars
+FROM documents
+WHERE doc_id % 50 <> 7
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY source
+""",
+)
+def anti_join_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`benchmark_contamination` REPORTS overlap; this query ACTS on it
+    — the actual decontamination a pretraining pipeline ships: docs at
+    ≥20% shingle overlap with the benchmark are removed via left_anti
+    (no widening, no distinct needed) and the survivors are profiled
+    per source.  Scale: the benchmark shingle set is the small side
+    (eval sets are tiny) and broadcasts; corpus shingles stream past
+    it map-side, so the only big shuffles are the per-doc count aggs."""
+    from shopify_youtube_etl_spark.functions.text import shingles_from_words, words
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 50 != 7)
+    shingled = corpus.select(
+        "doc_id", words(F.col("text")).alias("ws")
+    ).select("doc_id", F.explode(shingles_from_words("ws", 3)).alias("sh"))
+    bench = (
+        d.where(F.col("doc_id") % 50 == 7)
+        .select(words(F.col("text")).alias("ws"))
+        .select(F.explode(shingles_from_words("ws", 3)).alias("sh"))
+        .distinct()
+    )
+    tot = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        shingled.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    contaminated = (
+        tot.join(hit, "doc_id")
+        .where(F.col("n_contaminated") / F.col("n_shingles") >= 0.2)
+        .select("doc_id")
+    )
+    return (
+        corpus.join(contaminated, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_clean_docs"),
+            F.sum("n_chars").alias("clean_chars"),
+        )
+    )
+
+
+_EMB_DIM = 64  # testdata embedding width (TESTDATA.md)
+
+
+@query(
+    "embedding_centroid_per_label",
+    ref="similarity search support — per-class centroid + cohesion (cluster quality)",
+    doc="Per label: member count and mean cosine of members to the label centroid.",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, label, {_D_VEC} AS v FROM embeddings
+),
+dims AS (
+    SELECT label, i, avg(v[i]) AS c
+    FROM e, generate_series(1, {_EMB_DIM}) AS t(i)
+    GROUP BY label, i
+),
+cent AS (
+    SELECT label, list(c ORDER BY i) AS centroid FROM dims GROUP BY label
+),
+coh AS (
+    SELECT e.label,
+           list_dot_product(e.v, cent.centroid)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(cent.centroid, cent.centroid))) AS cos
+    FROM e JOIN cent ON e.label = cent.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(cos), 6)       AS avg_cosine_to_centroid
+FROM coh GROUP BY label
+""",
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroids WITHOUT exploding vectors to (rows × dim) tuples: the
+    per-dimension means are {_EMB_DIM} parallel avg() aggregates over
+    element_at — ONE shuffle on label with map-side partial aggregation
+    (the posexplode formulation would shuffle dim× more rows).  The
+    tiny (labels × dim) centroid table broadcasts back for the cosine
+    cohesion pass — the fan-out/fan-in shape a 100 TB k-means or
+    class-quality audit uses."""
+    from shopify_youtube_etl_spark.functions.similarity import as_double_array, cosine
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", as_double_array("embedding").alias("v")
+    )
+    cent = e.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.col("v").getItem(i)) for i in range(_EMB_DIM)]
+        ).alias("centroid")
+    )
+    return (
+        e.join(F.broadcast(cent), "label")
+        .select("label", cosine(F.col("v"), F.col("centroid")).alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("cos"), 6).alias("avg_cosine_to_centroid"),
+        )
+    )
+
+
+@query(
+    "knn_label_accuracy",
+    ref="similarity search quality — top-k neighbor label agreement (kNN accuracy)",
+    doc="For the 16 probe vectors: fraction whose top-1 / majority-of-top-5 neighbor label matches.",
+    oracle=f"""
+WITH p AS (
+    SELECT vec_id AS probe_id, label AS probe_label, {_D_VEC} AS pv
+    FROM embeddings WHERE vec_id < 16
+),
+c AS (
+    SELECT vec_id AS neighbor_id, label AS neighbor_label, {_D_VEC} AS cv FROM embeddings
+),
+s AS (
+    SELECT probe_id, probe_label, neighbor_id, neighbor_label,
+           round(list_dot_product(pv, cv)
+                 / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+    FROM p, c WHERE probe_id <> neighbor_id
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM s
+),
+top5 AS (SELECT * FROM r WHERE rank <= 5)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       round(sum(CASE WHEN rank = 1 AND neighbor_label = probe_label THEN 1 ELSE 0 END)
+             * 1.0 / count(DISTINCT probe_id), 6) AS top1_accuracy,
+       round(sum(CASE WHEN neighbor_label = probe_label THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS top5_label_share
+FROM top5
+""",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metric that tells you whether an embedding space is usable
+    for retrieval: does a probe's nearest neighborhood share its label?
+    Reuses the brute-force top-k shape (broadcast probe slice, one
+    corpus pass, partition-local prune is upstream in the ann query)
+    then joins labels and reduces to one row — so the whole audit adds
+    O(probes × k) rows to the ann plan."""
+    from pyspark.sql.window import Window
+
+    from shopify_youtube_etl_spark.functions.similarity import as_double_array, cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        as_double_array("embedding").alias("pv"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double_array("embedding").alias("cv"),
+    )
+    sims = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("pv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    top5 = sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    return top5.agg(
+        F.count("*").alias("n_probes"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("rank") == 1) & (F.col("neighbor_label") == F.col("probe_label")), 1
+                ).otherwise(0)
+            )
+            / F.countDistinct("probe_id"),
+            6,
+        ).alias("top1_accuracy"),
+        F.round(
+            F.sum(F.when(F.col("neighbor_label") == F.col("probe_label"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("top5_label_share"),
     )

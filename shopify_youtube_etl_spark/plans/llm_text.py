@@ -703,3 +703,108 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("token", "n_occurrences", "n_docs", "rank")
     )
+
+
+@query(
+    "bigram_top_terms",
+    ref="training-data staple — corpus n-gram frequency (bigrams)",
+    doc="Top-20 word bigrams by corpus frequency with document frequency.",
+    oracle=f"""
+SELECT bigram, n_occurrences, n_docs, rank
+FROM (
+    SELECT bigram,
+           CAST(count(*) AS BIGINT)                 AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT)   AS n_docs,
+           row_number() OVER (ORDER BY count(*) DESC, bigram) AS rank
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len({_D_WORDS}) - 1),
+                   i -> {_D_WORDS}[i] || ' ' || {_D_WORDS}[i+1])) AS bigram
+        FROM documents
+        WHERE len({_D_WORDS}) >= 2
+    )
+    GROUP BY bigram
+)
+WHERE rank <= 20
+""",
+)
+def bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-level aggregation shape as ``vocab_top_tokens`` (partial
+    map-side counts, one shuffle on the bigram, O(k) final window) but
+    over adjacent word pairs — the building block for n-gram LM stats
+    and boilerplate detection.  Bigrams are built in ONE pass over the
+    materialized word array with a 0-based index transform (no
+    self-join of consecutive tokens, which would shuffle the exploded
+    token table twice)."""
+    from pyspark.sql.window import Window
+
+    bigrams = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")
+            ).alias("bigram"),
+        )
+        .groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
+    return (
+        bigrams.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("bigram", "n_occurrences", "n_docs", "rank")
+    )
+
+
+@query(
+    "token_length_histogram",
+    ref="training-data staple — sequence-length distribution (packing/truncation planning)",
+    doc="Histogram of per-document token counts in buckets of 50, with share of corpus.",
+    oracle=f"""
+WITH n AS (
+    SELECT CAST(least(floor(len({_D_WORDS}) / 50), 10) AS BIGINT) AS bucket,
+           len({_D_WORDS}) AS n_tokens
+    FROM documents
+)
+SELECT bucket,
+       CAST(bucket * 50 AS BIGINT)                            AS bucket_lo,
+       CAST(count(*) AS BIGINT)                               AS n_docs,
+       round(avg(n_tokens), 6)                                AS avg_tokens,
+       round(count(*) * 1.0 / (SELECT count(*) FROM n), 6)    AS share
+FROM n
+GROUP BY bucket
+""",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution every packing/truncation decision starts from.
+    Bucketing is a map-side integer expression; the agg is one shuffle
+    on ≤11 keys with partial aggregation, and the corpus-total share
+    divisor arrives via a 1-row cross-joined subtotal (broadcast), so
+    nothing driver-side touches the data."""
+    d = t(spark, sf_dir, "documents").select(F.size(words(F.col("text"))).alias("n_tokens"))
+    hist = (
+        d.select(
+            F.least(F.floor(F.col("n_tokens") / 50), F.lit(10)).cast("long").alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_tokens"), 6).alias("avg_tokens"))
+    )
+    total = d.agg(F.count("*").alias("n_total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50).cast("long").alias("bucket_lo"),
+            "n_docs",
+            "avg_tokens",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+        )
+    )

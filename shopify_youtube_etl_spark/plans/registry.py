@@ -86,6 +86,17 @@ _DRIVER_PRIORITY = [
     "pagestore_distributed_ingest",
     "stateful_user_totals",
     "salted_join_revenue",
+    # Round-3 additions (no external record yet, by construction).
+    "funnel_conversion",
+    "rolling_distinct_users_7d",
+    "lateral_top3_orders_per_customer",
+    "bigram_top_terms",
+    "token_length_histogram",
+    "dedup_representative_pick",
+    "anti_join_decontaminate",
+    "embedding_centroid_per_label",
+    "knn_label_accuracy",
+    "csv_roundtrip_ingest",
 ]
 
 
