@@ -1047,3 +1047,45 @@ def lateral_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
         ) o
         """
     )
+
+
+@query(
+    "order_value_extremes_per_segment",
+    ref="SURVEY §2.5 completion — first_value/last_value/nth_value over full frames",
+    doc="Per market segment: cheapest, priciest, and second-cheapest order via value-window functions.",
+    oracle="""
+SELECT DISTINCT c_mktsegment,
+       round(first_value(o_totalprice) OVER w, 2)    AS cheapest,
+       round(nth_value(o_totalprice, 2) OVER w, 2)   AS second_cheapest,
+       round(last_value(o_totalprice) OVER w, 2)     AS priciest
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def order_value_extremes_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window functions over an explicit UNBOUNDED/UNBOUNDED frame
+    — the family (first_value, last_value, nth_value) the rank/offset
+    queries don't touch, with the classic last_value pitfall handled:
+    the default frame stops at CURRENT ROW, so last_value would echo
+    each row's own value unless the full frame is spelled out.  Orders
+    shuffle once on the (broadcast-joined) segment key; the tie-break
+    on o_orderkey makes every output deterministic."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            money(F.first("o_totalprice").over(w)).alias("cheapest"),
+            money(F.nth_value("o_totalprice", 2).over(w)).alias("second_cheapest"),
+            money(F.last("o_totalprice").over(w)).alias("priciest"),
+        )
+        .distinct()
+    )

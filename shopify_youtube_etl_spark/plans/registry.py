@@ -97,6 +97,9 @@ _DRIVER_PRIORITY = [
     "embedding_centroid_per_label",
     "knn_label_accuracy",
     "csv_roundtrip_ingest",
+    "tpch_q1_pricing_summary",
+    "order_value_extremes_per_segment",
+    "except_all_multiset_diff",
 ]
 
 

@@ -453,3 +453,75 @@ def union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_rows"), money(F.sum("o_totalprice")).alias("total_price"))
     )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    ref="A1/A7/§2.4 canonical form — TPC-H Q1 pricing summary (full aggregate battery)",
+    doc="Classic Q1: per (returnflag, linestatus) sums/avgs with tax and discount terms.",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT)                     AS sum_qty,
+       round(sum(l_extendedprice), 2)                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)                           AS avg_qty,
+       round(avg(l_extendedprice), 6)                      AS avg_price,
+       round(avg(l_discount), 6)                           AS avg_disc,
+       CAST(count(*) AS BIGINT)                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical OLAP aggregation benchmark query, stated 1:1: a
+    pushed ship-date filter, then eight aggregates over two low-
+    cardinality keys — pure map-side partial aggregation into a ~6-row
+    shuffle, the shape Catalyst + Tungsten handle at any scale.  The
+    ship-date literal is Q1's spec value (DATE '1998-12-01' - 90 days)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        money(F.sum("l_extendedprice")).alias("sum_base_price"),
+        money(F.sum(disc)).alias("sum_disc_price"),
+        money(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "except_all_multiset_diff",
+    ref="U1/§2.7 completion — EXCEPT ALL / INTERSECT ALL (multiset semantics)",
+    doc="Multiset difference of order-status rows: high-value minus urgent, duplicates preserved.",
+    oracle="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 150000
+    EXCEPT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY o_orderstatus
+""",
+)
+def except_all_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the set-operation family with the ALL variants:
+    ``exceptAll`` keeps multiplicity (a row occurring m times on the
+    left and n on the right survives max(m−n, 0) times), which the
+    DISTINCT variants destroy.  Spark plans it as a counted aggregation
+    + generate — one shuffle on the full row, no join explosion."""
+    o = t(spark, sf_dir, "orders")
+    high = o.where(F.col("o_totalprice") > 150000).select("o_orderstatus", "o_orderpriority")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return (
+        high.exceptAll(urgent)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"))
+    )
