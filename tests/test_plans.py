@@ -113,6 +113,55 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q1_pushes_shipdate_filter_and_partial_aggregates(spark, sf_dir):
+    """TPC-H Q1 must read only its 8 columns with the ship-date filter
+    pushed to the scan, and aggregate map-side before the (tiny) final
+    shuffle — the canonical partial-agg shape."""
+    plan = plan_of(spark, "tpch_q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]  # pruned
+    assert "partial" in plan.lower()  # HashAggregate(partial) before Exchange
+
+
+def test_decontaminate_broadcasts_benchmark_and_plans_left_anti(spark, sf_dir):
+    """The decontamination action: benchmark shingles broadcast (small
+    side), and the removal is a native LeftAnti — no distinct/widening."""
+    plan = plan_of(spark, "anti_join_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_centroid_aggregates_without_posexplode(spark, sf_dir):
+    """Per-label centroids must be parallel avg() aggregates — a Generate
+    (posexplode) node would mean the (rows × dim) blow-up shuffle."""
+    plan = plan_of(spark, "embedding_centroid_per_label", sf_dir)
+    assert "Generate" not in plan
+    assert "BroadcastHashJoin" in plan  # centroid table broadcast back
+
+
+def test_funnel_shuffles_once_on_user(spark, sf_dir):
+    """Three window passes + the per-user rollup must reuse ONE user_id
+    exchange (a second hash exchange would mean a re-shuffle between
+    the window stages); the only other allowed exchange is the 1-row
+    SinglePartition gather for the final global aggregate."""
+    import re
+
+    plan = plan_of(spark, "funnel_conversion", sf_dir)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 2, f"expected user_id + final-gather exchanges, got {n_exchanges}"
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "SinglePartition" in plan
+
+
+def test_lateral_decorrelates_to_window(spark, sf_dir):
+    """LATERAL + LIMIT must decorrelate into a join/window plan — the
+    plan may not re-execute the subquery per outer row (no nested
+    CartesianProduct, exactly the window top-k shape)."""
+    plan = plan_of(spark, "lateral_top3_orders_per_customer", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
 def test_no_cartesian_in_oracle_queries(spark, sf_dir):
     """Probe-side crossJoins must compile to Broadcast NLJ, never a
     shuffle CartesianProduct.  (ann_cosine_topk left this list when it
