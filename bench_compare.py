@@ -48,12 +48,14 @@ def compare(old: dict, new: dict) -> dict:
         rows[name] = {"old_sec": a, "new_sec": b, "delta_pct": round(100 * delta, 1)}
         if delta > THRESHOLD and b - a > MIN_SECONDS:
             regressions.append(name)
+    old_total = old.get("value") or 0.0  # guard: absent, null, or 0 in a truncated artifact
+    new_total = new.get("value") or 0.0
     return {
         "old_total_sec": old.get("value"),
         "new_total_sec": new.get("value"),
-        "total_delta_pct": round(
-            100 * (new.get("value", 0) - old.get("value", 0)) / old.get("value", 1), 1
-        ),
+        "total_delta_pct": round(100 * (new_total - old_total) / old_total, 1)
+        if old_total
+        else None,
         "threshold_pct": int(100 * THRESHOLD),
         "queries": rows,
         "added": sorted(set(new_q) - set(old_q)),

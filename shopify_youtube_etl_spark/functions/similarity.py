@@ -169,14 +169,20 @@ def capped_struct_pairs(
         f" p -> p.a.{id_field} < p.b.{id_field})"
     )
     # The hub is the (unique-id) member holding the bucket's min id, so
-    # hub.{id} < x.{id} for every other member — pair order holds.
+    # hub.{id} < x.{id} for every other member — pair order holds.  One
+    # O(n) aggregate pass finds it, and the single-element transform()
+    # binds it ONCE as a lambda variable — inlining the hub expression
+    # into the per-member lambdas would re-evaluate it for every member,
+    # turning the cap's promised linear degradation into O(n²) compute
+    # on exactly the hot buckets it exists to bound (review r3).
     hub = (
-        f"element_at(filter({m}, h -> h.{id_field} ="
-        f" array_min(transform({m}, e -> e.{id_field}))), 1)"
+        f"aggregate({m}, element_at({m}, 1),"
+        f" (acc, e) -> IF(e.{id_field} < acc.{id_field}, e, acc))"
     )
     star_pairs = (
-        f"transform(filter({m}, x -> x.{id_field} <> {hub}.{id_field}),"
-        f" x -> struct({hub} AS a, x AS b))"
+        f"flatten(transform(array({hub}), hub ->"
+        f" transform(filter({m}, x -> x.{id_field} <> hub.{id_field}),"
+        f" x -> struct(hub AS a, x AS b))))"
     )
     return F.when(F.size(m) <= max_bucket_size, F.expr(all_pairs)).otherwise(
         F.expr(star_pairs)

@@ -124,12 +124,19 @@ class ParquetTable:
         df.write.mode("overwrite").parquet(os.path.join(self.path, seg))
         return seg
 
-    def _commit(self, compute_segments) -> None:
+    @staticmethod
+    def _manifest_seq(name: str) -> int:
+        return int(name.split("-")[1].split(".")[0])
+
+    def _commit(self, compute_segments) -> bool:
         """Serialized commit (ADVICE r2): ``compute_segments(prior)``
         returns the new manifest's segment list given the CURRENT live
         segments, and runs under an exclusive flock so two writers (e.g.
         a streaming foreachBatch sink racing a batch pipeline) can't
         compute the same seq and silently drop each other's commit.
+        ``compute_segments`` may return None to ABORT (nothing is
+        published; returns False) — used by ``compact`` when a
+        conflicting commit landed since its snapshot.
         Only the tiny manifest/pointer work holds the lock — segment
         data is written before ``_commit`` is entered.  The manifest is
         additionally created with O_EXCL on a seq-deterministic name, so
@@ -144,10 +151,24 @@ class ParquetTable:
         with open(os.path.join(self.path, "_COMMIT_LOCK"), "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
             cur = self.current_manifest()
+            cur_seq = self._manifest_seq(cur) if cur else -1
+            # Self-heal crash orphans: a writer killed between manifest
+            # creation and the pointer flip leaves manifest-(cur_seq+1)
+            # with no pointer.  We hold the writer lock, so any manifest
+            # newer than _CURRENT can only be such a leftover — remove it,
+            # else every later commit collides on O_EXCL forever and
+            # _gc/read_at would treat the uncommitted file as the newest
+            # generation.  (On a broken-flock mount this heal could race a
+            # live writer; the O_EXCL create below still raises rather
+            # than losing a commit in that unsupported configuration.)
+            for f in os.listdir(self.path):
+                if f.startswith("manifest-") and self._manifest_seq(f) > cur_seq:
+                    os.remove(os.path.join(self.path, f))
             prior = self._manifest_segments(cur) if cur else []
             seg_names = compute_segments(prior)
-            seq = int(cur.split("-")[1].split(".")[0]) + 1 if cur else 0
-            manifest = f"manifest-{seq:016d}.txt"
+            if seg_names is None:
+                return False
+            manifest = f"manifest-{cur_seq + 1:016d}.txt"
             fd = os.open(
                 os.path.join(self.path, manifest),
                 os.O_CREAT | os.O_EXCL | os.O_WRONLY,
@@ -159,21 +180,34 @@ class ParquetTable:
                 fh.write(manifest)
             os.replace(tmp, self._pointer)  # atomic pointer flip
             self._gc()
+            return True
 
     def _gc(self) -> None:
-        """Drop manifests older than the retention window and any segment
-        no retained manifest references."""
+        """Drop manifests older than the retention window, plus the
+        segments they RETIRE (referenced by a dropped manifest and by no
+        retained one).  Deleting by positive retirement — rather than
+        sweeping every seg dir no kept manifest references — is what
+        makes concurrent writers safe: a writer's segment exists on disk
+        BEFORE its commit (``_write_segment`` runs outside the lock), so
+        a blanket sweep from another writer's commit would delete an
+        in-flight segment mid-write (review r3, observed as a Hadoop
+        ``_temporary`` chmod failure).  A segment's last referencing
+        manifest is dropped exactly once, so every committed segment is
+        still collected; only segments of a writer that CRASHED between
+        write and commit leak, and those are never referenced — an
+        offline vacuum concern, not a correctness one."""
         manifests = sorted(
             (f for f in os.listdir(self.path) if f.startswith("manifest-")),
             reverse=True,  # seq is zero-padded: lexicographic == numeric
         )
         keep, drop = manifests[: self.KEEP_GENERATIONS + 1], manifests[self.KEEP_GENERATIONS + 1 :]
-        referenced = {s for m in keep for s in self._manifest_segments(m)}
+        kept_refs = {s for m in keep for s in self._manifest_segments(m)}
+        retired: set[str] = set()
         for m in drop:
+            retired.update(self._manifest_segments(m))
             os.remove(os.path.join(self.path, m))
-        for entry in os.listdir(self.path):
-            if entry.startswith("seg-") and entry not in referenced:
-                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        for seg in retired - kept_refs:
+            shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
 
     def overwrite(self, df: DataFrame) -> None:
         seg = self._write_segment(df)
@@ -202,8 +236,28 @@ class ParquetTable:
         maintenance for append-heavy tables — many tiny segments mean
         many tiny parquet footers and tasks at read time).  Safe against
         concurrent readers like any commit: the old segments stay on
-        disk for KEEP_GENERATIONS more commits."""
-        self.overwrite(self.read())
+        disk for KEEP_GENERATIONS more commits.
+
+        Concurrency: the (expensive) rewrite runs OUTSIDE the commit
+        lock against a snapshot, then the commit folds against the
+        then-current ``prior`` list — segments appended since the
+        snapshot are carried into the new manifest, never dropped
+        (review r3: ``overwrite(read())`` silently discarded them).  If
+        the snapshot is no longer a subset of ``prior`` (another compact
+        or an overwrite won), this compaction ABORTS and deletes its
+        segment — re-merging would double-count rows."""
+        snapshot = self.segments()
+        if not snapshot:
+            return
+        snap_names = {os.path.basename(s) for s in snapshot}
+        seg = self._write_segment(self.spark.read.parquet(*snapshot))
+        committed = self._commit(
+            lambda prior: [seg] + [p for p in prior if p not in snap_names]
+            if snap_names <= set(prior)
+            else None
+        )
+        if not committed:
+            shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
 
     def read_at(self, generations_back: int = 0) -> DataFrame:
         """Time travel over the retained generations: 0 = current,

