@@ -84,3 +84,25 @@ def bucketed_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, left[left_key] == right[right_key])
+
+
+def zorder_value(x_col: str, y_col: str, bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of two non-negative integer columns
+    — the multi-dimensional clustering key Delta's OPTIMIZE ZORDER BY
+    computes.  Bit b of ``x`` lands at position 2b, bit b of ``y`` at
+    2b+1, so rows close in BOTH dimensions get close z-values; writing
+    with ``repartitionByRange(z).sortWithinPartitions(z)`` then gives
+    every parquet file a narrow min/max envelope on BOTH columns and
+    the reader prunes on either predicate.
+
+    Pure JVM higher-order expression (one fold over ``bits`` positions,
+    no UDF, no shuffle); column args are names/SQL expressions, same
+    convention as functions/text.py.  Inputs must fit in ``bits`` bits
+    — mask beforehand (``F.col(c) % (1 << bits)``) or the interleave
+    silently aliases distant values."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),"
+        f" (acc, b) -> acc"
+        f" + shiftleft(CAST(shiftright({x_col}, b) & 1 AS BIGINT), 2*b)"
+        f" + shiftleft(CAST(shiftright({y_col}, b) & 1 AS BIGINT), 2*b+1))"
+    )

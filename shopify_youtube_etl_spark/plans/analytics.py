@@ -1089,3 +1089,71 @@ def order_value_extremes_per_segment(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .distinct()
     )
+
+
+@query(
+    "scd2_status_history",
+    ref="warehouse staple the reference's final tables lack — slowly-changing-dimension type 2 from an event log",
+    doc="SCD2 validity intervals per customer from order-status changes; per status: version count, open versions, closed days.",
+    oracle="""
+WITH h AS (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_status
+    FROM orders
+),
+chg AS (
+    SELECT * FROM h WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+),
+v AS (
+    SELECT o_custkey, o_orderstatus,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           CAST(lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS DATE) AS valid_to
+    FROM chg
+)
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(*) FILTER (WHERE valid_to IS NULL) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 0
+                     ELSE date_diff('day', valid_from, valid_to) END)
+            AS BIGINT) AS closed_days
+FROM v GROUP BY status
+""",
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from a change log: a
+    customer's order-status runs collapse into versioned rows with
+    [valid_from, valid_to) — valid_to NULL for the open version — then
+    a compact per-status profile so the hash is stable.  The change
+    detection is lag() over (customer, orderdate, orderkey) — the
+    deterministic tie-break matters, or same-day orders would make the
+    version set engine-dependent.  Scale: both windows share ONE
+    partitioning (o_custkey), so Catalyst plans a single shuffle +
+    sort and the lead() reuses the lag()'s sort order."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    versions = chg.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.to_date(F.lead("o_orderdate").over(w)).alias("valid_to"),
+    )
+    return versions.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias("n_open"),
+        F.sum(
+            F.when(F.col("valid_to").isNull(), 0).otherwise(
+                F.datediff("valid_to", "valid_from")
+            )
+        ).alias("closed_days"),
+    )

@@ -282,3 +282,86 @@ def run_ledger_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss",
         ).alias("last_success_wm"),
     )
+
+
+@query(
+    "reconcile_tables",
+    ref="J3/D2 extension — the pre-apply audit a MERGE pipeline prints (monitoring-guide.md:73-95 spirit)",
+    doc="Full-outer staging-vs-final comparison classified insert/update/unchanged/delete, with row counts and net value drift.",
+    oracle="""
+WITH staging AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 1000 = 1
+),
+f AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+j AS (
+    SELECT f.o_orderkey AS fk, s.o_orderkey AS sk,
+           f.o_totalprice AS fp, s.o_totalprice AS sp,
+           f.o_orderstatus AS fs, s.o_orderstatus AS ss
+    FROM f FULL OUTER JOIN staging s ON f.o_orderkey = s.o_orderkey
+)
+SELECT CASE WHEN fk IS NULL THEN 'insert'
+            WHEN sk IS NULL THEN 'delete'
+            WHEN fp <> sp OR fs <> ss THEN 'update'
+            ELSE 'unchanged' END                             AS action,
+       CAST(count(*) AS BIGINT)                              AS n_rows,
+       round(sum(coalesce(sp, 0) - coalesce(fp, 0)), 2)      AS value_drift
+FROM j GROUP BY 1
+""",
+)
+def reconcile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dry-run audit before a MERGE: classify every key as
+    insert (staging only), delete (final only), update (both, any
+    non-key column differs) or unchanged, with the net value drift the
+    apply would cause.  The perturbation is +10.0 (exact double add,
+    not a re-round) so the update classification is bit-identical on
+    both engines.  Scale: ONE shuffle — the full-outer sort-merge join
+    on the key — then a map-side classify + partial agg; neither side
+    broadcasts (both are table-sized), which is exactly the plan a 100
+    TB reconciliation wants."""
+    final = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    key = F.col("o_orderkey")
+    updates = final.where(key % 4 == 0).withColumn(
+        "o_totalprice",
+        F.when(key % 8 == 0, F.col("o_totalprice") + 10.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserts = final.where(key % 1000 == 1).withColumn(
+        "o_orderkey", key + 100000000
+    )
+    staging = updates.unionByName(inserts)
+    j = final.alias("f").join(
+        staging.alias("s"),
+        F.col("f.o_orderkey") == F.col("s.o_orderkey"),
+        "full_outer",
+    )
+    action = (
+        F.when(F.col("f.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("s.o_orderkey").isNull(), F.lit("delete"))
+        .when(
+            (F.col("f.o_totalprice") != F.col("s.o_totalprice"))
+            | (F.col("f.o_orderstatus") != F.col("s.o_orderstatus")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    drift = F.coalesce(F.col("s.o_totalprice"), F.lit(0.0)) - F.coalesce(
+        F.col("f.o_totalprice"), F.lit(0.0)
+    )
+    return (
+        j.select(action.alias("action"), drift.alias("d"))
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("n_rows"),
+            money(F.sum("d")).alias("value_drift"),
+        )
+    )

@@ -1049,3 +1049,75 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top5_label_share"),
     )
+
+
+@query(
+    "leakage_safe_split",
+    ref="dedup clustering step 3 — near-dup-aware train/val/test split (no component straddles splits)",
+    doc="Whole near-dup components assigned to train/val/test by a deterministic hash of the component id.",
+    oracle="""
+WITH comp AS (
+    SELECT min(doc_id) AS component_id,
+           count(*)    AS n_docs,
+           sum(n_chars) AS chars
+    FROM documents GROUP BY lang, source
+),
+s AS (
+    SELECT CASE WHEN (component_id * 2654435761) % 1000 < 800 THEN 'train'
+                WHEN (component_id * 2654435761) % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           n_docs, chars
+    FROM comp
+)
+SELECT split,
+       CAST(count(*)   AS BIGINT) AS n_components,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(chars)  AS BIGINT) AS total_chars
+FROM s GROUP BY split
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A naive per-doc split leaks: near-duplicate docs land on both
+    sides of train/test and the eval is contaminated.  The safe split
+    assigns whole NEAR-DUP COMPONENTS: cluster (the real iterative
+    ``connected_components`` over the same deterministic chain edges as
+    ``neardup_components``, so components == (lang, source) groups and
+    the oracle is one GROUP BY), then bucket each component by a
+    deterministic multiplicative hash of its label — 80/10/10.  Every
+    member inherits its component's split by construction.  The hash is
+    Knuth multiplicative mod 1000, expressible identically in both
+    engines; at 100 TB doc ids wide enough to overflow the product
+    should switch to ``xxhash64(component_id)`` (same plan shape, no
+    cross-engine oracle).  Scale: the split decision is one map-side
+    expression after the O(log diameter) propagation rounds; the final
+    profile is one shuffle on the 3-value split key."""
+    from pyspark.sql.window import Window
+
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    chain = (
+        d.withColumn("prev", F.lag("doc_id").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    labels = connected_components(chain, d.select("doc_id"))
+    members = labels.join(d, labels["node"] == d["doc_id"]).select(
+        F.col("label").alias("component_id"), "doc_id", "n_chars"
+    )
+    bucket = (F.col("component_id") * F.lit(2654435761)) % 1000
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        members.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.countDistinct("component_id").alias("n_components"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

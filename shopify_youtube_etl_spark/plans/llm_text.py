@@ -808,3 +808,52 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "temperature_resample_weights",
+    ref="multilingual pretraining staple — temperature-based language mixture (mC4/XLM-R style)",
+    doc="Per language: raw share p, temperature-resampled share p^a/Z (a=0.3), and the sampling boost it implies.",
+    oracle="""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+p AS (
+    SELECT lang, n_docs,
+           n_docs * 1.0 / sum(n_docs) OVER () AS p_raw,
+           pow(n_docs * 1.0 / sum(n_docs) OVER (), 0.3) AS pw
+    FROM c
+)
+SELECT lang,
+       CAST(n_docs AS BIGINT)                 AS n_docs,
+       round(p_raw, 6)                        AS p_raw,
+       round(pw / sum(pw) OVER (), 6)         AS p_resampled,
+       round(pw / sum(pw) OVER () / p_raw, 6) AS boost
+FROM p
+""",
+)
+def temperature_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling flattens the language distribution before
+    pretraining: resampled share ∝ p^α (α=0.3 here, the mC4 setting),
+    so low-resource languages are up-sampled (boost > 1) and the head
+    language is down-sampled.  Scale: the heavy work is ONE count
+    aggregation over the corpus; the unpartitioned windows then run on
+    the tiny per-language frame (|langs| rows — single partition is
+    the POINT, not a skew bug).  The boost column is what a weighted
+    sampler (e.g. ``stratified_sample_by_lang``) consumes."""
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    everything = Window.partitionBy()
+    p_raw = F.col("n_docs") / F.sum("n_docs").over(everything)
+    p = c.select("lang", "n_docs", p_raw.alias("p_raw")).withColumn(
+        "pw", F.pow("p_raw", F.lit(0.3))
+    )
+    z = F.sum("pw").over(everything)
+    return p.select(
+        "lang",
+        "n_docs",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(F.col("pw") / z, 6).alias("p_resampled"),
+        F.round(F.col("pw") / z / F.col("p_raw"), 6).alias("boost"),
+    )

@@ -100,6 +100,15 @@ _DRIVER_PRIORITY = [
     "tpch_q1_pricing_summary",
     "order_value_extremes_per_segment",
     "except_all_multiset_diff",
+    # --- slots ≥ 50: next-in-line for the driver window once the 50
+    # above acquire external rows; keeps every never-verified query
+    # ahead of the twice-verified relational core (prefix invariant,
+    # tests/test_plans.py::test_registry_surfaces_unverified_queries_first).
+    "reconcile_tables",
+    "scd2_status_history",
+    "temperature_resample_weights",
+    "leakage_safe_split",
+    "zorder_locality_profile",
 ]
 
 

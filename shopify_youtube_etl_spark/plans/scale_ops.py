@@ -46,3 +46,65 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money(F.sum("o_totalprice")).alias("total_price"),
     )
+
+
+@query(
+    "zorder_locality_profile",
+    ref="data-layout machinery — Morton/Z-order clustering key (Delta OPTIMIZE ZORDER BY equivalent)",
+    doc="Z-interleave (customer, order-day); per z-bucket: row count and the min/max envelope each file would carry.",
+    oracle="""
+WITH m AS (
+    SELECT o_orderkey,
+           o_custkey & 65535 AS x,
+           date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535 AS y
+    FROM orders
+),
+z AS (
+    SELECT x, y,
+           (SELECT sum(
+                ((m.x >> g.b) & 1) * (CAST(1 AS BIGINT) << (2 * g.b))
+              + ((m.y >> g.b) & 1) * (CAST(1 AS BIGINT) << (2 * g.b + 1)))
+            FROM (SELECT unnest(generate_series(0, 15)) AS b) g) AS zval
+    FROM m
+)
+SELECT CAST(zval >> 16 AS BIGINT)    AS z_bucket,
+       CAST(count(*) AS BIGINT)      AS n_orders,
+       CAST(min(x) AS BIGINT)        AS custkey_lo,
+       CAST(max(x) AS BIGINT)        AS custkey_hi,
+       CAST(min(y) AS BIGINT)        AS day_lo,
+       CAST(max(y) AS BIGINT)        AS day_hi
+FROM z GROUP BY z_bucket
+""",
+)
+def zorder_locality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout key behind multi-dimensional data skipping: interleave
+    (o_custkey, order-day) bits into one z-value, bucket by its high
+    bits (>>16) — each bucket is what one file would hold after
+    ``repartitionByRange(z)`` — and report the min/max envelope per
+    bucket on BOTH dimensions.  Narrow envelopes are the point: a
+    predicate on EITHER customer or date prunes most buckets, which
+    linear (single-column) sort order only gives for its leading
+    column.  At 100 TB this runs once at write time; the z fold is a
+    map-side JVM expression and the profile is one shuffle on the
+    bucket id."""
+    o = t(spark, sf_dir, "orders")
+    from shopify_youtube_etl_spark.operators.scale import zorder_value
+
+    b = o.select(
+        (F.col("o_custkey").bitwiseAND(65535)).alias("x"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .bitwiseAND(65535)
+        .alias("y"),
+    )
+    z = b.withColumn("zval", zorder_value("x", "y", bits=16))
+    return (
+        z.groupBy(F.shiftright("zval", 16).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("x").alias("custkey_lo"),
+            F.max("x").alias("custkey_hi"),
+            F.min("y").alias("day_lo"),
+            F.max("y").alias("day_hi"),
+        )
+    )
