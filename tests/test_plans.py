@@ -192,6 +192,35 @@ def test_single_shuffle_window_queries(spark, sf_dir):
         assert n_exchanges == 1, f"{name}: {n_exchanges} shuffles"
 
 
+def test_reconcile_is_one_sort_merge_join(spark, sf_dir):
+    """The full-outer reconciliation must be a single sort-merge join on
+    the key — no broadcast (both sides are table-sized at 100 TB) and
+    no extra exchange beyond the two join inputs + final 4-row agg."""
+    plan = plan_of(spark, "reconcile_tables", sf_dir)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_scd2_windows_share_one_partitioning(spark, sf_dir):
+    """lag-change-detect and lead-close both partition by o_custkey;
+    Catalyst must plan ONE hash exchange for both window operators
+    (plus the final small per-status agg)."""
+    plan = plan_of(spark, "scd2_status_history", sf_dir)
+    assert plan.count("hashpartitioning(o_custkey") == 1
+
+
+def test_zorder_fold_is_map_side(spark, sf_dir):
+    """The Morton fold must stay a JVM expression: no Python worker
+    (ArrowEvalPython/MapInPandas) and the only exchange is the bucket
+    aggregation's."""
+    import re
+
+    plan = plan_of(spark, "zorder_locality_profile", sf_dir)
+    assert "Python" not in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"{n_exchanges} shuffles"
+
+
 def test_no_cartesian_product_anywhere(spark, sf_dir):
     """Blanket gate: NO registered query may plan a shuffle
     CartesianProduct — probe-side cross joins must broadcast."""
