@@ -116,3 +116,58 @@ def test_explode_conservation(spark, arrays):
     outer = df.select("id", F.explode_outer("arr"))
     n_empty = df.where(F.size("arr") == 0).count()
     assert outer.count() == total + n_empty
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=1, max_size=20
+    )
+)
+@SETTINGS
+def test_zorder_matches_python_morton(spark, pts):
+    """zorder_value == a bit-by-bit Python Morton interleave for any
+    pair of non-negative ints within the bit budget (the JVM aggregate
+    expression has no off-by-one in shift positions)."""
+    from shopify_youtube_etl_spark.operators.scale import zorder_value
+
+    def morton(x, y, bits=8):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id INT, x INT, y INT"
+    )
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", zorder_value("x", "y", bits=8).alias("z")).collect()
+    }
+    want = {i: morton(x, y) for i, (x, y) in enumerate(pts)}
+    assert got == want
+
+
+@given(
+    large=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=0, max_size=25
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 3), st.text("ab", max_size=2)),
+        min_size=0,
+        max_size=6,
+    ),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, large, small, how):
+    """salted_join is row-identical (as a multiset) to the plain join
+    for every supported join type, including duplicate keys on both
+    sides and keys present on only one side."""
+    from shopify_youtube_etl_spark.operators.scale import salted_join
+
+    ldf = spark.createDataFrame(large or [(99, 0)], "key INT, v INT")
+    sdf = spark.createDataFrame(small or [(98, "x")], "key INT, tag STRING")
+    got = salted_join(ldf, sdf, "key", salt_buckets=4, how=how)
+    want = ldf.join(sdf, "key", how)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
