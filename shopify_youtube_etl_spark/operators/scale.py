@@ -106,3 +106,35 @@ def zorder_value(x_col: str, y_col: str, bits: int = 16) -> "F.Column":
         f" + shiftleft(CAST(shiftright({x_col}, b) & 1 AS BIGINT), 2*b)"
         f" + shiftleft(CAST(shiftright({y_col}, b) & 1 AS BIGINT), 2*b+1))"
     )
+
+
+def prefilter_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_buckets: int = 1 << 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime-filter join: prune the probe side with a broadcast
+    approximate-membership set of the build side's key hashes BEFORE
+    the shuffle join — the explicit form of Spark's runtime bloom
+    filter (spark.sql.optimizer.runtime.bloomFilter), which only
+    triggers under planner heuristics; this one always applies.
+
+    The filter is the distinct set of ``xxhash64(key) % n_buckets``
+    build-side buckets (≤ n_buckets rows regardless of build size,
+    broadcast as a hash set → O(1) JVM probe per row).  False
+    positives pass through and are eliminated by the exact join that
+    follows; false negatives are impossible (a true match always
+    shares its key's bucket), so the result is row-identical to the
+    plain join.  At 100 TB the win is shuffle volume: probe rows with
+    no possible match never enter the exchange — for a selective
+    build side (e.g. one month of orders against 7 years of lineitem)
+    that is most of the table.
+    """
+    b = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    buckets = small.select(b.alias("__bucket")).distinct()
+    pruned = large.join(
+        F.broadcast(buckets), b == F.col("__bucket"), "left_semi"
+    )
+    return pruned.join(small, key, how)

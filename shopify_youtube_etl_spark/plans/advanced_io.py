@@ -188,3 +188,40 @@ def csv_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "orc_roundtrip_ingest",
+    ref="S6/S8 generalization — columnar sink beyond parquet (ORC is Spark-native, zero extra deps)",
+    doc="orders slice → ORC write → read-back → per-status profile; oracle = direct agg over parquet.",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT)    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_day
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORC leg of the serializer-sink family (NDJSON:
+    ``json_roundtrip_ingest``, CSV: ``csv_roundtrip_ingest``): a typed
+    slice out through Spark's ORC writer and back through the ORC
+    reader, then a per-status profile that must equal the direct
+    parquet aggregation — proving the engine's second columnar format
+    is lossless for dates, decimals-as-doubles, and strings.  ORC
+    matters at 100 TB for interop: Hive/Trino warehouses feed training
+    pipelines ORC, and the scan benefits (predicate pushdown, column
+    pruning, stripe-level min/max skipping) match parquet's.  Writes
+    are executor-side partition files; no driver data path."""
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    out = _staging_dir("orcrt", sf_dir)
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("total_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+    )

@@ -109,6 +109,8 @@ _DRIVER_PRIORITY = [
     "temperature_resample_weights",
     "leakage_safe_split",
     "zorder_locality_profile",
+    "orc_roundtrip_ingest",
+    "bloom_prefilter_join",
 ]
 
 
