@@ -88,3 +88,68 @@ def connected_components(
             f"connected_components did not converge in {max_iter} iterations"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, fixed iteration
+    count — the domain-authority primitive a crawl-corpus pipeline
+    uses to weight documents by host reputation.
+
+    ``edges``: (src, dst, weight) with positive numeric weights.
+    Returns (node, rank) for every node appearing as src or dst;
+    ranks sum to 1 each iteration (dangling mass — rank on nodes with
+    no out-edges — is redistributed uniformly, the standard fix).
+
+    Execution shape per iteration: one shuffle (contribution groupBy
+    dst), the dangling mass folded in via a broadcast one-row
+    aggregate (BroadcastNestedLoopJoin, never a cartesian product),
+    and ``localCheckpoint`` truncating the plan so iteration N's DAG
+    does not replay iterations 1..N-1.  Transition probabilities are
+    precomputed ONCE (weight / out-weight) and checkpointed — the
+    per-iteration work touches only (node, rank).  Fixed iterations
+    rather than convergence testing keeps every run's result
+    deterministic and oracle-expressible as chained SQL CTEs."""
+    trans = (
+        edges.join(
+            edges.groupBy("src").agg(F.sum("weight").alias("__ow")), "src"
+        )
+        .select("src", "dst", (F.col("weight") / F.col("__ow")).alias("p"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    sources = trans.select("src").distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(sources, ranks["node"] == sources["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        contribs = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("__c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.col("__dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

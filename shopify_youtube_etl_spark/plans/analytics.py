@@ -1157,3 +1157,88 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("closed_days"),
     )
+
+
+_PAGERANK_ITER_SQL = """
+SELECT n.node,
+       (1 - 0.85) / (SELECT n FROM nn)
+       + 0.85 * (coalesce(c.c, 0)
+                 + (SELECT coalesce(sum(r.rank), 0) FROM {prev} r
+                    WHERE r.node NOT IN (SELECT src FROM p)) / (SELECT n FROM nn))
+       AS rank
+FROM nodes n
+LEFT JOIN (
+    SELECT p.dst AS node, sum(r.rank * p.p) AS c
+    FROM p JOIN {prev} r ON p.src = r.node GROUP BY p.dst
+) c ON n.node = c.node
+"""
+
+
+@query(
+    "pagerank_nation_trade",
+    ref="iterative graph ranking (operators/components.py::pagerank) — the domain-authority primitive for crawl-corpus weighting; extends the components family",
+    doc="Weighted PageRank (5 iterations, d=0.85) over the customer-nation → supplier-nation trade graph; oracle is 5 chained CTE iterations in DuckDB.",
+    oracle="""
+WITH e AS (
+    SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN supplier ON l_suppkey   = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+),
+p AS (
+    SELECT e.src, e.dst, e.w / ow.ow AS p
+    FROM e JOIN (SELECT src, sum(w) AS ow FROM e GROUP BY src) ow ON e.src = ow.src
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+r1 AS (%s), r2 AS (%s), r3 AS (%s), r4 AS (%s), r5 AS (%s)
+SELECT node AS nation, round(rank, 6) AS pagerank FROM r5
+"""
+    % tuple(
+        _PAGERANK_ITER_SQL.format(prev=f"r{i}") for i in range(5)
+    ),
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-flow authority: which supplier nations absorb the most
+    purchasing attention, transitively.  Edges are customer-nation →
+    supplier-nation weighted by lineitem count (integer-valued weights
+    so edge construction is FP-exact on both engines); the iterative
+    rank runs through operators/components.py::pagerank — per
+    iteration one contribution shuffle + a broadcast one-row dangling
+    aggregate, lineage truncated per round.  Fixed 5 iterations keeps
+    the result closed-form enough for a chained-CTE SQL oracle —
+    the same reason production rank jobs pin iteration counts: a
+    convergence-tested rank is not reproducible across cluster sizes
+    once FP summation order enters the stopping test.  Ranks rounded
+    to 6dp at the END only."""
+    from shopify_youtube_etl_spark.operators.components import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("src"))),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("dst"))),
+            "s_nationkey",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    ranks = pagerank(edges, damping=0.85, iterations=5)
+    return ranks.select(
+        F.col("node").alias("nation"), F.round("rank", 6).alias("pagerank")
+    )

@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = [
     "zorder_locality_profile",
     "orc_roundtrip_ingest",
     "bloom_prefilter_join",
+    "pagerank_nation_trade",
 ]
 
 

@@ -171,3 +171,51 @@ def test_salted_join_equals_plain_join(spark, large, small, how):
     got = salted_join(ldf, sdf, "key", salt_buckets=4, how=how)
     want = ldf.join(sdf, "key", how)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=20
+    )
+)
+@SETTINGS
+def test_pagerank_matches_power_iteration(spark, edges):
+    """Distributed pagerank == a dense numpy power iteration on random
+    directed graphs with duplicate edges, self-loops, and dangling
+    nodes (nodes with in-edges but no out-edges)."""
+    import numpy as np
+
+    from shopify_youtube_etl_spark.operators.components import pagerank
+
+    d, iters = 0.85, 4
+    # Collapse duplicates into weights, exactly like a groupBy would.
+    w = {}
+    for a, b in edges:
+        w[(a, b)] = w.get((a, b), 0) + 1
+    nodes = sorted({x for e in w for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for (a, b), wt in w.items():
+        P[idx[a], idx[b]] = wt
+    out = P.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * P[i] / out[i]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+
+    edges_df = spark.createDataFrame(
+        [(a, b, float(wt)) for (a, b), wt in w.items()],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges_df, damping=d, iterations=iters).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
