@@ -857,3 +857,37 @@ def temperature_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pw") / z, 6).alias("p_resampled"),
         F.round(F.col("pw") / z / F.col("p_raw"), 6).alias("boost"),
     )
+
+
+@query(
+    "weighted_sample_per_group",
+    ref="extension — Efraimidis-Spirakis weighted sampling, the seeded per-group draw a mixture builder uses (rows-only: the hash-uniform is engine-specific)",
+    doc="Deterministic weighted k=5 sample per lang, priority -ln(u)/w with u from xxhash64(doc_id); invariants pytest-checked.",
+    oracle=None,
+)
+def weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, distributed and
+    REPRODUCIBLE: each doc draws priority ``-ln(u) / w`` where ``u``
+    is a uniform derived from ``xxhash64(doc_id, seed)`` — the
+    Efraimidis-Spirakis exponential trick — and the k smallest
+    priorities per group win.  Because u is content-addressed, the
+    sample is identical across runs, partitionings, and cluster
+    sizes — the property rand()-based sampling loses the moment AQE
+    re-splits a stage.  One window shuffle on (lang); at 100 TB the
+    rank-k cutoff per group can instead be a two-pass quantile probe,
+    but the window form is exact and the partition count per lang is
+    the corpus's lang cardinality, not row count."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    u = (F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(1 << 31)) + 0.5) / F.lit(
+        float(1 << 31)
+    )
+    pri = -F.log(u) / F.col("n_chars").cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("__pri").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("__pri", pri)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 5)
+        .select("lang", F.col("__rk").alias("rank"), "doc_id", "n_chars")
+    )

@@ -112,6 +112,8 @@ _DRIVER_PRIORITY = [
     "orc_roundtrip_ingest",
     "bloom_prefilter_join",
     "pagerank_nation_trade",
+    "weighted_sample_per_group",
+    "approx_quantiles_profile",
 ]
 
 

@@ -525,3 +525,33 @@ def except_all_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@query(
+    "approx_quantiles_profile",
+    ref="extension per SURVEY §2.4 — the sketch answer to exact percentiles at 100 TB (rows-only: GK sketches aren't oracle-portable)",
+    doc="percentile_approx p50/p90/p99 of order value per segment-ish status; tolerance vs exact twin pytest-checked.",
+    oracle=None,
+)
+def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles: mergeable fixed-size
+    sketches, one partial-agg shuffle — versus exact percentiles,
+    which at 100 TB need a full sort per group.  accuracy=10000 bounds
+    rank error to n/10000; the pytest twin checks each estimate falls
+    within the exact rank±0.5% value band.  Rows-only for the driver
+    (DuckDB's approx_quantile is t-digest — a different sketch)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("q"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("q")[0], 2).alias("p50"),
+            F.round(F.col("q")[1], 2).alias("p90"),
+            F.round(F.col("q")[2], 2).alias("p99"),
+            "n_orders",
+        )
+    )

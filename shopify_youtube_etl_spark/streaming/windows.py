@@ -79,3 +79,14 @@ def write_with_upsert(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(foreach_batch_upsert(table, keys))
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static dimension enrichment — the lookup every streaming
+    ETL does on arrival (the reference does it driver-side per page;
+    here it's a broadcast hash join planned once per micro-batch, so
+    the static side never shuffles the stream).  The static side is
+    re-read each batch by Structured Streaming's contract, so a dim
+    table updated between batches is picked up automatically; at 100 TB
+    keep the dim broadcast-sized or pre-bucket it on the key."""
+    return events.join(F.broadcast(dim), key, "left")

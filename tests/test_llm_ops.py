@@ -317,3 +317,68 @@ def test_simhash_np_equals_expression(spark, sf_dir):
     e = {r["doc_id"]: r["sh"] for r in edge.select("doc_id", simhash64("th").alias("sh")).collect()}
     n = {r["doc_id"]: r["sh"] for r in simhash_signsum_np(edge).collect()}
     assert e == n
+
+
+def test_approx_quantiles_within_rank_band(spark, sf_dir):
+    """Each GK estimate must fall inside the exact value band at
+    rank ± 0.5% — the sketch's documented rank-error contract."""
+    from shopify_youtube_etl_spark.plans.relational import approx_quantiles_profile
+
+    approx = {r["status"]: r for r in approx_quantiles_profile(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    for status, row in approx.items():
+        vals = sorted(
+            r["o_totalprice"]
+            for r in o.where(F.col("o_orderstatus") == status)
+            .select("o_totalprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            lo = vals[max(0, int((q - 0.005) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.005) * n) + 1)]
+            assert lo <= row[col] <= hi, (status, col, row[col], lo, hi)
+
+
+def test_weighted_sample_deterministic_and_bounded(spark, sf_dir):
+    """Content-addressed priorities ⇒ identical sample across runs AND
+    across partitionings; exactly min(5, group size) rows per lang;
+    every sampled doc belongs to its group."""
+    from shopify_youtube_etl_spark.plans.llm_text import weighted_sample_per_group
+
+    s1 = weighted_sample_per_group(spark, sf_dir)
+    rows1 = {(r["lang"], r["rank"]): r["doc_id"] for r in s1.collect()}
+    rows2 = {
+        (r["lang"], r["rank"]): r["doc_id"]
+        for r in weighted_sample_per_group(spark, sf_dir).collect()
+    }
+    assert rows1 == rows2
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_lang = {}
+    for (lang, _), _id in rows1.items():
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    assert per_lang == {lang: min(5, n) for lang, n in sizes.items()}
+    # membership: sampled (lang, doc_id) pairs exist in the corpus
+    sampled = spark.createDataFrame(
+        [(lang, d) for (lang, _), d in rows1.items()], "lang STRING, doc_id LONG"
+    )
+    missing = sampled.join(docs.select("lang", "doc_id"), ["lang", "doc_id"], "left_anti")
+    assert missing.isEmpty()
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """A doc with overwhelming weight is (deterministically) selected;
+    near-zero-weight docs only fill leftover slots — the E-S priority
+    ordering actually responds to the weight column."""
+    from shopify_youtube_etl_spark.plans.llm_text import weighted_sample_per_group
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [(i, "xx", 1 if i else 10_000_000) for i in range(200)]
+        spark.createDataFrame(rows, "doc_id LONG, lang STRING, n_chars LONG").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = weighted_sample_per_group(spark, d).collect()
+        winners = {r["doc_id"] for r in got}
+        assert 0 in winners, "the 10M-weight doc must be sampled"

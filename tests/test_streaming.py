@@ -13,6 +13,7 @@ from shopify_youtube_etl_spark.operators.upsert import ParquetTable
 from shopify_youtube_etl_spark.plans.windows import tumbling_agg
 from shopify_youtube_etl_spark.sources.tables import load_table
 from shopify_youtube_etl_spark.streaming.windows import (
+    enrich_stream,
     read_event_stream,
     write_with_upsert,
 )
@@ -175,4 +176,39 @@ def test_stream_stream_interval_join_equals_batch(spark, event_json_dir):
         ).collect()
     )
     got = sorted(spark.sql("SELECT * FROM stream_interval_join").collect())
+    assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, event_json_dir, sf_dir):
+    """Stream-static broadcast join: every micro-batch row is enriched
+    with the static dim's columns, result equal to the batch join (and
+    left rows with no dim match survive with NULLs)."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = read_event_stream(spark, event_json_dir, EVENT_SCHEMA)
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["window"], r["c_mktsegment"], r["n"])
+        for r in spark.sql("SELECT * FROM stream_enriched").collect()
+    )
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .json(event_json_dir)
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    want = sorted((r["window"], r["c_mktsegment"], r["n"]) for r in batch.collect())
     assert got == want and len(got) > 0
