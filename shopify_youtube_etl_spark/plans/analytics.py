@@ -1242,3 +1242,168 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("nation"), F.round("rank", 6).alias("pagerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: gap fill + forward fill, cohort retention, transitions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gap_fill_daily_revenue",
+    ref="extension per SURVEY §2.5 — calendar densification + forward fill, the resample/ffill every time-series consumer runs",
+    doc="Dense daily spine over the event range; missing days get n_events=0 and carry the last seen cumulative revenue forward.",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS TIMESTAMP)::DATE       AS d,
+           CAST(count(*) AS BIGINT)          AS n_events,
+           round(sum(value), 2)              AS revenue
+    FROM events
+    GROUP BY 1
+), spine AS (
+    SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                  (SELECT max(d) FROM daily),
+                                  INTERVAL 1 DAY))::DATE AS d
+)
+SELECT strftime(spine.d, '%Y-%m-%d')                        AS day,
+       CAST(coalesce(daily.n_events, 0) AS BIGINT)          AS n_events,
+       coalesce(daily.revenue, 0.0)                         AS revenue,
+       last_value(daily.revenue IGNORE NULLS) OVER (
+           ORDER BY spine.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ffill
+FROM spine LEFT JOIN daily USING (d)
+""",
+)
+def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: aggregate to day grain FIRST (the only
+    pass over raw events — one shuffle on day), then build the spine
+    with ``sequence(min, max)`` exploded from the one-row bounds agg
+    and left-join the day series back.  Everything after the first agg
+    is O(days) — a few thousand rows no matter the input scale — so
+    the unpartitioned forward-fill window (``last(ignorenulls)``) is
+    deliberately cheap, never a window over raw rows.  The bounds join
+    is a broadcast of one row."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money(F.sum("value")).alias("revenue"),
+        )
+    )
+    spine = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            day_str(F.col("d")).alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_ffill"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    ref="extension per SURVEY §2.4 — first-touch cohort × month-offset retention, the classic customer-behavior matrix (README.md:49-52 'customer behavior')",
+    doc="Customers grouped by first-order month; distinct buyers per (cohort, months-since-first) with retention ratio.",
+    oracle="""
+WITH firsts AS (
+    SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort_m
+    FROM orders GROUP BY 1
+), hits AS (
+    SELECT f.cohort_m,
+           date_diff('month', f.cohort_m, date_trunc('month', o.o_orderdate)) AS month_offset,
+           o.o_custkey
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+), sized AS (
+    SELECT cohort_m, CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+    FROM hits WHERE month_offset = 0 GROUP BY 1
+)
+SELECT strftime(h.cohort_m, '%Y-%m')                       AS cohort_month,
+       CAST(h.month_offset AS BIGINT)                      AS month_offset,
+       CAST(count(DISTINCT h.o_custkey) AS BIGINT)         AS n_active,
+       s.cohort_size,
+       round(count(DISTINCT h.o_custkey) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM hits h JOIN sized s USING (cohort_m)
+GROUP BY h.cohort_m, h.month_offset, s.cohort_size
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix in two shuffles over orders: (1) groupBy
+    customer for the first-order month, (2) groupBy (cohort, offset)
+    for distinct actives.  The firsts side is one row per customer —
+    at 100 TB that's the dimension-sized side of a shuffle join on
+    o_custkey (co-partitioned with the first agg, so AQE reuses the
+    exchange).  Cohort sizes are the offset-0 slice re-joined by
+    cohort month (~tens of rows, broadcast)."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", F.trunc("o_orderdate", "month").alias("m"))
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    hits = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "cohort_m",
+        (F.months_between(F.col("m"), F.col("cohort_m"))).cast("long").alias("month_offset"),
+    )
+    grid = hits.groupBy("cohort_m", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_active")
+    )
+    sized = (
+        grid.where(F.col("month_offset") == 0)
+        .select("cohort_m", F.col("n_active").alias("cohort_size"))
+    )
+    return grid.join(F.broadcast(sized), "cohort_m").select(
+        F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+        "month_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size").cast("double"), 6).alias("retention"),
+    )
+
+
+@query(
+    "event_transition_matrix",
+    ref="extension per SURVEY §2.5 — per-user event-type Markov transitions (sessionize sibling; 'customer behavior' README.md:49-52)",
+    doc="Per-user consecutive event-type pairs with counts and row-normalized transition probability.",
+    oracle="""
+WITH seq AS (
+    SELECT user_id,
+           event_type AS dst,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
+    FROM events
+)
+SELECT src, dst,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY src) AS DOUBLE), 6) AS p_transition
+FROM seq WHERE src IS NOT NULL
+GROUP BY src, dst
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: one shuffle on user_id orders each
+    user's stream (tie-broken by event_id so the lag is deterministic
+    under equal timestamps), lag pairs consecutive types, then the
+    (src, dst) count agg reduces to |types|² rows.  The normalizing
+    window runs over that tiny matrix, not raw events.  At 100 TB the
+    per-user window is the sessionize shuffle shape — bounded by the
+    user-key distribution, AQE-skew-splittable."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).where(F.col("src").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count("*").alias("n_transitions"))
+    wn = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wn).cast("double"), 6
+        ).alias("p_transition"),
+    )

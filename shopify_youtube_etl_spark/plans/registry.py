@@ -114,6 +114,9 @@ _DRIVER_PRIORITY = [
     "pagerank_nation_trade",
     "weighted_sample_per_group",
     "approx_quantiles_profile",
+    "gap_fill_daily_revenue",
+    "cohort_retention",
+    "event_transition_matrix",
 ]
 
 

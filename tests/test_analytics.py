@@ -79,3 +79,60 @@ def test_set_ops_disjoint(spark, sf_dir):
         .collect()
     }
     assert inter | exc == y96
+
+
+def test_gap_fill_plants_and_fills_gaps(spark, tmp_path):
+    """With a planted 3-day hole the spine must densify it (n_events=0,
+    revenue=0.0) while revenue_ffill carries the last seen daily value
+    across the hole."""
+    import datetime as dt
+
+    from shopify_youtube_etl_spark.plans.analytics import gap_fill_daily_revenue
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 8), 1, "view", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "view", 5.0, "{}"),
+        (3, dt.datetime(2024, 1, 5, 9), 2, "buy", 7.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["day"]: r for r in gap_fill_daily_revenue(spark, str(tmp_path)).collect()}
+    assert sorted(got) == ["2024-01-0%d" % d for d in range(1, 6)]
+    for day in ("2024-01-02", "2024-01-03", "2024-01-04"):
+        assert got[day]["n_events"] == 0 and got[day]["revenue"] == 0.0
+        assert got[day]["revenue_ffill"] == 15.0  # carried from Jan 1
+    assert got["2024-01-05"]["revenue_ffill"] == 7.0
+
+
+def test_cohort_retention_matrix_invariants(spark, sf_dir):
+    """Offset-0 retention is exactly 1.0 for every cohort; n_active
+    never exceeds cohort_size; offsets are non-negative."""
+    from shopify_youtube_etl_spark.plans.analytics import cohort_retention
+
+    rows = cohort_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["month_offset"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        if r["month_offset"] == 0:
+            assert r["retention"] == 1.0
+
+
+def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    """Row-normalized probabilities per src must sum to ~1 and the
+    total transition count must be sum(per-user n_events - 1)."""
+    from shopify_youtube_etl_spark.plans.analytics import event_transition_matrix
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    by_src = {}
+    total = 0
+    for r in rows:
+        by_src[r["src"]] = by_src.get(r["src"], 0.0) + r["p_transition"]
+        total += r["n_transitions"]
+    assert by_src and all(abs(s - 1.0) < 1e-3 for s in by_src.values())
+    per_user = (
+        load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert total == sum(r["n"] - 1 for r in per_user if r["n"] > 1)
