@@ -117,6 +117,11 @@ _DRIVER_PRIORITY = [
     "gap_fill_daily_revenue",
     "cohort_retention",
     "event_transition_matrix",
+    "regr_price_by_size",
+    "ntile_value_quartiles",
+    "unpivot_part_metrics",
+    "iqr_outlier_profile",
+    "value_histogram",
 ]
 
 

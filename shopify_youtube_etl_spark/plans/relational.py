@@ -555,3 +555,214 @@ def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "regr_price_by_size",
+    ref="extension per SURVEY §2.4 — SQL:2003 linear-regression aggregates (the trend-fit behind README.md:49 'revenue trends')",
+    doc="Per-brand OLS fit of retail price on part size: slope, intercept, r², corr, n.",
+    oracle="""
+SELECT p_brand,
+       round(regr_slope(p_retailprice, p_size), 6)     AS slope,
+       round(regr_intercept(p_retailprice, p_size), 6) AS intercept,
+       round(regr_r2(p_retailprice, p_size), 6)        AS r2,
+       round(corr(p_retailprice, p_size), 6)           AS correlation,
+       CAST(count(*) AS BIGINT)                        AS n_parts
+FROM part
+GROUP BY p_brand
+""",
+)
+def regr_price_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression as an AGGREGATE, not a solver: regr_slope/intercept/
+    r2 are single-pass mergeable moment sketches (sums of x, y, xy,
+    x², y²), so the whole fit is one partial-agg shuffle producing one
+    row per brand — the distributed-OLS shape that replaces collecting
+    points to a driver-side fit.  6dp rounding absorbs the engines'
+    different summation orders on the moment sums."""
+    p = t(spark, sf_dir, "part")
+    y, x = F.col("p_retailprice"), F.col("p_size").cast("double")
+    return p.groupBy("p_brand").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(y, x), 6).alias("correlation"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+@query(
+    "ntile_value_quartiles",
+    ref="extension per SURVEY §2.5 — NTILE bucketing (rank family sibling of ranked_customers_per_segment)",
+    doc="Customers split into 4 account-balance quartiles (deterministic tie-break); per-quartile size and balance stats.",
+    oracle="""
+SELECT quartile,
+       CAST(count(*) AS BIGINT)     AS n_customers,
+       round(min(c_acctbal), 2)     AS min_bal,
+       round(max(c_acctbal), 2)     AS max_bal,
+       round(sum(c_acctbal), 2)     AS total_bal
+FROM (
+    SELECT c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+)
+GROUP BY quartile
+""",
+)
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE over a total order (balance, then key — ties broken so
+    both engines cut identical buckets).  The global sort is the cost;
+    at 100 TB the equivalent cut comes from approx_quantiles_profile's
+    sketch boundaries instead — this exact form is the oracle-checkable
+    twin, and the downstream agg reduces to 4 rows."""
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    ref="extension per SURVEY §2.1 — UNPIVOT/melt (inverse of pivot_status_counts; wide→long reshape P1 family)",
+    doc="Part numeric columns melted to (metric, value) rows; per-metric profile.",
+    oracle="""
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n_values,
+       round(avg(value), 6)     AS mean_value,
+       round(min(value), 2)     AS min_value,
+       round(max(value), 2)     AS max_value
+FROM (
+    SELECT 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+)
+GROUP BY metric
+""",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long without N scans: Spark's UNPIVOT plans one Expand
+    node over a single pass (each row fans out to one output row per
+    value column map-side), where the naive UNION ALL form re-reads
+    the table per metric.  The agg then reduces map-side to |metrics|
+    rows — the profile the reshape exists to feed."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").cast("double"), F.col("p_size").cast("double")
+    )
+    return (
+        p.unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+        .groupBy("metric")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+@query(
+    "iqr_outlier_profile",
+    ref="extension per SURVEY §2.4 — Tukey-fence outlier screen (data-quality sibling of groupwise_quality_zscore, exact-percentile family)",
+    doc="Per-status exact quartiles, IQR fence at q3+1.5·IQR, and the count/value share of outliers above it.",
+    oracle="""
+WITH bounds AS (
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS q1,
+           quantile_cont(o_totalprice, 0.75) AS q3
+    FROM orders GROUP BY 1
+)
+SELECT o.o_orderstatus                     AS status,
+       round(b.q1, 2)                      AS q1,
+       round(b.q3, 2)                      AS q3,
+       round(b.q3 + 1.5 * (b.q3 - b.q1), 2) AS hi_fence,
+       CAST(count(*) FILTER (WHERE o.o_totalprice > b.q3 + 1.5 * (b.q3 - b.q1)) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT)            AS n_orders
+FROM orders o JOIN bounds b USING (o_orderstatus)
+GROUP BY o.o_orderstatus, b.q1, b.q3
+""",
+)
+def iqr_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two passes: exact per-group quartiles (one agg shuffle), then
+    the fence re-applied to the fact rows via a BROADCAST join of the
+    |statuses|-row bounds — the outlier count is a conditional agg in
+    the same second pass, so no row-level outlier set is ever
+    materialized.  Spark's ``percentile`` and DuckDB's quantile_cont
+    share the p·(n−1) linear-interpolation definition, which is what
+    makes the fence oracle-exact."""
+    o = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    bounds = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        o.join(F.broadcast(bounds), "o_orderstatus")
+        .groupBy("o_orderstatus", "q1", "q3")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") > fence, 1).otherwise(0)).alias("n_outliers"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.round("q1", 2).alias("q1"),
+            F.round("q3", 2).alias("q3"),
+            F.round(fence, 2).alias("hi_fence"),
+            "n_outliers",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    ref="extension per SURVEY §2.4 — fixed-width histogram (distribution profile the reference's monitoring guide eyeballs via ad-hoc GROUP BY)",
+    doc="20 equal-width buckets over order value: per-bucket bounds, count, and value share.",
+    oracle="""
+WITH rng AS (
+    SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+), b AS (
+    SELECT CAST(least(floor(((o_totalprice - mn) * 20.0) / (mx - mn)), 19.0) AS BIGINT) AS bucket,
+           o_totalprice, mn, mx
+    FROM orders, rng
+)
+SELECT bucket,
+       round(mn + bucket * (mx - mn) / 20.0, 2)       AS lo,
+       round(mn + (bucket + 1) * (mx - mn) / 20.0, 2) AS hi,
+       CAST(count(*) AS BIGINT)                       AS n_orders
+FROM b
+GROUP BY bucket, mn, mx
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram in two passes: a one-row min/max agg
+    BROADCAST back over the facts (never a driver collect), bucket id
+    computed with the identical ((v−mn)·20)/(mx−mn) expression tree on
+    both engines so IEEE rounding can't split a boundary value, then
+    the count agg reduces map-side to ≤20 rows.  This is the scan-
+    shaped distribution profile — at 100 TB it's exactly two scans, or
+    one if the bounds come from catalog stats."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    rng = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    bucket = F.least(
+        F.floor(((F.col("o_totalprice") - F.col("mn")) * F.lit(20.0)) / (F.col("mx") - F.col("mn"))),
+        F.lit(19).cast("long"),
+    )
+    return (
+        o.join(F.broadcast(rng))
+        .select(bucket.alias("bucket"), "o_totalprice", "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            F.round(F.col("mn") + F.col("bucket") * (F.col("mx") - F.col("mn")) / 20.0, 2).alias("lo"),
+            F.round(F.col("mn") + (F.col("bucket") + 1) * (F.col("mx") - F.col("mn")) / 20.0, 2).alias("hi"),
+            "n_orders",
+        )
+    )

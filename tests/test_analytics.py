@@ -136,3 +136,35 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
         load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
     )
     assert total == sum(r["n"] - 1 for r in per_user if r["n"] > 1)
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_unpivot_single_scan_expand(spark, sf_dir):
+    """UNPIVOT must plan one Expand over ONE part scan — not the
+    UNION-ALL-of-N-scans shape the oracle spells."""
+    plan = _plan(SPECS["unpivot_part_metrics"].fn(spark, sf_dir))
+    assert "Expand" in plan and "Union" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_histogram_and_iqr_broadcast_bounds(spark, sf_dir):
+    """Both two-pass profiles must re-apply their tiny bounds via a
+    broadcast join — no shuffle of the fact table against a 1-row agg,
+    no cartesian fallback beyond the single-row BNLJ."""
+    for name in ("value_histogram", "iqr_outlier_profile"):
+        plan = _plan(SPECS[name].fn(spark, sf_dir))
+        assert "Broadcast" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ntile_quartiles_are_balanced(spark, sf_dir):
+    """NTILE(4) bucket sizes differ by at most 1 and cover all rows."""
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    rows = {r["quartile"]: r["n_customers"] for r in SPECS["ntile_value_quartiles"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert max(rows.values()) - min(rows.values()) <= 1
+    assert sum(rows.values()) == load_table(spark, sf_dir, "customer").count()
