@@ -127,7 +127,9 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    sources = trans.select("src").distinct()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    sources = trans.select("src").distinct().localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         dangling = (

@@ -131,7 +131,17 @@ def prefilter_join(
     no possible match never enter the exchange — for a selective
     build side (e.g. one month of orders against 7 years of lineitem)
     that is most of the table.
+
+    Only ``inner`` and ``left_semi`` are legal: the semi prune drops
+    probe rows with no build match, which those join types discard
+    anyway — any outer/anti variant would need them kept.
     """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"prefilter_join supports how='inner'/'left_semi', got {how!r}: "
+            "the bucket prune removes unmatched probe rows that "
+            "outer/anti joins must keep"
+        )
     b = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
     buckets = small.select(b.alias("__bucket")).distinct()
     pruned = large.join(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from shopify_youtube_etl_spark.plans.registry import all_queries
+from tests.test_plans import explain_str as _plan
 
 SPECS = all_queries()
 
@@ -136,10 +137,6 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
         load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
     )
     assert total == sum(r["n"] - 1 for r in per_user if r["n"] > 1)
-
-
-def _plan(df):
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
 def test_unpivot_single_scan_expand(spark, sf_dir):

@@ -219,3 +219,14 @@ def test_pagerank_matches_power_iteration(spark, edges):
     assert set(got) == set(nodes)
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+
+
+def test_pagerank_empty_edges(spark):
+    """No edges → no nodes → empty (node, rank) frame, not a
+    ZeroDivisionError at plan-construction time."""
+    from shopify_youtube_etl_spark.operators.components import pagerank
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG, weight DOUBLE")
+    out = pagerank(empty)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

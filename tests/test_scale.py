@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from shopify_youtube_etl_spark.operators.scale import (
     bucketed_join,
+    prefilter_join,
     salted_join,
     write_bucketed,
 )
@@ -152,3 +153,24 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     plan = _explain(j)
     assert "dynamicpruning" in plan.lower()
     assert j.count() == orders.where(F.col("o_orderstatus") == "O").count()
+
+
+def test_prefilter_join_matches_plain_join(spark, skewed):
+    """Bucket prune only drops rows the inner join would drop anyway:
+    result must be row-identical to the plain join, including under
+    heavy bucket collisions (n_buckets=4 ≪ 100 keys)."""
+    fact, dim = skewed
+    sparse = dim.where(F.col("k") % 10 == 3)  # selective build side
+    for n_buckets in (4, 1 << 16):
+        got = prefilter_join(fact, sparse, "k", n_buckets=n_buckets)
+        want = fact.join(sparse, "k")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_prefilter_join_rejects_outer_joins(spark, skewed):
+    """The semi prune drops unmatched probe rows, so any join type
+    that must keep them is rejected loudly instead of corrupted."""
+    fact, dim = skewed
+    for how in ("left", "right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="prefilter_join"):
+            prefilter_join(fact, dim, "k", how=how)
