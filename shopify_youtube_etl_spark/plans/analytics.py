@@ -1407,3 +1407,98 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(wn).cast("double"), 6
         ).alias("p_transition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph structure: triangle census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count_copurchase",
+    ref="iterative-graph family sibling (components/pagerank, operators/components.py) — triangle census, the community-density primitive",
+    doc="Triangle census of the part co-purchase graph: nodes, edges, ordered wedges, triangles, wedge closure rate.",
+    oracle="""
+WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM ip a JOIN ip b ON a.o = b.o AND a.p < b.p
+),
+nodes AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+wt AS (
+    SELECT CAST(count(*) AS BIGINT)   AS n_wedges,
+           CAST(count(c.u) AS BIGINT) AS n_triangles
+    FROM (SELECT a.u, a.v, b.v AS w FROM e a JOIN e b ON a.v = b.u) t
+    LEFT JOIN e c ON c.u = t.u AND c.v = t.w
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT)     AS n_edges,
+       n_wedges,
+       n_triangles,
+       round(CAST(n_triangles AS DOUBLE) / n_wedges, 6) AS closure_rate
+FROM wt
+""",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting by edge orientation (u < v), the standard
+    shuffle-bounded formulation: orienting every edge low→high makes
+    each triangle appear as EXACTLY one wedge u<v<w plus one closing
+    edge (u,w), so the count is a self-join chain, never an all-pairs
+    enumeration.  The wedge join and its closing probe share one
+    LEFT join pass — count(*) is the wedge total, count(closing.u)
+    the triangle total — so the heavy intermediate is scanned once.
+    Scale shape: wedge volume is Σ deg(v)² — the quadratic lives on
+    hot vertices, exactly where salting/AQE skew split applies to the
+    a.v = b.u shuffle; at 100 TB you'd materialize `edges` once
+    (localCheckpoint/table) instead of letting the three self-join
+    arms recompute the co-purchase pairing, and cap ultra-hot vertices
+    (celebrity parts) with the same degree-threshold star cut the LSH
+    path uses.  Closure rate = triangles / ordered wedges, the
+    density signal community detection thresholds on."""
+    ip = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        ip.alias("a")
+        .join(ip.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    wedges = (
+        edges.alias("x")
+        .join(edges.alias("y"), F.col("x.v") == F.col("y.u"))
+        .select(F.col("x.u").alias("wu"), F.col("y.v").alias("ww"))
+    )
+    wedge_stats = (
+        wedges.join(
+            edges.alias("z"),
+            (F.col("z.u") == F.col("wu")) & (F.col("z.v") == F.col("ww")),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_wedges"),
+            F.count(F.col("z.u")).alias("n_triangles"),
+        )
+    )
+    n_nodes = (
+        edges.select(F.col("u").alias("x"))
+        .union(edges.select(F.col("v").alias("x")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_nodes.join(F.broadcast(n_edges))
+        .join(F.broadcast(wedge_stats))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(F.col("n_triangles").cast("double") / F.col("n_wedges"), 6).alias(
+                "closure_rate"
+            ),
+        )
+    )

@@ -891,3 +891,108 @@ def weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rk") <= 5)
         .select("lang", F.col("__rk").alias("rank"), "doc_id", "n_chars")
     )
+
+
+@query(
+    "bigram_pmi_top",
+    ref="training-data staple — collocation mining via pointwise mutual information (phrase/boilerplate detection; frequency sibling of bigram_top_terms)",
+    doc="Top-20 collocations by PMI among bigrams seen ≥5 times: pair count, component counts, PMI.",
+    oracle=f"""
+WITH uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest({_D_WORDS}) AS w FROM documents)
+    GROUP BY w
+),
+nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+big AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+    FROM (
+        SELECT {_D_WORDS}[i]     AS w1,
+               {_D_WORDS}[i + 1] AS w2
+        FROM documents, unnest(generate_series(1, len({_D_WORDS}) - 1)) AS g(i)
+        WHERE len({_D_WORDS}) >= 2
+    )
+    GROUP BY w1, w2
+),
+nb AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM big),
+scored AS (
+    SELECT b.w1 || ' ' || b.w2 AS bigram,
+           b.c                 AS n_pairs,
+           u1.c                AS n_w1,
+           u2.c                AS n_w2,
+           round(ln((b.c / (SELECT n FROM nb))
+                    / ((u1.c / (SELECT n FROM nu)) * (u2.c / (SELECT n FROM nu)))), 6) AS pmi
+    FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+    WHERE b.c >= 5
+)
+SELECT bigram, n_pairs, n_w1, n_w2, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 20
+""",
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations: ln(p(w1,w2) / (p(w1)·p(w2))) over corpus
+    counts — high-PMI pairs are multiword units (named entities,
+    boilerplate) that tokenizer and dedup stages treat as one unit.
+    Three aggregations total: unigram counts, bigram counts (both
+    partial-agg shuffles on the term), and two one-row totals
+    BROADCAST back (never a driver collect).  The unigram side joins
+    to the bigram table twice on the component word — at 100 TB both
+    joins shuffle on the word key and the ≥5 support filter prunes the
+    bigram side before either join, so the pair table entering the
+    joins is already the interesting tail, not the raw fan-out.  PMI
+    is rounded to 6dp BEFORE the rank window (repo parity rule) with
+    a bigram tie-break so the top-20 cut is deterministic on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select(words(F.col("text")).alias("ws"))
+    uni = (
+        docs.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    nu = uni.agg(F.sum("c").cast("double").alias("nu"))
+    big = (
+        docs.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 5)
+    )
+    nb = (
+        docs.where(F.size("ws") >= 2)
+        .agg(F.sum(F.size("ws") - 1).cast("double").alias("nb"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("n_w2"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c").alias("n_pairs"),
+            "n_w1",
+            "n_w2",
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("nb"))
+                    / ((F.col("n_w1") / F.col("nu")) * (F.col("n_w2") / F.col("nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+    )

@@ -122,6 +122,10 @@ _DRIVER_PRIORITY = [
     "unpivot_part_metrics",
     "iqr_outlier_profile",
     "value_histogram",
+    "triangle_count_copurchase",
+    "bigram_pmi_top",
+    "key_skew_profile",
+    "hll_daily_users_rollup",
 ]
 
 

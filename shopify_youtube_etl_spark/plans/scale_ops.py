@@ -148,3 +148,99 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query(
+    "key_skew_profile",
+    ref="skew machinery — the diagnostic that DECIDES when salted_join/AQE skew handling is needed (operators/scale.py)",
+    doc="Top-10 hottest event keys: row count, share of table, cumulative share — the straggler pre-flight check.",
+    oracle="""
+WITH k AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS n FROM k),
+r AS (
+    SELECT user_id, n_rows,
+           CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS BIGINT) AS rank,
+           CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, user_id) AS BIGINT)  AS cum_rows
+    FROM k
+)
+SELECT user_id, n_rows, rank,
+       round(n_rows / (SELECT n FROM tot), 6)   AS share,
+       round(cum_rows / (SELECT n FROM tot), 6) AS cum_share
+FROM r WHERE rank <= 10
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight a skew-aware pipeline runs before choosing a
+    join strategy: per-key counts (one partial-agg shuffle — the
+    exploded table never moves, only (key, partial count) rows), then
+    rank/share windows over the REDUCED |keys|-row frame, with the
+    one-row total broadcast back rather than collected.  A top key
+    holding >1/shuffle-partitions of the table predicts a straggler
+    task — the signal that routes the downstream join through
+    salted_join or AQE skew split.  Deterministic tie-break (count
+    desc, key asc) keeps the top-10 cut hash-stable."""
+    from pyspark.sql.window import Window
+
+    k = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    tot = k.agg(F.sum("n_rows").cast("double").alias("n"))
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("user_id"))
+    ranked = k.select(
+        "user_id",
+        "n_rows",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n_rows").over(w).cast("long").alias("cum_rows"),
+    )
+    return (
+        ranked.where(F.col("rank") <= 10)
+        .join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            "rank",
+            F.round(F.col("n_rows") / F.col("n"), 6).alias("share"),
+            F.round(F.col("cum_rows") / F.col("n"), 6).alias("cum_share"),
+        )
+    )
+
+
+@query(
+    "hll_daily_users_rollup",
+    ref="scale machinery — mergeable distinct sketches (Datasketches HLL), the pre-aggregation that replaces COUNT(DISTINCT) re-scans at 100 TB",
+    doc="Per-day HLL user sketches merged to a corpus-wide distinct estimate: n_days, sum of daily estimates, union estimate.",
+    # No DuckDB oracle: its HLL implementation differs bit-for-bit from
+    # Spark's Datasketches HLL_4.  Driver does the rows-only check;
+    # tests/test_scale.py pins the estimate within 5% of the exact
+    # distinct and proves union(sketches) == direct sketch of the whole.
+)
+def hll_daily_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch rollup pattern: each day aggregates its
+    users into an HLL sketch ONCE (partial-agg shuffle on day);
+    any coarser grain — month, year, all-time — is then a cheap
+    hll_union_agg over the stored per-day sketch column, never a
+    re-scan of raw events.  sum(daily estimates) ≫ union estimate is
+    the cross-day repeat-visitor signal (sketches subsume the
+    double-counting a naive sum of daily COUNT(DISTINCT) bakes in).
+    This is how a 100 TB events table answers rolling-distinct
+    questions interactively: the sketch table is O(days × 2^lgK)
+    bytes, and merge is associative so it parallelizes as a plain
+    agg.  Estimates cast to long for hash-stable rows-only output."""
+    from shopify_youtube_etl_spark.plans.common import day_str
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(day_str(F.col("ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.hll_sketch_estimate("sk")).cast("long").alias("sum_daily_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("union_est"),
+    )

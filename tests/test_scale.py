@@ -174,3 +174,23 @@ def test_prefilter_join_rejects_outer_joins(spark, skewed):
     for how in ("left", "right", "full", "left_anti"):
         with pytest.raises(ValueError, match="prefilter_join"):
             prefilter_join(fact, dim, "k", how=how)
+
+
+def test_hll_rollup_union_matches_exact_within_5pct(spark, sf_dir):
+    """The sketch-rollup contract: union of per-day sketches estimates
+    the global distinct within HLL_4 lgK=12 error (≪5% at these
+    cardinalities), and merging daily sketches equals sketching the
+    whole table directly (associativity — the property that makes the
+    pre-agg valid at any grain)."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    row = all_queries()["hll_daily_users_rollup"].fn(spark, sf_dir).collect()[0]
+    exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert abs(row["union_est"] - exact) <= max(1, 0.05 * exact), (row, exact)
+    direct = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert row["union_est"] == direct
+    assert row["sum_daily_est"] >= row["union_est"]  # repeat visitors double-count
