@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from shopify_youtube_etl_spark.schemas import TESTDATA_TABLES
 
@@ -29,12 +29,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # failing with PARQUET_TYPE_ILLEGAL.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark, so
-        # the session reads it as long ns (nanosAsLong) and we truncate
-        # to a µs timestamp here, matching DuckDB's CAST(ts AS TIMESTAMP)
-        # semantics (FIXTURES.md: "cast to microseconds in both engines").
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Older runtimes honor nanosAsLong: events.ts (parquet
+            # TIMESTAMP NANOS) arrives as long ns; truncate to a µs
+            # timestamp, matching DuckDB's CAST(ts AS TIMESTAMP)
+            # semantics (FIXTURES.md: "cast to µs in both engines").
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            # PySpark 4.1+ reads parquet TIMESTAMP NANOS directly as
+            # TIMESTAMP_NTZ (nanosAsLong ignored).  Cast to the session
+            # TIMESTAMP type — session tz is UTC, so the instant values
+            # are unchanged — because some consumers (unix_micros in
+            # sessionize_gaps_islands) require a true TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
