@@ -83,13 +83,22 @@ def main() -> None:
 
     # Best of 2 runs per query: the first run absorbs per-query codegen
     # and any transient host load; min-of-2 reports steady state.
+    # Per-query try/except so one red query reports an "err" entry
+    # instead of zeroing the whole artifact (round-3 lesson: a single
+    # AnalysisException cost the round its entire bench record).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         best, n = float("inf"), 0
-        for _ in range(2):
-            start = time.perf_counter()
-            n = force_eval(specs[name].fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - start)
+        try:
+            for _ in range(2):
+                start = time.perf_counter()
+                n = force_eval(specs[name].fn(spark, SF_DIR))
+                best = min(best, time.perf_counter() - start)
+        except Exception as exc:  # noqa: BLE001 — keep the artifact alive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -102,6 +111,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

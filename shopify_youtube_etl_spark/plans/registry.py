@@ -38,72 +38,33 @@ _PLAN_MODULES = [
     "shopify_youtube_etl_spark.plans.scale_ops",
 ]
 
+# Canary queries: PERMANENTLY pinned to the front of the driver's
+# correctness window, one per testdata table / type family.  Round 3
+# proved the failure mode of a pure rotation: a regression in a
+# rotated-out family (events.ts TIMESTAMP handling) produced an
+# all-green CORRECTNESS file while the build was red.  These five never
+# rotate out, so every round's external record re-exercises each family:
+_CANARIES = [
+    "flagship_revenue",  # orders⋈lineitem star join (scan/filter/join/agg)
+    "sessionize_gaps_islands",  # events.ts — needs true TIMESTAMP (the r03 break)
+    "uniqueness_profile",  # exact multi-column countDistinct on orders
+    "token_stats",  # documents text family (split/regexp expressions)
+    "ann_cosine_topk",  # embeddings array<float> family (Arrow batch path)
+]
+
 # Queries surfaced FIRST in ``all_queries()`` iteration order.
 #
-# The per-round correctness harness samples queries in registration order,
-# so the exposed ordering prioritises queries that have not yet accumulated
-# an external correctness record (everything here was in-repo oracle-green
-# but absent from CORRECTNESS_r01/r02).  The relational/analytics core has
-# two rounds of green external history and rotates to the tail; union
-# coverage across rounds then spans the whole registry.  Names listed here
-# must exist in the registry (enforced in ``all_queries``) so a rename
-# can't silently drop a query out of the priority window.
-_DRIVER_PRIORITY = [
-    "run_ledger_daily_summary",
-    "sliding_window_30m_15m",
-    "session_window_30m",
-    "interval_join_clicks_before_purchase",
-    "dedup_exact",
-    "doc_fingerprint",
-    "token_stats",
-    "lang_id_confusion",
-    "quality_scores",
-    "stable_sample_split",
-    "doc_chunking",
-    "tfidf_top_terms",
-    "pii_redaction",
-    "stratified_sample_by_lang",
-    "groupwise_quality_zscore",
-    "sequence_packing",
-    "mixture_rebalance",
-    "source_lang_entropy",
-    "vocab_top_tokens",
-    "ann_cosine_topk",
-    "embedding_near_dup",
-    "embedding_lsh_neardup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_neardup",
-    "simhash_neardup",
-    "char_ngram_neardup",
-    "benchmark_contamination",
-    "repetition_profile",
-    "neardup_components",
-    "ann_ivf_topk",
-    "media_payload_features",
-    "media_frame_sample",
-    "resize_media",
-    "pagestore_ingest",
-    "pagestore_distributed_ingest",
-    "stateful_user_totals",
-    "salted_join_revenue",
-    # Round-3 additions (no external record yet, by construction).
-    "funnel_conversion",
-    "rolling_distinct_users_7d",
-    "lateral_top3_orders_per_customer",
-    "bigram_top_terms",
-    "token_length_histogram",
-    "dedup_representative_pick",
-    "anti_join_decontaminate",
-    "embedding_centroid_per_label",
-    "knn_label_accuracy",
-    "csv_roundtrip_ingest",
-    "tpch_q1_pricing_summary",
-    "order_value_extremes_per_segment",
-    "except_all_multiset_diff",
-    # --- slots ≥ 50: next-in-line for the driver window once the 50
-    # above acquire external rows; keeps every never-verified query
-    # ahead of the twice-verified relational core (prefix invariant,
-    # tests/test_plans.py::test_registry_surfaces_unverified_queries_first).
+# The per-round correctness harness samples queries in registration order
+# with a bounded window (first ~50), so the exposed ordering is: canaries,
+# then queries with NO external correctness record (r01∪r02∪r03), then
+# once-verified queries (external record from r03 only), then the
+# twice-verified relational/analytics core via registration order.  Union
+# coverage across rounds then spans the whole registry while every round
+# still re-checks each table/type family.  Names listed here must exist
+# in the registry (enforced in ``all_queries``) so a rename can't
+# silently drop a query out of the priority window.
+_DRIVER_PRIORITY = _CANARIES + [
+    # --- never externally verified (no CORRECTNESS_r01/r02/r03 row) ---
     "reconcile_tables",
     "scd2_status_history",
     "temperature_resample_weights",
@@ -126,6 +87,55 @@ _DRIVER_PRIORITY = [
     "bigram_pmi_top",
     "key_skew_profile",
     "hll_daily_users_rollup",
+    # --- once verified (external record from round 3 only) ---
+    "run_ledger_daily_summary",
+    "sliding_window_30m_15m",
+    "session_window_30m",
+    "interval_join_clicks_before_purchase",
+    "dedup_exact",
+    "doc_fingerprint",
+    "lang_id_confusion",
+    "quality_scores",
+    "stable_sample_split",
+    "doc_chunking",
+    "tfidf_top_terms",
+    "pii_redaction",
+    "stratified_sample_by_lang",
+    "groupwise_quality_zscore",
+    "sequence_packing",
+    "mixture_rebalance",
+    "source_lang_entropy",
+    "vocab_top_tokens",
+    "embedding_near_dup",
+    "embedding_lsh_neardup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "char_ngram_neardup",
+    "benchmark_contamination",
+    "repetition_profile",
+    "neardup_components",
+    "ann_ivf_topk",
+    "media_payload_features",
+    "media_frame_sample",
+    "resize_media",
+    "pagestore_ingest",
+    "pagestore_distributed_ingest",
+    "stateful_user_totals",
+    "salted_join_revenue",
+    "funnel_conversion",
+    "rolling_distinct_users_7d",
+    "lateral_top3_orders_per_customer",
+    "bigram_top_terms",
+    "token_length_histogram",
+    "dedup_representative_pick",
+    "anti_join_decontaminate",
+    "embedding_centroid_per_label",
+    "knn_label_accuracy",
+    "csv_roundtrip_ingest",
+    "tpch_q1_pricing_summary",
+    "order_value_extremes_per_segment",
+    "except_all_multiset_diff",
 ]
 
 
