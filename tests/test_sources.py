@@ -3,7 +3,9 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from shopify_youtube_etl_spark.schemas import RAW_ORDER
 from shopify_youtube_etl_spark.sources.paginated import (
@@ -101,3 +103,72 @@ def test_persistent_rate_limit_gives_up():
     with pytest.raises(RateLimited):
         list(fetch_all_pages(always_429, "https://x.test", max_retries=4, sleep=sleeps.append))
     assert len(sleeps) == 3  # max_retries-1 sleeps, then raise
+
+
+# --- events.ts physical-type robustness (SURVEY §7 risk 4) ----------------
+#
+# Round-3 lesson: the loader special-cased one physical manifestation of
+# the events timestamp and silently passed the others through, so a
+# runtime upgrade (PySpark 4.1 delivering TIMESTAMP_NTZ) broke every
+# TIMESTAMP-only consumer while tests stayed green.  Lock the contract:
+# whatever parquet encoding the runtime hands us, load_table yields a
+# true session-timezone TIMESTAMP with identical µs instants.
+
+
+def _write_events_variant(src_rows, path, encoding):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.array(src_rows["ts"], type=pa.timestamp("us"))
+    if encoding == "us_utc":
+        ts = ts.cast(pa.timestamp("us", tz="UTC"))
+    elif encoding == "us_naive":
+        pass
+    elif encoding == "ns_naive":
+        ts = ts.cast(pa.timestamp("ns"))
+    elif encoding == "int64_ns":
+        ts = pa.array([v * 1000 for v in ts.cast(pa.int64()).to_pylist()], pa.int64())
+    cols = {n: pa.array(src_rows[n]) for n in src_rows if n != "ts"}
+    cols["ts"] = ts
+    order = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pq.write_table(pa.table({n: cols[n] for n in order}), path)
+
+
+@pytest.mark.parametrize("encoding", ["us_utc", "us_naive", "ns_naive", "int64_ns"])
+def test_events_ts_loads_as_timestamp_under_any_physical_encoding(
+    spark, sf_dir, tmp_path, encoding
+):
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pydict()
+    vdir = tmp_path / encoding
+    vdir.mkdir()
+    for t in os.listdir(sf_dir):  # sessionize needs only events, but keep the dir whole
+        if t != "events.parquet":
+            os.symlink(os.path.join(sf_dir, t), vdir / t)
+    _write_events_variant(src, str(vdir / "events.parquet"), encoding)
+
+    df = load_table(spark, str(vdir), "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType), (
+        f"{encoding}: load_table must normalize ts to TIMESTAMP, got "
+        f"{df.schema['ts'].dataType}"
+    )
+    # Identical instants vs the canonical sf_dir load (session tz UTC).
+    base = load_table(spark, sf_dir, "events")
+    agg = lambda d: d.agg(  # noqa: E731
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+    ).first()
+    assert agg(df) == agg(base), f"{encoding}: ts instants drifted"
+    # The TIMESTAMP-only consumer that broke in round 3 must PLAN against
+    # every encoding (AnalysisException is plan-time, so building the
+    # DataFrame is the regression check) — and return identical rows.
+    sess = all_queries()["sessionize_gaps_islands"]
+    got = sess.fn(spark, str(vdir)).toPandas()
+    want = sess.fn(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
