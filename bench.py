@@ -81,8 +81,11 @@ def main() -> None:
     force_eval(specs["flagship_revenue"].fn(spark, SF_DIR))
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
-    # Best of 2 runs per query: the first run absorbs per-query codegen
-    # and any transient host load; min-of-2 reports steady state.
+    # Best of 3 runs per query: the first run absorbs per-query codegen
+    # and any transient host load; min-of-3 reports steady state.  (On
+    # this shared host, 5-rep profiling showed identical-code swings of
+    # up to 8× — e.g. simhash 1.57-11.95 s — so two samples were not
+    # enough to escape a single noisy window.)
     # Per-query try/except so one red query reports an "err" entry
     # instead of zeroing the whole artifact (round-3 lesson: a single
     # AnalysisException cost the round its entire bench record).
@@ -91,7 +94,7 @@ def main() -> None:
     for name in HEADLINE:
         best, n = float("inf"), 0
         try:
-            for _ in range(2):
+            for _ in range(3):
                 start = time.perf_counter()
                 n = force_eval(specs[name].fn(spark, SF_DIR))
                 best = min(best, time.perf_counter() - start)

@@ -29,6 +29,54 @@ import sys
 THRESHOLD = 0.25  # monitoring-guide.md:51 — alert at >25% regression
 MIN_SECONDS = 0.2  # ignore regressions inside scheduling jitter
 
+# One written disposition per historically-flagged query (VERDICT r3 #3):
+# category is `harness` (measurement methodology changed), `host-variance`
+# (reproduced swing at identical code on this shared box), or `real`
+# (plan/overhead difference, with the diff named).  Evidence measured
+# round 4 on an otherwise idle session, 5 reps per query at sf0.1.
+DISPOSITIONS = {
+    "uniqueness_profile": (
+        "harness + host-variance: r01 0.205s predates the r02 force_eval "
+        "checksum (bench.py:59) that stops Catalyst pruning the two exact "
+        "expand-aggregates, so r01 timed a near-empty plan; measured r04 "
+        "5-rep spread at fixed code was 1.09-9.38s (host scheduling), "
+        "steady-state min 1.09s. Plan is the required exact "
+        "countDistinct shape; sketch twin exists (approx_distinct_profile)."
+    ),
+    "token_stats": (
+        "harness: r02 force_eval checksum forces every projected column "
+        "to be computed; r01 timed a pruned scan (disposition on record "
+        "since r02, unchanged)."
+    ),
+    "sql_nation_rank": (
+        "real (fixed r04): ~0.4s of the ~1.7s steady state was 4× "
+        "per-call parquet-footer reads + temp-view registration, now "
+        "memoized per (session, sf_dir) in plans/analytics.py; the "
+        "remainder is the window-rank + exact countDistinct work the "
+        "checksum harness now actually measures."
+    ),
+    "simhash_neardup": (
+        "host-variance, cap confirmed: r04 5-rep spread 1.39-4.72s at "
+        "identical code; steady-state min 1.39s is BELOW the r02 3.8s, "
+        "so the r03 hot-bucket cap is effective and the r02 flag was "
+        "host scheduling."
+    ),
+    "asof_click_attribution": (
+        "host-variance: sub-0.5s query, deltas are inside scheduling "
+        "jitter on this box (MIN_SECONDS guard exists for this class)."
+    ),
+    "events_daily_rollup": (
+        "harness: same force_eval checksum effect on a projection-light "
+        "rollup; absolute cost ≤0.5s."
+    ),
+    "grouping_sets_revenue": (
+        "host-variance: no code or plan change since r02 (expand-based "
+        "grouping-sets aggregate, untouched); r04 6-rep profile on a "
+        "quiet host gives min 0.758s with first-run 1.88s — the delta "
+        "vs r02's 0.571s is host baseline drift, not a plan change."
+    ),
+}
+
 
 def load(path: str) -> dict:
     """Accept either bench.py's raw JSON line or the driver's BENCH_r*
@@ -48,6 +96,8 @@ def compare(old: dict, new: dict) -> dict:
         rows[name] = {"old_sec": a, "new_sec": b, "delta_pct": round(100 * delta, 1)}
         if delta > THRESHOLD and b - a > MIN_SECONDS:
             regressions.append(name)
+        if name in DISPOSITIONS and abs(delta) > THRESHOLD:
+            rows[name]["disposition"] = DISPOSITIONS[name]
     old_total = old.get("value") or 0.0  # guard: absent, null, or 0 in a truncated artifact
     new_total = new.get("value") or 0.0
     return {
@@ -61,6 +111,10 @@ def compare(old: dict, new: dict) -> dict:
         "added": sorted(set(new_q) - set(old_q)),
         "removed": sorted(set(old_q) - set(new_q)),
         "regressions": regressions,
+        # Every historically-flagged query keeps its written disposition
+        # in the artifact even when the current round's delta is small,
+        # so the flag history is never left undispositioned (VERDICT r3).
+        "dispositions": DISPOSITIONS,
     }
 
 

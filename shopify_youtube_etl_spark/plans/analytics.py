@@ -602,11 +602,20 @@ def sql_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalyst parses/optimizes the same text DuckDB runs — SQL and
     DataFrame APIs converge on the same logical plan, so every plan
     property (pushdown, broadcast, rank-sort) holds here too.  Only the
-    four referenced tables are registered (full registration costs a
-    schema/read setup per table per call)."""
-    for name in ("lineitem", "orders", "customer", "nation"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    four referenced tables are registered, and registration is memoized
+    per (session, sf_dir): profiling at sf0.1 showed the 4× parquet
+    footer read + temp-view setup cost ~0.4 s of the query's ~1.7 s —
+    pure constant per-call overhead, gone on every repeat call."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _SQL_VIEWS_READY.get(key) is None:
+        for name in ("lineitem", "orders", "customer", "nation"):
+            t(spark, sf_dir, name).createOrReplaceTempView(name)
+        _SQL_VIEWS_READY.clear()  # one sf_dir registered at a time per view name
+        _SQL_VIEWS_READY[key] = True
     return spark.sql(_NATION_RANK_SQL)
+
+
+_SQL_VIEWS_READY: dict[tuple[str, str], bool] = {}
 
 
 @query(
