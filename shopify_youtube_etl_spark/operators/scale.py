@@ -148,3 +148,82 @@ def prefilter_join(
         F.broadcast(buckets), b == F.col("__bucket"), "left_semi"
     )
     return pruned.join(small, key, how)
+
+
+def choose_join_strategy(
+    large: DataFrame,
+    key: str,
+    sample_fraction: float = 0.05,
+    hot_share_factor: float = 4.0,
+    seed: int = 42,
+) -> dict:
+    """Pre-flight skew probe deciding plain vs salted join (the
+    key_skew_profile diagnostic wired into a decision).
+
+    Samples the large side (bounded cost at 100 TB: the sample never
+    shuffles the full table — partial aggregation reduces to one row per
+    sampled key), finds the hottest key's share of rows, and flags
+    "salted" when that share exceeds ``hot_share_factor / shuffle
+    partitions`` — i.e. when one key's rows would overfill its hash
+    task by ~4× the average, the straggler signature AQE skew-split
+    may still catch, but a key bigger than one executor's memory
+    cannot wait for runtime replanning.
+
+    Returns a decision record (strategy, observed top-key share,
+    threshold, sampled row count) — metadata, one driver-side row, the
+    same class of statistic AQE itself collects.
+    """
+    spark = large.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Cap at 0.5: with few shuffle partitions factor/n_part can reach or
+    # exceed 1.0, which no share can beat — yet a key holding half the
+    # table is a straggler at ANY partition count.
+    threshold = min(hot_share_factor / max(n_part, 1), 0.5)
+    sampled = (
+        large.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction < 1.0
+        else large
+    )
+    row = (
+        sampled.groupBy(key)
+        .count()
+        .agg(F.max("count").alias("top"), F.sum("count").alias("tot"))
+        .first()
+    )
+    top, tot = row["top"] or 0, row["tot"] or 0
+    share = (top / tot) if tot else 0.0
+    return {
+        "strategy": "salted" if share > threshold else "plain",
+        "top_key_share": round(share, 6),
+        "threshold": round(threshold, 6),
+        "sampled_rows": tot,
+    }
+
+
+def adaptive_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+    sample_fraction: float = 0.05,
+    hot_share_factor: float = 4.0,
+) -> DataFrame:
+    """Skew-adaptive equi-join: profile the large side's key
+    distribution (``choose_join_strategy``), then route through
+    ``salted_join`` when one key is hot enough to straggle, else the
+    plain Catalyst join (which AQE may still broadcast or skew-split).
+    Result is row-identical either way — only the shuffle layout
+    differs — so the registered query's oracle is the PLAIN join.
+
+    The probe costs one sampled partial-agg job before planning; at
+    100 TB that is noise next to the straggler it prevents, and the
+    operator is the form a user actually calls — the profile and the
+    salt lever were previously two separate demonstrated pieces.
+    """
+    decision = choose_join_strategy(
+        large, key, sample_fraction=sample_fraction, hot_share_factor=hot_share_factor
+    )
+    if decision["strategy"] == "salted":
+        return salted_join(large, small, key, salt_buckets=salt_buckets, how=how)
+    return large.join(small, key, how)

@@ -996,3 +996,86 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 20)
     )
+
+
+@query(
+    "bpe_sequence_packing",
+    ref="training-data staple — packing under a BPE-piece budget (VERDICT r3 #8: whitespace counts misprice the budget real tokenizers spend)",
+    doc="Docs packed into 2048-BPE-piece bins per shard; per-bin piece/word totals and the ws→BPE inflation ratio.",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           doc_id % 8 AS shard,
+           CAST(len({_D_WORDS}) AS BIGINT) AS n_ws,
+           CAST(COALESCE(list_sum(list_transform({_D_WORDS},
+                w -> greatest(1, (length(w)+3)//4
+                     + length(regexp_replace(w, '[A-Za-z0-9]', '', 'g'))))), 0)
+                AS BIGINT) AS n_bpe
+    FROM documents
+),
+pref AS (
+    SELECT doc_id, shard, n_ws, n_bpe,
+           COALESCE(sum(n_bpe) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+    FROM toks
+)
+SELECT shard,
+       CAST(prefix // 2048 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT)       AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT)     AS total_pieces,
+       CAST(sum(n_ws) AS BIGINT)      AS total_ws_tokens,
+       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4) AS inflation
+FROM pref
+GROUP BY shard, bin
+""",
+)
+def bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequence_packing`` with the budget denominated in estimated
+    BPE pieces instead of whitespace tokens — the unit a real trainer
+    spends.  The estimator is a deterministic pure expression (no vocab
+    file in this container): per word, ceil(len/4) subword pieces —
+    the ~4-chars-per-piece ratio BPE vocabularies land on for English —
+    plus one piece per non-alphanumeric character (punctuation rarely
+    merges), floor one piece per word.  Both engines compute the
+    identical integer formula, so the packing is hash-exact.  Same
+    scale shape as sequence_packing: the fold over the words array is
+    map-side JVM (one array materialization, no O(len²) re-split), and
+    the prefix-sum window shuffles once on the shard key."""
+    from pyspark.sql.window import Window
+
+    pieces = F.expr(
+        "aggregate(__words, CAST(0 AS BIGINT), (acc, w) -> acc"
+        " + greatest(CAST(1 AS BIGINT),"
+        "   CAST((length(w)+3) div 4 AS BIGINT)"
+        "   + CAST(length(regexp_replace(w, '[A-Za-z0-9]', '')) AS BIGINT)))"
+    )
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            words(F.col("text")).alias("__words"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            F.size("__words").cast("long").alias("n_ws"),
+            pieces.alias("n_bpe"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = toks.withColumn("prefix", F.coalesce(F.sum("n_bpe").over(w), F.lit(0)))
+    return (
+        pref.withColumn("bin", F.expr("prefix div 2048"))
+        .groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("total_pieces"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("inflation"),
+        )
+    )

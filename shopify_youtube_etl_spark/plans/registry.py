@@ -87,6 +87,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "bigram_pmi_top",
     "key_skew_profile",
     "hll_daily_users_rollup",
+    # Round-4 additions (no external record yet, by construction).
+    "adaptive_join_revenue",
+    "bpe_sequence_packing",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",

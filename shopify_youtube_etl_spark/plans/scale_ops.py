@@ -244,3 +244,41 @@ def hll_daily_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.hll_sketch_estimate("sk")).cast("long").alias("sum_daily_est"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("union_est"),
     )
+
+
+@query(
+    "adaptive_join_revenue",
+    ref="skew machinery composed — key_skew_profile's decision wired into the join a user actually calls (operators/scale.py::adaptive_join)",
+    doc="lineitem ⋈ part routed through the skew-adaptive join (profile → plain or salted), revenue per brand; oracle is the PLAIN join.",
+    oracle="""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def adaptive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two demonstrated skew levers (key_skew_profile diagnostic,
+    salted_join fallback) composed into one operator: adaptive_join
+    samples the fact side's key distribution and routes through the
+    salted layout only when one key is hot enough to straggle.  TPC-H
+    l_partkey is uniform, so here the probe chooses the plain join and
+    the oracle hash-verifies that path; the salted route is
+    value-verified on planted skew in tests/test_scale.py — both
+    branches produce row-identical results by construction."""
+    from shopify_youtube_etl_spark.operators.scale import adaptive_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pkey"), "l_extendedprice", "l_discount"
+    )
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pkey"), "p_brand"
+    )
+    joined = adaptive_join(li, part, key="pkey")
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+    )

@@ -194,3 +194,46 @@ def test_hll_rollup_union_matches_exact_within_5pct(spark, sf_dir):
     )
     assert row["union_est"] == direct
     assert row["sum_daily_est"] >= row["union_est"]  # repeat visitors double-count
+
+
+def test_adaptive_join_picks_salted_on_planted_skew(spark, skewed):
+    """The decision gate: planted 95%-hot-key skew must route through
+    the salted layout, and the result must stay row-identical to the
+    plain join (the registered query's oracle contract)."""
+    from shopify_youtube_etl_spark.operators.scale import (
+        SALT_COL,
+        adaptive_join,
+        choose_join_strategy,
+    )
+
+    fact, dim = skewed
+    decision = choose_join_strategy(fact, "k", sample_fraction=1.0)
+    assert decision["strategy"] == "salted"
+    assert decision["top_key_share"] > decision["threshold"]
+
+    out = adaptive_join(fact, dim, "k", sample_fraction=1.0)
+    # plan proof: the salted branch materializes the salt column
+    assert SALT_COL in _explain(out)
+    plain = fact.join(dim, "k").select("k", "payload", "name")
+    routed = out.select("k", "payload", "name")
+    assert routed.count() == plain.count()
+    assert routed.subtract(plain).count() == 0
+    assert plain.subtract(routed).count() == 0
+
+
+def test_adaptive_join_picks_plain_on_uniform_keys(spark):
+    """Uniform keys must NOT pay the salt replication: strategy probe
+    says plain and the physical plan carries no salt column."""
+    from shopify_youtube_etl_spark.operators.scale import (
+        SALT_COL,
+        adaptive_join,
+        choose_join_strategy,
+    )
+
+    fact = spark.range(10000).select((F.col("id") % 100).alias("k"), F.col("id").alias("payload"))
+    dim = spark.range(100).select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name"))
+    decision = choose_join_strategy(fact, "k", sample_fraction=1.0)
+    assert decision["strategy"] == "plain"
+    out = adaptive_join(fact, dim, "k", sample_fraction=1.0)
+    assert SALT_COL not in _explain(out)
+    assert out.count() == 10000
