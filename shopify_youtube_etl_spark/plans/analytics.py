@@ -1511,3 +1511,168 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    ref="TPC-H Q3 shape (filter both join sides on disjoint date ranges → star join → top-k agg) — the canonical BI plan the engine must nail",
+    doc="Top-10 unshipped BUILDING-segment orders by revenue at the 1998-05-01 cutoff.",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-05-01'
+  AND l_shipdate  > TIMESTAMP '1998-05-01'
+GROUP BY l_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted to the testdata columns (o_orderpriority for the
+    missing o_shippriority): both date filters sit on base columns so
+    they push into the parquet scans, the customer-segment dim side
+    broadcasts, and the top-10 compiles to TakeOrderedAndProject —
+    no global sort of the aggregate.  Tie-break on l_orderkey keeps
+    the LIMIT cut hash-stable across engines."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < "1998-05-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > "1998-05-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            day_str(F.col("o_orderdate")).alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    ref="TPC-H Q18 shape (agg-HAVING subquery feeding a star join) — the group-filter-then-enrich plan",
+    doc="Orders whose total quantity exceeds 300, enriched with customer and order facts.",
+    oracle="""
+SELECT c_name,
+       CAST(o_custkey AS BIGINT)  AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2)     AS o_totalprice,
+       CAST(total_qty AS BIGINT)  AS total_qty
+FROM (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: the HAVING subquery reduces lineitem to a tiny
+    order-key set BEFORE any join — one partial-agg shuffle on
+    l_orderkey, then the survivors (~0.3% of orders at threshold 300)
+    broadcast against orders and customer, so the big table is
+    touched exactly once.  The inverted plan (join first, filter
+    after) would shuffle the full fact join — the difference between
+    one scan and a 100 TB exchange."""
+    big = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            day_str(F.col("o_orderdate")).alias("orderdate"),
+            money(F.col("o_totalprice")).alias("o_totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "daily_anomaly_mad",
+    ref="ops/monitoring extension — robust outlier detection on the daily series (monitoring-guide.md's regression alerts, made statistical)",
+    doc="Per-day revenue with a median/MAD robust z-score and outlier flag.",
+    oracle="""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           round(sum(value), 2) AS rev
+    FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+mad AS (
+    SELECT quantile_cont(abs(rev - (SELECT m FROM med)), 0.5) AS d FROM daily
+)
+SELECT day, rev,
+       round((rev - (SELECT m FROM med)) / (1.4826 * (SELECT d FROM mad)), 4)
+           AS robust_z,
+       CAST(abs(rev - (SELECT m FROM med))
+            > 3 * 1.4826 * (SELECT d FROM mad) AS BOOLEAN) AS is_outlier
+FROM daily
+""",
+)
+def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's monitoring runbook alerts on fixed thresholds
+    (monitoring-guide.md: ±25%, 50% of daily avg); this is the robust
+    version a pipeline actually wants: median/MAD tolerate the very
+    anomalies being hunted (mean/stddev get dragged by them).  Scale
+    shape: the day-grain rollup is one partial-agg shuffle; the
+    median/MAD run over the ~365·years-row daily frame (size
+    independent of input scale) and come back as one broadcast row —
+    `percentile` here is EXACT on that reduced frame, never on raw
+    events."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(day_str(F.col("ts")).alias("day"))
+        .agg(money(F.sum("value")).alias("rev"))
+    )
+    med = daily.agg(F.expr("percentile(rev, 0.5)").alias("m"))
+    with_med = daily.join(F.broadcast(med))
+    mad = with_med.agg(F.expr("percentile(abs(rev - m), 0.5)").alias("d"))
+    return (
+        with_med.join(F.broadcast(mad))
+        .select(
+            "day",
+            "rev",
+            F.round((F.col("rev") - F.col("m")) / (1.4826 * F.col("d")), 4).alias(
+                "robust_z"
+            ),
+            (
+                F.abs(F.col("rev") - F.col("m")) > 3 * 1.4826 * F.col("d")
+            ).alias("is_outlier"),
+        )
+    )

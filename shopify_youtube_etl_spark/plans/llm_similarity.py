@@ -1121,3 +1121,55 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "containment_pairs",
+    ref="asymmetric near-dup — shingle containment |A∩B|/|A| (catches quotes/subsets Jaccard misses)",
+    doc="Word-3-gram containment ≥ 0.5 of probe docs inside corpus docs.",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents
+),
+p AS (SELECT doc_id AS id_a, shingles AS sa FROM sh WHERE doc_id % 7 = 0 AND len(shingles) > 0),
+c AS (SELECT doc_id AS id_b, shingles AS sb FROM sh),
+s AS (
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa, sb)) * 1.0 / len(sa), 6) AS cont
+    FROM p, c WHERE id_a <> id_b
+)
+SELECT id_a, id_b, cont AS containment
+FROM s WHERE cont >= 0.5
+""",
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment is the asymmetric cousin of Jaccard: |A∩B| / |A|
+    finds probe docs QUOTED INSIDE much larger docs, where the size
+    mismatch crushes Jaccard below any useful threshold (a 50-shingle
+    doc fully contained in a 5000-shingle doc scores J≈0.01 but
+    containment 1.0) — the shape benchmark-contamination checks need.
+    Same probe-slice broadcast as ngram_jaccard_pairs: one corpus
+    pass, bounded crossJoin; the LSH route remains the all-pairs
+    scale path."""
+    d = (
+        spread(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .select("doc_id", shingles_from_words("ws", 3).alias("shingles"))
+    )
+    probes = d.where((F.col("doc_id") % 7 == 0) & (F.size("shingles") > 0)).select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa")
+    )
+    corpus = d.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    return (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")) / F.size("sa"), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.5)
+    )

@@ -1079,3 +1079,92 @@ def bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("inflation"),
         )
     )
+
+
+@query(
+    "quality_quantile_filter",
+    ref="training-data staple — quantile-based quality filtering (keep the best half per source)",
+    doc="Top-50% documents per source by quality score (deterministic percent_rank cut); per-source kept count and quality floor.",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, source, {_D_QUALITY} AS q FROM documents
+),
+r AS (
+    SELECT source, q,
+           percent_rank() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr
+    FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(avg(q), 6)         AS avg_kept_q,
+       round(min(q), 6)         AS min_kept_q
+FROM r WHERE pr <= 0.5
+GROUP BY source
+""",
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter step that follows quality scoring in a pretraining
+    pipeline: keep each source's best half, where "half" is a
+    percent_rank cut (relative, so a uniformly-bad source still keeps
+    its top 50% rather than being emptied by a global threshold).  The
+    rank window shuffles once on source; ties in the rounded score are
+    broken by doc_id so the cut — and the driver's value hash — is
+    deterministic on both engines."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id"))
+    kept = d.withColumn("pr", F.percent_rank().over(w)).where(F.col("pr") <= 0.5)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("q"), 6).alias("avg_kept_q"),
+        F.round(F.min("q"), 6).alias("min_kept_q"),
+    )
+
+
+@query(
+    "cross_source_dup_matrix",
+    ref="dedup diagnostics — which source pairs share identical content (the overlap matrix a corpus audit starts with)",
+    doc="For every source pair, the number of distinct normalized contents present in both.",
+    oracle=f"""
+WITH h AS (
+    SELECT DISTINCT md5({_D_NORM}) AS h, source FROM documents
+),
+pairs AS (
+    SELECT a.h, a.source AS src_a, b.source AS src_b
+    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_contents
+FROM pairs GROUP BY src_a, src_b
+""",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: exact-content groups that span
+    two sources, counted per unordered source pair.  Scale shape: one
+    hash-groupBy collecting each content's distinct source set (the
+    dedup-cluster shuffle, on the 16-byte digest), then the pair
+    expansion is a map-side array transform over the few-element source
+    list — no self-join of the corpus, which the oracle's formulation
+    would cost at 100 TB."""
+    d = t(spark, sf_dir, "documents").select(
+        fingerprint(F.col("text")).alias("h"), "source"
+    )
+    by_content = d.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs = by_content.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs)),"
+                " y -> struct(x AS src_a, y AS src_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared_contents"))
+    )

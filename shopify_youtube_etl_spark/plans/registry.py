@@ -90,6 +90,12 @@ _DRIVER_PRIORITY = _CANARIES + [
     # Round-4 additions (no external record yet, by construction).
     "adaptive_join_revenue",
     "bpe_sequence_packing",
+    "quality_quantile_filter",
+    "cross_source_dup_matrix",
+    "containment_pairs",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "daily_anomaly_mad",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",
