@@ -53,6 +53,11 @@ HEADLINE = [
     "sessionize_gaps_islands",
     "simhash_neardup",
     "sql_nation_rank",
+    # Round-4 additions: the two classic BI plan shapes and the
+    # composed skew-adaptive join (probe cost included in its timing).
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "adaptive_join_revenue",
 ]
 
 

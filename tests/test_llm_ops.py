@@ -382,3 +382,74 @@ def test_weighted_sample_prefers_heavy_weights(spark):
         got = weighted_sample_per_group(spark, d).collect()
         winners = {r["doc_id"] for r in got}
         assert 0 in winners, "the 10M-weight doc must be sampled"
+
+
+def _planted_docs_dir(spark, sf_dir, tmp_path, rows):
+    """Write a planted documents.parquet beside symlinks of the other
+    testdata tables, so registered queries run end-to-end on it."""
+    import os
+
+    d = tmp_path / "planted_docs"
+    d.mkdir()
+    for t_ in os.listdir(sf_dir):
+        if t_ != "documents.parquet":
+            os.symlink(os.path.join(sf_dir, t_), d / t_)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_containment_catches_quote_jaccard_misses(spark, sf_dir, tmp_path):
+    """A short probe doc fully quoted inside a much larger doc must
+    score containment 1.0 while its Jaccard stays under the 0.3
+    near-dup threshold — the asymmetric case the operator exists for."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(120))
+    rows = [
+        (7, quote, "en", "web", len(quote)),  # probe (doc_id % 7 == 0)
+        (8, filler + " " + quote + " " + filler, "en", "web", 999),
+        (9, "completely unrelated text body with nothing shared here at all", "en", "web", 60),
+    ]
+    vdir = _planted_docs_dir(spark, sf_dir, tmp_path, rows)
+    specs = all_queries()
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in specs["containment_pairs"].fn(spark, vdir).collect()
+    }
+    assert cont.get((7, 8)) == 1.0, f"quoted probe not contained: {cont}"
+    assert (7, 9) not in cont
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in specs["ngram_jaccard_pairs"].fn(spark, vdir).collect()
+    }
+    # the same pair is invisible to symmetric Jaccard at the 0.3 cut
+    assert (7, 8) not in jac
+
+
+def test_cross_source_dup_matrix_planted_overlap(spark, sf_dir, tmp_path):
+    """Identical content planted across sources must appear in exactly
+    the right source-pair cells, counted once per distinct content."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    rows = [
+        (1, "shared article one", "en", "web", 18),
+        (2, "shared article one", "en", "books", 18),
+        (3, "shared article one", "en", "wiki", 18),   # 3 sources, 3 pairs
+        (4, "shared article two", "en", "web", 18),
+        (5, "shared article two", "en", "wiki", 18),   # 1 more (web, wiki)
+        (6, "unique text alpha", "en", "web", 17),
+        (7, "unique text beta", "en", "books", 16),
+    ]
+    vdir = _planted_docs_dir(spark, sf_dir, tmp_path, rows)
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared_contents"]
+        for r in all_queries()["cross_source_dup_matrix"].fn(spark, vdir).collect()
+    }
+    assert got == {
+        ("books", "web"): 1,
+        ("books", "wiki"): 1,
+        ("web", "wiki"): 2,
+    }, got

@@ -234,3 +234,35 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     for name, spec in SPECS.items():
         plan = explain_str(spec.fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q3_plan_shape(spark, sf_dir):
+    """Q3's three scale properties: both date filters pushed into their
+    scans, the segment dim broadcast, and the top-10 compiled to
+    TakeOrderedAndProject (no global sort of the aggregate)."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority", sf_dir)
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q18_reduces_before_join(spark, sf_dir):
+    """Q18's HAVING aggregate must run BEFORE the joins (partial
+    HashAggregate on lineitem feeding a broadcast), so the fact table
+    is never shuffled for the join — the inverted plan would move the
+    full lineitem⋈orders exchange."""
+    plan = plan_of(spark, "tpch_q18_large_orders", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # the lineitem side must aggregate below the join: a map-side
+    # partial sum of the quantity, then the final agg — both BEFORE
+    # any join operator touches the fact table
+    assert "partial_sum(l_quantity" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_daily_anomaly_broadcasts_stats(spark, sf_dir):
+    """The median/MAD one-row frames must come back as broadcast joins
+    — never a shuffle keyed on a constant."""
+    plan = plan_of(spark, "daily_anomaly_mad", sf_dir)
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
