@@ -1676,3 +1676,37 @@ def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_outlier"),
         )
     )
+
+
+@query(
+    "segment_price_quantiles",
+    ref="§2.4 extension — EXACT grouped quantiles (the precise twin of approx_quantiles_profile's GK sketches)",
+    doc="Per market segment: exact p25/p50/p75/p90 of order value (continuous interpolation) and order count.",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT)                       AS n_orders,
+       round(quantile_cont(o_totalprice, 0.25), 4)    AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4)    AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4)    AS p75,
+       round(quantile_cont(o_totalprice, 0.90), 4)    AS p90
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def segment_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group — `percentile` (continuous
+    interpolation, matching DuckDB's quantile_cont) buffers each
+    group's values, which is exactly why the GK-sketch twin
+    (approx_quantiles_profile) exists for 100 TB; this query is the
+    precision baseline the sketch is pinned against.  Segment dim
+    broadcasts; one shuffle on the 5-segment grouping key."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+    )

@@ -365,3 +365,66 @@ def reconcile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("d")).alias("value_drift"),
         )
     )
+
+
+@query(
+    "deletion_propagation_report",
+    ref="compliance extension of J1/J2's FK machinery — right-to-erasure cascade sizing (the DELETE the reference's relational model implies)",
+    doc="For a planted erasure request set (c_custkey % 97 = 0): rows to delete per table across the customer→orders→lineitem cascade.",
+    oracle="""
+WITH del AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+),
+doomed_orders AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM del)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT count(*) FROM del) AS BIGINT) AS n_rows_to_delete
+UNION ALL
+SELECT 'orders', CAST((SELECT count(*) FROM doomed_orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders)) AS BIGINT)
+""",
+)
+def deletion_propagation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sizing a right-to-erasure batch BEFORE running it — the cascade
+    the reference's FK layout (line_items→orders→customers,
+    shopify_etl.py:718-733) implies for a customer-delete request.
+    Scale shape: the request set and the doomed-order keyset stay
+    small, so both hops are broadcast LEFT SEMI joins against the fact
+    tables — lineitem is scanned once and never shuffled.  The same
+    semi-join lineage, flipped to anti, IS the deletion; this report
+    is its dry run."""
+    del_set = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+    )
+    doomed = (
+        t(spark, sf_dir, "orders")
+        .join(F.broadcast(del_set), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+    )
+    li_n = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(doomed), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = [
+        del_set.agg(F.count("*").alias("n")).select(
+            F.lit("customer").alias("table_name"), F.col("n").alias("n_rows_to_delete")
+        ),
+        doomed.agg(F.count("*").alias("n")).select(
+            F.lit("orders").alias("table_name"), F.col("n").alias("n_rows_to_delete")
+        ),
+        li_n.select(
+            F.lit("lineitem").alias("table_name"), F.col("n").alias("n_rows_to_delete")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

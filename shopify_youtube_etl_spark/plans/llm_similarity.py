@@ -1173,3 +1173,122 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment") >= 0.5)
     )
+
+
+@query(
+    "int8_ann_topk",
+    ref="similarity search at memory scale — symmetric int8 scalar quantization (the 4× footprint cut every vector store applies first)",
+    doc="Top-5 neighbors for 16 probes ranked by exact INTEGER dot product of per-vector int8-quantized embeddings.",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform({_D_VEC},
+               x -> CAST(round(x * 127.0
+                    / greatest(list_max(list_transform({_D_VEC}, y -> abs(y))), 1e-30))
+                    AS INTEGER)) AS qv
+    FROM embeddings
+),
+p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 16),
+c AS (SELECT vec_id AS neighbor_id, qv AS cq FROM q),
+s AS (
+    SELECT probe_id, neighbor_id,
+           CAST(list_dot_product(list_transform(pq, x -> CAST(x AS DOUBLE)),
+                                 list_transform(cq, x -> CAST(x AS DOUBLE)))
+                AS BIGINT) AS qdot
+    FROM p, c WHERE probe_id <> neighbor_id
+),
+r AS (
+    SELECT probe_id, neighbor_id, qdot,
+           row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, neighbor_id)
+               AS rank
+    FROM s
+)
+SELECT probe_id, neighbor_id, qdot, rank FROM r WHERE rank <= 5
+""",
+)
+def int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization is the first lever a 100 TB vector corpus
+    pulls: int8 codes cut the resident footprint 4× (64 B/vector here
+    vs 256 B float32) and the integer dot product is exact, so — unlike
+    a float cosine — the score, the ranking, and therefore the driver's
+    value hash are bit-identical across engines (ties broken by
+    neighbor id).  Per-vector symmetric max-abs scaling is map-side
+    (one fold for the max, one transform to quantize); the search
+    itself reuses the bounded broadcast-probe shape.  Recall vs the
+    float baseline is pinned in tests/test_llm_ops.py — quantization
+    error moves ranks, the test bounds how much."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    qv = F.expr(
+        "transform(v, x -> CAST(round(x * 127.0D /"
+        " greatest(aggregate(v, 0.0D, (a, y) -> greatest(a, abs(y))), 1e-30D))"
+        " AS INT))"
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+    probes = q.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pq")
+    )
+    corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cq"))
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(pq, cq, (x, y) -> CAST(x AS BIGINT) * y),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("qdot"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "qdot", "rank")
+    )
+
+
+@query(
+    "embedding_norm_profile",
+    ref="embedding hygiene — per-label L2-norm profile (catches collapsed/exploded vectors before they poison ANN scores)",
+    doc="Per label: member count and avg/min/max L2 norm.",
+    oracle=f"""
+WITH n AS (
+    SELECT label, sqrt(list_dot_product({_D_VEC}, {_D_VEC})) AS nrm
+    FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(nrm), 6)       AS avg_norm,
+       round(min(nrm), 6)       AS min_norm,
+       round(max(nrm), 6)       AS max_norm
+FROM n GROUP BY label
+""",
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight every embedding pipeline needs: zero-norm or
+    exploded vectors silently corrupt cosine ranking (division by ~0)
+    and quantization scales.  One map-side fold per vector for the
+    norm, one partial-agg shuffle on label — the cheapest possible
+    shape."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", as_double_array("embedding").alias("v")
+    )
+    nrm = F.sqrt(F.expr("aggregate(v, 0.0D, (a, x) -> a + x * x)"))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )

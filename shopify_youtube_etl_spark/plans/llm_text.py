@@ -1168,3 +1168,62 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared_contents"))
     )
+
+
+@query(
+    "source_token_kl",
+    ref="mixture diagnostics — per-source unigram KL divergence from the corpus distribution (which sources skew the token mix)",
+    doc="Per source: vocabulary size, token count, and KL(source ‖ corpus) over the unigram distribution.",
+    oracle=f"""
+WITH tok AS (
+    SELECT source, unnest({_D_WORDS}) AS token FROM documents
+),
+st AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY source, token
+),
+stot AS (SELECT source, CAST(sum(n) AS BIGINT) AS s_n FROM st GROUP BY source),
+ct AS (SELECT token, CAST(sum(n) AS BIGINT) AS c_n FROM st GROUP BY token),
+ctot AS (SELECT CAST(sum(n) AS BIGINT) AS t_n FROM st)
+SELECT st.source,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(min(stot.s_n) AS BIGINT) AS n_tokens,
+       round(sum((st.n * 1.0 / stot.s_n)
+             * ln((st.n * 1.0 / stot.s_n) / (ct.c_n * 1.0 / (SELECT t_n FROM ctot)))), 6)
+           AS kl_vs_corpus
+FROM st
+JOIN stot ON st.source = stot.source
+JOIN ct   ON st.token = ct.token
+GROUP BY st.source
+""",
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources drag the token mixture: KL(p_source ‖ p_corpus)
+    over unigrams.  Support is guaranteed (every source token is in the
+    corpus), so no smoothing term.  Scale shape: ONE explode pass
+    aggregated to (source, token) counts — corpus totals derive from
+    that same reduced frame (never a second corpus scan), the per-source
+    totals broadcast back, and the KL sum is a partial-agg shuffle on
+    source."""
+    st = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    stot = st.groupBy("source").agg(F.sum("n").alias("s_n"))
+    ct = st.groupBy("token").agg(F.sum("n").alias("c_n"))
+    ctot = st.agg(F.sum("n").alias("t_n"))
+    p_s = F.col("n") / F.col("s_n")
+    p_c = F.col("c_n") / F.col("t_n")
+    return (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "token")
+        .join(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.min("s_n").alias("n_tokens"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_vs_corpus"),
+        )
+    )

@@ -96,6 +96,11 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q3_shipping_priority",
     "tpch_q18_large_orders",
     "daily_anomaly_mad",
+    "int8_ann_topk",
+    "embedding_norm_profile",
+    "source_token_kl",
+    "deletion_propagation_report",
+    "segment_price_quantiles",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",
