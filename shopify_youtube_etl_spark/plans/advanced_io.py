@@ -225,3 +225,74 @@ def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.sum("o_totalprice")).alias("total_price"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
     )
+
+
+@query(
+    "schema_evolution_union",
+    ref="S8/S10 robustness — schema evolution across parquet drops (mergeSchema), the add-a-column migration every long-lived table hits",
+    doc="Two parquet batches with different schemas (new column added) merged on read; per-lang profile proving old rows surface NULLs.",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_chars,
+       CAST(COALESCE(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0) AS BIGINT)
+           AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration a 100 TB table lives through: batch 1 written
+    before a column existed, batch 2 after.  ``mergeSchema`` unions the
+    footers at read time — old files surface the new column as NULL,
+    no rewrite of petabytes of history.  The profile counts which rows
+    carry the evolved column, so the oracle (same split simulated with
+    CASE) hash-verifies both the union and the NULL semantics.
+    mergeSchema costs a footer pass per file — production tables pin
+    the evolved schema in a catalog instead; this query documents the
+    mechanism, not a default."""
+    src = t(spark, sf_dir, "documents")
+    out = _staging_dir("schevo", sf_dir)
+    v1 = src.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = src.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    v1.write.mode("overwrite").parquet(out + "/batch=1")
+    v2.write.mode("overwrite").parquet(out + "/batch=2")
+    back = spark.read.option("mergeSchema", True).parquet(out + "/batch=1", out + "/batch=2")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+    )
+
+
+@query(
+    "partition_pruned_ingest",
+    ref="S7/S10 layout lever — hive-partitioned write + partition-pruned read (the directory-level data skipping parquet stats can't give)",
+    doc="orders written partitioned by status, read back with a status filter the planner prunes to one directory; oracle = direct filtered agg.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT)    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def partition_pruned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-level pruning: the write lays one directory per
+    status, and the status predicate resolves at PLANNING time from
+    directory names (PartitionFilters — gated in tests/test_plans.py),
+    so non-matching partitions are never opened, never footer-read.
+    At 100 TB this is the difference between listing 3 directories and
+    scanning them all; the same mechanism serves date-partitioned
+    incremental loads (S2's watermark scan).  Partition count here is
+    the 3-value status column — never partition by a high-cardinality
+    key (file-per-key explosion)."""
+    src = t(spark, sf_dir, "orders")
+    out = _staging_dir("partprune", sf_dir)
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("total_price"),
+    )

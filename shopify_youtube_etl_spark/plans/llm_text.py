@@ -1227,3 +1227,74 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_vs_corpus"),
         )
     )
+
+
+@query(
+    "incremental_dedup_report",
+    ref="pipeline staple — dedup of an incoming batch against the historical corpus (the incremental form of dedup_exact; S2's watermark scan applied to content)",
+    doc="Newest 20% of docs as the incoming batch: how many are exact dupes of history, dupes within the batch, or novel.",
+    oracle=f"""
+WITH hist AS (
+    SELECT DISTINCT md5({_D_NORM}) AS h FROM documents WHERE doc_id < 400
+),
+batch AS (
+    SELECT doc_id, md5({_D_NORM}) AS h FROM documents WHERE doc_id >= 400
+),
+flagged AS (
+    SELECT b.doc_id, b.h,
+           CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END AS dup_vs_history,
+           CASE WHEN row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) > 1
+                THEN 1 ELSE 0 END AS dup_in_batch
+    FROM batch b LEFT JOIN hist ON b.h = hist.h
+)
+SELECT CAST(count(*) AS BIGINT)                                   AS n_batch,
+       CAST(sum(dup_vs_history) AS BIGINT)                        AS n_dup_vs_history,
+       CAST(sum(CASE WHEN dup_vs_history = 0 THEN dup_in_batch ELSE 0 END)
+            AS BIGINT)                                            AS n_dup_in_batch,
+       CAST(sum(CASE WHEN dup_vs_history = 0 AND dup_in_batch = 0 THEN 1 ELSE 0 END)
+            AS BIGINT)                                            AS n_novel
+FROM flagged
+""",
+)
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingestion never re-dedups the corpus: each incoming
+    batch checks its content hashes against the historical hash set
+    (here docs 0-399 as history, ≥400 as the batch) and within itself.
+    Scale shape: history is ONLY its 16-byte digests — at 100 TB that
+    hash set lives as its own compact table and the probe is a hash
+    join on digests, never a text scan of history; within-batch dupes
+    are one window over the (small) batch.  Precedence matters for the
+    counts: a batch row matching history counts there, not as an
+    in-batch dupe — the oracle encodes the same precedence."""
+    from pyspark.sql.window import Window
+
+    hist = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(fingerprint(F.col("text")).alias("h"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    batch = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") >= 400)
+        .select("doc_id", fingerprint(F.col("text")).alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        batch.join(hist, "h", "left")
+        .withColumn("dup_vs_history", F.when(F.col("in_hist").isNotNull(), 1).otherwise(0))
+        .withColumn("dup_in_batch", F.when(F.row_number().over(w) > 1, 1).otherwise(0))
+    )
+    return flagged.agg(
+        F.count("*").alias("n_batch"),
+        F.sum("dup_vs_history").alias("n_dup_vs_history"),
+        F.sum(
+            F.when(F.col("dup_vs_history") == 0, F.col("dup_in_batch")).otherwise(0)
+        ).alias("n_dup_in_batch"),
+        F.sum(
+            F.when(
+                (F.col("dup_vs_history") == 0) & (F.col("dup_in_batch") == 0), 1
+            ).otherwise(0)
+        ).alias("n_novel"),
+    )

@@ -101,6 +101,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "source_token_kl",
     "deletion_propagation_report",
     "segment_price_quantiles",
+    "schema_evolution_union",
+    "partition_pruned_ingest",
+    "incremental_dedup_report",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",

@@ -266,3 +266,11 @@ def test_daily_anomaly_broadcasts_stats(spark, sf_dir):
     — never a shuffle keyed on a constant."""
     plan = plan_of(spark, "daily_anomaly_mad", sf_dir)
     assert plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_partition_pruned_ingest_prunes_directories(spark, sf_dir):
+    """The status predicate must resolve as a PartitionFilter (directory
+    prune at planning), NOT a row-level PushedFilter over all files."""
+    plan = plan_of(spark, "partition_pruned_ingest", sf_dir)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert "(o_orderstatus" in plan.split("PartitionFilters")[1][:120]
