@@ -58,6 +58,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q18_large_orders",
     "adaptive_join_revenue",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

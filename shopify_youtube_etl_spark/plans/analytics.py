@@ -1710,3 +1710,75 @@ def segment_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
         F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
     )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    ref="TPC-H Q5 shape — 6-table snowflake join with a cross-dimension equality (customer and supplier in the SAME nation)",
+    doc="Revenue per ASIA nation from 1997 orders where the supplier is local to the customer.",
+    oracle="""
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deepest join chain in the classic suite, plus the wrinkle
+    that makes Q5 a planner test: the supplier join carries a SECOND
+    equality against the customer's nation, correlating two dimension
+    hops.  Scale shape: region→nation prune first (explicit broadcast
+    — these two are FIXED at 5/25 rows at any scale factor), the date
+    filter pushes into the orders scan, and supplier/customer carry NO
+    broadcast hint on purpose: at bench scale AQE broadcasts them
+    anyway, while at 100 TB (customer ~10^10 rows) the same plan
+    degrades gracefully to a shuffle join instead of OOMing on a
+    forced broadcast.  Group key is the 5-nation name: the final agg
+    is a rounding error next to the joins."""
+    region = (
+        t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    )
+    nation = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )

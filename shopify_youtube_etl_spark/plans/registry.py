@@ -104,6 +104,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "schema_evolution_union",
     "partition_pruned_ingest",
     "incremental_dedup_report",
+    "tpch_q5_local_supplier_volume",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",

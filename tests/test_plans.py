@@ -274,3 +274,13 @@ def test_partition_pruned_ingest_prunes_directories(spark, sf_dir):
     plan = plan_of(spark, "partition_pruned_ingest", sf_dir)
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     assert "(o_orderstatus" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_tpch_q5_pushes_date_and_broadcasts_fixed_dims(spark, sf_dir):
+    """Q5: the order-date range must reach the orders scan, and the
+    fixed-size region/nation chain must broadcast; lineitem appears in
+    exactly one scan (never re-read per dimension)."""
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume", sf_dir)
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
