@@ -291,7 +291,14 @@ def partition_pruned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t(spark, sf_dir, "orders")
     out = _staging_dir("partprune", sf_dir)
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    back = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    # Explicit schema: an all-empty write leaves no files to infer from
+    # (empty input must yield an empty result, not UNABLE_TO_INFER_SCHEMA);
+    # partition-column pruning still applies with a user-supplied schema.
+    back = (
+        spark.read.schema(src.schema)
+        .parquet(out)
+        .where(F.col("o_orderstatus") == "F")
+    )
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         money(F.sum("o_totalprice")).alias("total_price"),

@@ -1506,9 +1506,12 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.round(F.col("n_triangles").cast("double") / F.col("n_wedges"), 6).alias(
-                "closure_rate"
-            ),
+            # NULL (not an ANSI divide-by-zero crash) on a wedge-free
+            # graph — empty input must degrade, not throw.
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(F.col("n_triangles").cast("double") / F.col("n_wedges"), 6),
+            ).alias("closure_rate"),
         )
     )
 

@@ -156,7 +156,10 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    dim = e.select(F.size("v")).first()[0]
+    dim_row = e.select(F.size("v")).first()
+    if dim_row is None:  # empty corpus: nothing to hash, no pairs
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    dim = dim_row[0]
     # (n_tables·k, dim) plane matrix, deterministic seeds per table.
     planes = np.array(
         [
@@ -389,6 +392,12 @@ def _block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_rows = (
         e.where(F.col("vec_id") < 16).select("vec_id", "embedding").orderBy("vec_id").collect()
     )
+    if not probe_rows:
+        # Empty corpus / no probes: the numpy normalize below would die
+        # on a 0-row matrix — return the (schema-identical) empty result.
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cosine double, rank int"
+        )
     probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
     P = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
     Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
@@ -702,6 +711,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding").alias("v")
     )
     ml_df = e.select("vec_id", array_to_vector("v").alias("features"))
+    if not ml_df.head(1):  # empty corpus: k-means cannot fit, no neighbors
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cosine double, rank int"
+        )
     model = KMeans(k=16, seed=42, maxIter=10).fit(ml_df)
     centers = [list(map(float, c)) for c in model.clusterCenters()]
 

@@ -39,12 +39,21 @@ class PageStoreReader(DataSourceReader):
 
     def partitions(self) -> Sequence[PagePartition]:
         # One partition per landed page file — sorted for determinism.
+        # A store with no landed pages (empty source, or a distributed
+        # land where no executor partition had rows) may not even have
+        # the directory yet.
+        if not os.path.isdir(self.dir):
+            return []
         files = sorted(
             f for f in os.listdir(self.dir) if f.startswith("page-") and f.endswith(".ndjson")
         )
         return [PagePartition(os.path.join(self.dir, f)) for f in files]
 
-    def read(self, partition: PagePartition) -> Iterator[tuple]:
+    def read(self, partition: PagePartition | None) -> Iterator[tuple]:
+        if partition is None:
+            # Spark substitutes a single None partition when partitions()
+            # returns [] — an empty store yields an empty scan, not a crash.
+            return
         fields = [f.name for f in self.schema.fields]
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
