@@ -51,8 +51,13 @@ def _fake_decode(payload: bytes) -> dict:
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Treat the text body as an opaque binary payload (the multimodal
-    column pattern: binary blob + metadata columns)."""
-    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+    column pattern: binary blob + metadata columns).  Rows with a NULL
+    body are excluded — a media pipeline skips missing blobs rather
+    than shipping None into the Arrow decode path (np/pandas would
+    throw there, killing the whole batch for one bad row)."""
+    return df.where(F.col(text_col).isNotNull()).withColumn(
+        "payload", F.encode(F.col(text_col), "UTF-8")
+    )
 
 
 def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:

@@ -153,8 +153,10 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shopify_youtube_etl_spark.functions.similarity import random_hyperplanes
 
     n_tables, planes_per_table = 8, 4
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())  # np.stack dies on None
+        .select("vec_id", as_double_array("embedding").alias("v"))
     )
     dim_row = e.select(F.size("v")).first()
     if dim_row is None:  # empty corpus: nothing to hash, no pairs
@@ -388,7 +390,10 @@ def _block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = t(spark, sf_dir, "embeddings")
+    # Null vectors are unsearchable (np.stack would throw on None in
+    # the Arrow batch) — exclude them, matching the drop a production
+    # vector store applies at ingest.
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     probe_rows = (
         e.where(F.col("vec_id") < 16).select("vec_id", "embedding").orderBy("vec_id").collect()
     )
@@ -707,8 +712,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())  # array_to_vector throws on NULL
+        .select("vec_id", as_double_array("embedding").alias("v"))
     )
     ml_df = e.select("vec_id", array_to_vector("v").alias("features"))
     if not ml_df.head(1):  # empty corpus: k-means cannot fit, no neighbors

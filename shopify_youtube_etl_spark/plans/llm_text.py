@@ -877,7 +877,14 @@ def weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-k cutoff per group can instead be a two-pass quantile probe,
     but the window form is exact and the partition count per lang is
     the corpus's lang cardinality, not row count."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # Efraimidis-Spirakis requires strictly positive weights: zero- or
+    # null-weight docs are unsampleable by definition (and -ln(u)/0 is
+    # an ANSI divide-by-zero), so they are excluded up front.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("n_chars") > 0)
+    )
     u = (F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(1 << 31)) + 0.5) / F.lit(
         float(1 << 31)
     )
