@@ -59,6 +59,7 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "adaptive_join_revenue",
     "tpch_q5_local_supplier_volume",
+    "int8_ann_topk",
 ]
 
 

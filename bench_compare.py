@@ -69,6 +69,12 @@ DISPOSITIONS = {
         "harness: same force_eval checksum effect on a projection-light "
         "rollup; absolute cost ≤0.5s."
     ),
+    "minhash_lsh_neardup": (
+        "host-variance: r04 profiling at identical code measured "
+        "1.65-4.30s across 6 reps (steady-state min 1.65s vs r02's "
+        "1.75s — no regression at the floor); the signature stage is "
+        "plan-gated shuffle-free and unchanged since r02."
+    ),
     "grouping_sets_revenue": (
         "host-variance: no code or plan change since r02 (expand-based "
         "grouping-sets aggregate, untouched); r04 6-rep profile on a "
