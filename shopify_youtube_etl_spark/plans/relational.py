@@ -679,9 +679,9 @@ WITH bounds AS (
     FROM orders GROUP BY 1
 )
 SELECT o.o_orderstatus                     AS status,
-       round(b.q1, 2)                      AS q1,
-       round(b.q3, 2)                      AS q3,
-       round(b.q3 + 1.5 * (b.q3 - b.q1), 2) AS hi_fence,
+       b.q1                                AS q1,
+       b.q3                                AS q3,
+       b.q3 + 1.5 * (b.q3 - b.q1)          AS hi_fence,
        CAST(count(*) FILTER (WHERE o.o_totalprice > b.q3 + 1.5 * (b.q3 - b.q1)) AS BIGINT) AS n_outliers,
        CAST(count(*) AS BIGINT)            AS n_orders
 FROM orders o JOIN bounds b USING (o_orderstatus)
@@ -694,8 +694,15 @@ def iqr_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     |statuses|-row bounds — the outlier count is a conditional agg in
     the same second pass, so no row-level outlier set is ever
     materialized.  Spark's ``percentile`` and DuckDB's quantile_cont
-    share the p·(n−1) linear-interpolation definition, which is what
-    makes the fence oracle-exact."""
+    share the p·(n−1) linear-interpolation definition, so the raw
+    doubles are BIT-identical across engines — which is why these
+    outputs are deliberately NOT rounded: percentiles of 2-dp money
+    land on exact decimal midpoints (….765, ….425) where Spark
+    (BigDecimal over the exact binary expansion) and DuckDB (shortest
+    decimal repr) round HALF-UP to different sides — a real mismatch
+    caught by the sf0.1 sweep, round 4.  Rounding exists to absorb
+    summation-order float residue; order-independent exact values
+    don't have any, and rounding them is what breaks parity."""
     o = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
     bounds = o.groupBy("o_orderstatus").agg(
         F.percentile("o_totalprice", 0.25).alias("q1"),
@@ -711,9 +718,9 @@ def iqr_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("o_orderstatus").alias("status"),
-            F.round("q1", 2).alias("q1"),
-            F.round("q3", 2).alias("q3"),
-            F.round(fence, 2).alias("hi_fence"),
+            "q1",
+            "q3",
+            fence.alias("hi_fence"),
             "n_outliers",
             "n_orders",
         )
