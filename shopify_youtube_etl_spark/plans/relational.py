@@ -740,9 +740,9 @@ WITH rng AS (
     FROM orders, rng
 )
 SELECT bucket,
-       round(mn + bucket * (mx - mn) / 20.0, 2)       AS lo,
-       round(mn + (bucket + 1) * (mx - mn) / 20.0, 2) AS hi,
-       CAST(count(*) AS BIGINT)                       AS n_orders
+       mn + bucket * (mx - mn) / 20.0       AS lo,
+       mn + (bucket + 1) * (mx - mn) / 20.0 AS hi,
+       CAST(count(*) AS BIGINT)             AS n_orders
 FROM b
 GROUP BY bucket, mn, mx
 """,
@@ -768,8 +768,13 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .select(
             "bucket",
-            F.round(F.col("mn") + F.col("bucket") * (F.col("mx") - F.col("mn")) / 20.0, 2).alias("lo"),
-            F.round(F.col("mn") + (F.col("bucket") + 1) * (F.col("mx") - F.col("mn")) / 20.0, 2).alias("hi"),
+            # Unrounded on purpose: lo/hi are exact expression results
+            # (identical tree both engines → bit-identical doubles);
+            # (mx−mn)/20 of 2-dp money yields 0.0005-multiples whose
+            # 2-dp rounding is an exact midpoint — the cross-engine
+            # HALF-UP split the IQR query hit (see iqr_outlier_profile).
+            (F.col("mn") + F.col("bucket") * (F.col("mx") - F.col("mn")) / 20.0).alias("lo"),
+            (F.col("mn") + (F.col("bucket") + 1) * (F.col("mx") - F.col("mn")) / 20.0).alias("hi"),
             "n_orders",
         )
     )
