@@ -1217,10 +1217,18 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode(words(F.col("text"))).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("n"))
+        # Materialize the reduced (source, token) frame ONCE: four
+        # downstream branches (self, per-source totals, per-token
+        # totals, grand total) would each rebuild the explode+agg —
+        # AQE's ReusedExchange recovers only some of that at runtime
+        # (measured: 6 Generates, 4 reuses).  The checkpoint is
+        # vocab-sized, not corpus-sized, so this is cheap at any scale
+        # and the plan gate can assert zero re-explodes structurally.
+        .localCheckpoint(eager=True)
     )
     stot = st.groupBy("source").agg(F.sum("n").alias("s_n"))
     ct = st.groupBy("token").agg(F.sum("n").alias("c_n"))
-    ctot = st.agg(F.sum("n").alias("t_n"))
+    ctot = stot.agg(F.sum("s_n").alias("t_n"))
     p_s = F.col("n") / F.col("s_n")
     p_c = F.col("c_n") / F.col("t_n")
     return (

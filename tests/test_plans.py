@@ -284,3 +284,31 @@ def test_tpch_q5_pushes_date_and_broadcasts_fixed_dims(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_deletion_cascade_uses_broadcast_semi_joins(spark, sf_dir):
+    """Both cascade hops must be broadcast LEFT SEMI probes — the fact
+    tables are scanned once and never shuffled for the sizing report."""
+    plan = plan_of(spark, "deletion_propagation_report", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_int8_ann_broadcasts_probe_side(spark, sf_dir):
+    """The quantized search must reuse the bounded broadcast-probe shape
+    (corpus never shuffled against probes)."""
+    plan = plan_of(spark, "int8_ann_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_token_kl_single_explode_pass(spark, sf_dir):
+    """The KL query's contract: the explode+agg runs ONCE into a
+    checkpointed vocab-sized frame, so the returned plan re-explodes
+    the raw text ZERO times (before the checkpoint, the four branches
+    showed 6 Generates with only partial AQE exchange reuse)."""
+    import re
+
+    plan = plan_of(spark, "source_token_kl", sf_dir)
+    n_generates = len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE))
+    assert n_generates == 0, f"expected zero re-explodes, got {n_generates}"
