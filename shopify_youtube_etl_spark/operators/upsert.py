@@ -52,6 +52,40 @@ def upsert(final: DataFrame, staging: DataFrame, keys: list[str], order_col: str
     return kept.unionByName(staged.select(*final.columns))
 
 
+def apply_changes(
+    final: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+) -> DataFrame:
+    """CDC apply: a change feed with an op column ('U' upsert / 'D'
+    delete tombstone) folded into ``final`` — the delete-capable
+    sibling of ``upsert`` (the reference's MERGE, J3, has no DELETE
+    branch; every real change-capture feed does).
+
+    Semantics: per key, the LATEST change (by ``order_col``, required
+    when a key appears more than once in the feed) decides — 'U'
+    replaces the row, 'D' removes it; unkeyed rows of ``final`` pass
+    through.  Scale shape: one window (or distinct) over the CHANGE
+    feed — always the small side — then a single left_anti on the key
+    against ``final`` and a union of the surviving upserts; the big
+    table is scanned once, exactly like ``upsert``.
+    """
+    if order_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        latest = changes.dropDuplicates(keys)
+    kept = final.join(latest, on=keys, how="left_anti")
+    ups = latest.where(F.col(op_col) == "U").select(*final.columns)
+    return kept.unionByName(ups)
+
+
 class ParquetTable:
     """A parquet-backed table with atomic commits — the engine's
     stand-in for the reference's BigQuery final/staging tables (S10/S11).

@@ -428,3 +428,49 @@ def deletion_propagation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "cdc_apply_changes",
+    ref="D2/J3 completed — CDC change-feed apply with DELETE tombstones (the MERGE branch the reference's upsert lacks; operators/upsert.py::apply_changes)",
+    doc="Synthetic change feed (deletes for key%7=0, doubled-price upserts for key%5=0) applied to orders; per-status profile of the result.",
+    oracle="""
+WITH applied AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+                THEN o_totalprice * 2 ELSE o_totalprice END AS price
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+)
+SELECT o_orderstatus                  AS status,
+       CAST(count(*) AS BIGINT)       AS n_orders,
+       round(sum(price), 2)           AS total_price
+FROM applied
+GROUP BY o_orderstatus
+""",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data-capture fold every warehouse sync needs: 'U'
+    rows replace by key, 'D' tombstones remove, untouched keys pass
+    through — built from one anti-join + union, so the big table is
+    scanned once (same plan family as merge_upsert; the change feed
+    is the small side).  The oracle expresses the IDENTICAL final
+    state declaratively with CASE/WHERE, so the driver hash-verifies
+    the operator path end-to-end."""
+    from shopify_youtube_etl_spark.operators.upsert import apply_changes
+
+    orders = t(spark, sf_dir, "orders")
+    deletes = (
+        orders.where(F.col("o_orderkey") % 7 == 0).withColumn("op", F.lit("D"))
+    )
+    upserts = (
+        orders.where((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+    )
+    changes = deletes.unionByName(upserts)
+    applied = apply_changes(orders, changes, keys=["o_orderkey"], op_col="op")
+    return applied.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("total_price"),
+    )

@@ -333,3 +333,37 @@ def test_backup_ndjson_roundtrip(spark, tmp_path):
     t.backup(str(tmp_path / "bak"))
     back = spark.read.schema("k INT, v STRING").json(str(tmp_path / "bak"))
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_apply_changes_upsert_delete_and_passthrough(spark):
+    from shopify_youtube_etl_spark.operators.upsert import apply_changes
+
+    final = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k STRING, v DOUBLE"
+    )
+    changes = spark.createDataFrame(
+        [("a", 10.0, "U"), ("b", 0.0, "D"), ("d", 4.0, "U")],
+        "k STRING, v DOUBLE, op STRING",
+    )
+    got = {
+        (r["k"], r["v"]) for r in apply_changes(final, changes, ["k"]).collect()
+    }
+    # a replaced, b deleted, c untouched, d inserted
+    assert got == {("a", 10.0), ("c", 3.0), ("d", 4.0)}
+
+
+def test_apply_changes_idempotent_and_latest_wins(spark):
+    from shopify_youtube_etl_spark.operators.upsert import apply_changes
+
+    final = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k STRING, v DOUBLE")
+    # same key appears twice in the feed: seq decides (D at seq 2 wins)
+    changes = spark.createDataFrame(
+        [("a", 5.0, "U", 1), ("a", 0.0, "D", 2), ("b", 7.0, "U", 1)],
+        "k STRING, v DOUBLE, op STRING, seq INT",
+    )
+    once = apply_changes(final, changes, ["k"], order_col="seq")
+    twice = apply_changes(once, changes, ["k"], order_col="seq")
+    got_once = {(r["k"], r["v"]) for r in once.collect()}
+    got_twice = {(r["k"], r["v"]) for r in twice.collect()}
+    assert got_once == {("b", 7.0)}  # a deleted by the later tombstone
+    assert got_twice == got_once  # re-applying the same feed changes nothing
