@@ -1785,3 +1785,89 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             "revenue"
         )
     )
+
+
+@query(
+    "scd2_pointintime_join",
+    ref="feature-store staple — point-in-time (as-of interval) lookup against the SCD2 dimension (completes scd2_status_history: building the history is half the pattern; joining facts to the version valid AT event time is the half that prevents feature leakage)",
+    doc="Each shipped lineitem joined to the customer-status version valid at ship date; revenue per at-ship status.",
+    oracle="""
+WITH h AS (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_status
+    FROM orders
+),
+chg AS (
+    SELECT * FROM h WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+),
+v AS (
+    SELECT o_custkey, o_orderstatus,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           CAST(lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS DATE) AS valid_to
+    FROM chg
+),
+f AS (
+    SELECT o_custkey AS custkey,
+           CAST(l_shipdate AS DATE) AS ship_day,
+           l_extendedprice * (1 - l_discount) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT v.o_orderstatus               AS status_at_ship,
+       CAST(count(*) AS BIGINT)      AS n_items,
+       round(sum(f.rev), 2)          AS revenue
+FROM f
+JOIN v ON f.custkey = v.o_custkey
+      AND v.valid_from <= f.ship_day
+      AND (v.valid_to IS NULL OR f.ship_day < v.valid_to)
+GROUP BY v.o_orderstatus
+""",
+)
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage-safe feature lookup: facts join the dimension version
+    whose [valid_from, valid_to) interval contains the FACT's own
+    timestamp — using today's dimension value for yesterday's training
+    example is the classic feature-leakage bug this join shape exists
+    to prevent.  Scale shape: the versions table is |changes| rows
+    (orders of magnitude smaller than facts) and broadcasts, so the
+    interval condition rides on the custkey equi-join hash probe —
+    the fact table is scanned once, shuffled only for its own
+    orders join.  Intervals are half-open and tie-broken exactly like
+    scd2_status_history, so every fact matches exactly one version."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    versions = chg.select(
+        F.col("o_custkey").alias("v_custkey"),
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.to_date(F.lead("o_orderdate").over(w)).alias("valid_to"),
+    )
+    facts = (
+        t(spark, sf_dir, "lineitem")
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.to_date("l_shipdate").alias("ship_day"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    joined = facts.join(
+        F.broadcast(versions),
+        (F.col("custkey") == F.col("v_custkey"))
+        & (F.col("valid_from") <= F.col("ship_day"))
+        & (F.col("valid_to").isNull() | (F.col("ship_day") < F.col("valid_to"))),
+    )
+    return joined.groupBy(F.col("o_orderstatus").alias("status_at_ship")).agg(
+        F.count("*").alias("n_items"),
+        money(F.sum("rev")).alias("revenue"),
+    )
