@@ -474,3 +474,74 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money(F.sum("o_totalprice")).alias("total_price"),
     )
+
+
+@query(
+    "expectations_report",
+    ref="A1-A3/A8 generalized — declarative data-quality expectations evaluated in ONE pass (the reference's verify_table_data as a reusable report)",
+    doc="Five expectations over orders (key uniqueness, positive amounts, date bounds, status domain, customer-key completeness) as pass/fail rows with measured violation counts.",
+    oracle="""
+WITH m AS (
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT)                 AS n_keys,
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)  AS bad_price,
+           CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                                    OR o_orderdate > TIMESTAMP '2005-01-01')
+                AS BIGINT)                                            AS bad_date,
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+                AS BIGINT)                                            AS bad_status,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)  AS null_cust
+    FROM orders
+)
+SELECT e.expectation, e.n_violations, e.passed
+FROM m, LATERAL (VALUES
+    ('order_key_unique',        n_rows - n_keys,  n_rows - n_keys = 0),
+    ('total_price_positive',    bad_price,        bad_price = 0),
+    ('order_date_in_range',     bad_date,         bad_date = 0),
+    ('status_in_domain',        bad_status,       bad_status = 0),
+    ('customer_key_present',    null_cust,        null_cust = 0)
+) AS e(expectation, n_violations, passed)
+""",
+)
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's verification step (shopify_etl.py:592-618,
+    uniqueness + conditional checks) generalized into the declarative
+    expectations report every pipeline gate wants: each expectation is
+    a conditional aggregate, ALL of them evaluated in a SINGLE scan +
+    one-row aggregate (plus the exact distinct for uniqueness), then
+    unpivoted into one row per expectation.  At 100 TB adding an
+    expectation costs one more map-side counter, not another scan —
+    the opposite of running N validation queries."""
+    o = t(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < "1990-01-01")
+                | (F.col("o_orderdate") > "2005-01-01"),
+                1,
+            ).otherwise(0)
+        ).alias("bad_date"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_cust"),
+    )
+    checks = [
+        ("order_key_unique", F.col("n_rows") - F.col("n_keys")),
+        ("total_price_positive", F.col("bad_price")),
+        ("order_date_in_range", F.col("bad_date")),
+        ("status_in_domain", F.col("bad_status")),
+        ("customer_key_present", F.col("null_cust")),
+    ]
+    rows = None
+    for name, viol in checks:
+        row = m.select(
+            F.lit(name).alias("expectation"),
+            viol.cast("long").alias("n_violations"),
+            (viol == 0).alias("passed"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q5_local_supplier_volume",
     "cdc_apply_changes",
     "scd2_pointintime_join",
+    "expectations_report",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",
