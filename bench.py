@@ -108,6 +108,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — keep the artifact alive
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            if best != float("inf"):
+                # A later repetition failed but an earlier one measured
+                # real work — keep the valid sample alongside the error.
+                timings[name] = round(best, 3)
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)

@@ -221,6 +221,16 @@ def adaptive_join(
     operator is the form a user actually calls — the profile and the
     salt lever were previously two separate demonstrated pieces.
     """
+    # Validate `how` up front against the salted branch's constraint —
+    # otherwise a right/full-outer call would succeed or raise
+    # DEPENDING ON THE SAMPLED KEY DISTRIBUTION (plain branch accepts
+    # it, salted branch rejects it): data-dependent API behavior.
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"adaptive_join does not support how={how!r}: the salted route "
+            f"cannot preserve unmatched small-side rows (allowed: {sorted(allowed)})"
+        )
     decision = choose_join_strategy(
         large, key, sample_fraction=sample_fraction, hot_share_factor=hot_share_factor
     )

@@ -72,6 +72,16 @@ def apply_changes(
     against ``final`` and a union of the surviving upserts; the big
     table is scanned once, exactly like ``upsert``.
     """
+    bad_op = (
+        changes.where(F.col(op_col).isNull() | ~F.col(op_col).isin("U", "D"))
+        .limit(1)
+        .collect()
+    )
+    if bad_op:
+        raise ValueError(
+            f"apply_changes: unknown op {bad_op[0][op_col]!r} in change feed "
+            f"(allowed: 'U' upsert, 'D' delete) — refusing to silently drop it"
+        )
     if order_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
         latest = (
@@ -80,7 +90,18 @@ def apply_changes(
             .drop("__rn")
         )
     else:
-        latest = changes.dropDuplicates(keys)
+        # Without an ordering column a duplicated key would be resolved
+        # by an ARBITRARY dropDuplicates pick — nondeterministic across
+        # runs and cluster layouts.  Refuse instead of guessing; the
+        # checks run on the change feed, always the small side.
+        dup = changes.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                "apply_changes: change feed has multiple rows for key "
+                f"{tuple(dup[0][k] for k in keys)!r} but no order_col to pick "
+                "the latest — pass order_col for deterministic resolution"
+            )
+        latest = changes
     kept = final.join(latest, on=keys, how="left_anti")
     ups = latest.where(F.col(op_col) == "U").select(*final.columns)
     return kept.unionByName(ups)

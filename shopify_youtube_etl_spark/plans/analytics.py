@@ -602,20 +602,18 @@ def sql_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalyst parses/optimizes the same text DuckDB runs — SQL and
     DataFrame APIs converge on the same logical plan, so every plan
     property (pushdown, broadcast, rank-sort) holds here too.  Only the
-    four referenced tables are registered, and registration is memoized
-    per (session, sf_dir): profiling at sf0.1 showed the 4× parquet
-    footer read + temp-view setup cost ~0.4 s of the query's ~1.7 s —
-    pure constant per-call overhead, gone on every repeat call."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if _SQL_VIEWS_READY.get(key) is None:
-        for name in ("lineitem", "orders", "customer", "nation"):
-            t(spark, sf_dir, name).createOrReplaceTempView(name)
-        _SQL_VIEWS_READY.clear()  # one sf_dir registered at a time per view name
-        _SQL_VIEWS_READY[key] = True
+    four referenced tables are registered, through the SHARED
+    ``ensure_views`` state (sources/tables.py): profiling at sf0.1
+    showed the 4× parquet footer read cost ~0.4 s/call, but a private
+    memo went stale the moment another caller (register_testdata_views)
+    re-pointed the same view names at a different sf_dir — the shared
+    per-view bookkeeping plus a catalog existence check (covers
+    newSession, where temp views don't carry over) keeps the saving
+    without the staleness."""
+    from shopify_youtube_etl_spark.sources.tables import ensure_views
+
+    ensure_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
     return spark.sql(_NATION_RANK_SQL)
-
-
-_SQL_VIEWS_READY: dict[tuple[str, str], bool] = {}
 
 
 @query(
@@ -1641,10 +1639,12 @@ mad AS (
     SELECT quantile_cont(abs(rev - (SELECT m FROM med)), 0.5) AS d FROM daily
 )
 SELECT day, rev,
-       round((rev - (SELECT m FROM med)) / (1.4826 * (SELECT d FROM mad)), 4)
-           AS robust_z,
-       CAST(abs(rev - (SELECT m FROM med))
-            > 3 * 1.4826 * (SELECT d FROM mad) AS BOOLEAN) AS is_outlier
+       CASE WHEN (SELECT d FROM mad) > 0
+            THEN round((rev - (SELECT m FROM med)) / (1.4826 * (SELECT d FROM mad)), 4)
+       END AS robust_z,
+       CASE WHEN (SELECT d FROM mad) > 0
+            THEN abs(rev - (SELECT m FROM med)) > 3 * 1.4826 * (SELECT d FROM mad)
+       END AS is_outlier
 FROM daily
 """,
 )
@@ -1671,11 +1671,16 @@ def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             "rev",
-            F.round((F.col("rev") - F.col("m")) / (1.4826 * F.col("d")), 4).alias(
-                "robust_z"
-            ),
-            (
-                F.abs(F.col("rev") - F.col("m")) > 3 * 1.4826 * F.col("d")
+            # NULL (not an ANSI divide-by-zero crash) when MAD is 0 — a
+            # one-day series or a half-constant one degenerates, and a
+            # robust score is undefined there by construction.
+            F.when(
+                F.col("d") > 0,
+                F.round((F.col("rev") - F.col("m")) / (1.4826 * F.col("d")), 4),
+            ).alias("robust_z"),
+            F.when(
+                F.col("d") > 0,
+                F.abs(F.col("rev") - F.col("m")) > 3 * 1.4826 * F.col("d"),
             ).alias("is_outlier"),
         )
     )

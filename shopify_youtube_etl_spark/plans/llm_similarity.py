@@ -42,10 +42,12 @@ CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
     doc="Top-5 nearest neighbors (cosine) for 16 probe vectors.",
     oracle=f"""
 WITH p AS (
-    SELECT vec_id AS probe_id, {_D_VEC} AS pv FROM embeddings WHERE vec_id < 16
+    SELECT vec_id AS probe_id, {_D_VEC} AS pv FROM embeddings
+    WHERE vec_id < 16 AND embedding IS NOT NULL
 ),
 c AS (
     SELECT vec_id AS neighbor_id, {_D_VEC} AS cv FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 s AS (
     SELECT probe_id, neighbor_id,
@@ -1207,6 +1209,7 @@ WITH q AS (
                     / greatest(list_max(list_transform({_D_VEC}, y -> abs(y))), 1e-30))
                     AS INTEGER)) AS qv
     FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 16),
 c AS (SELECT vec_id AS neighbor_id, qv AS cq FROM q),
@@ -1237,8 +1240,10 @@ def int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself reuses the bounded broadcast-probe shape.  Recall vs the
     float baseline is pinned in tests/test_llm_ops.py — quantization
     error moves ranks, the test bounds how much."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())  # null vectors unsearchable
+        .select("vec_id", as_double_array("embedding").alias("v"))
     )
     qv = F.expr(
         "transform(v, x -> CAST(round(x * 127.0D /"

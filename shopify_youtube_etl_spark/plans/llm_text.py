@@ -1158,8 +1158,14 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         fingerprint(F.col("text")).alias("h"), "source"
     )
-    by_content = d.groupBy("h").agg(
-        F.array_sort(F.collect_set("source")).alias("srcs")
+    # NULL-text docs hash to NULL: groupBy would pool them into one
+    # phantom "content" and manufacture shared-source pairs the
+    # oracle's h-equality join can never produce (NULL=NULL is not a
+    # match in SQL) — exclude them, as dedup semantics require anyway.
+    by_content = (
+        d.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
     pairs = by_content.select(
         F.explode(

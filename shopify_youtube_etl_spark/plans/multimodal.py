@@ -27,6 +27,7 @@ SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
        md5(text)                    AS payload_md5
 FROM documents
+WHERE text IS NOT NULL
 """,
 )
 def media_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +50,7 @@ SELECT doc_id,
        CAST(ceil(strlen(text) / 1024.0) AS BIGINT) AS n_frames,
        CAST(strlen(text) AS BIGINT)                AS total_frame_bytes
 FROM documents
-WHERE strlen(text) > 0
+WHERE text IS NOT NULL AND strlen(text) > 0
 """,
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,6 +81,7 @@ SELECT doc_id,
        CAST(1024 AS BIGINT)  AS resized_len,
        sha256(text)          AS digest_hex
 FROM documents
+WHERE text IS NOT NULL
 """,
 )
 def resize_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,16 +38,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # semantics (FIXTURES.md: "cast to µs in both engines").
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(ts_type, TimestampNTZType):
-            # PySpark 4.1+ reads parquet TIMESTAMP NANOS directly as
-            # TIMESTAMP_NTZ (nanosAsLong ignored).  Cast to the session
-            # TIMESTAMP type — session tz is UTC, so the instant values
-            # are unchanged — because some consumers (unix_micros in
-            # sessionize_gaps_islands) require a true TIMESTAMP.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # PySpark 4.1+ reads the parquet timestamp (isAdjustedToUTC
+            # =false) as TIMESTAMP_NTZ (nanosAsLong ignored).  The NTZ
+            # wall clock IS the UTC instant, so convert via epoch
+            # micros (NTZ−NTZ diff is timezone-free) — NOT via
+            # cast('timestamp'), which interprets the wall clock in
+            # the CALLER session's timezone and silently shifts every
+            # instant on a non-UTC session (this loader must work on
+            # any caller-provided session, e.g. the driver's).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                ),
+            )
     return df
+
+
+# view name -> (applicationId, sf_dir) it was last registered for.  ALL
+# temp-view registration goes through ensure_views so the bookkeeping
+# can never go stale: a different caller re-pointing a view name at
+# another sf_dir updates the same state the next caller checks.
+_VIEW_STATE: dict[str, tuple[str, str]] = {}
+
+
+def ensure_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str]) -> None:
+    """Idempotently register testdata temp views, re-registering only
+    when the view is missing (new session — temp views are
+    session-scoped), or was last pointed at a DIFFERENT sf_dir by any
+    caller.  The memo saves the per-call parquet footer read
+    (~0.4 s/call for a 4-table query at sf0.1) without the staleness
+    hazard of per-query bookkeeping."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for name in names:
+        if _VIEW_STATE.get(name) != key or not spark.catalog.tableExists(name):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            _VIEW_STATE[name] = key
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for ``spark.sql``."""
-    for name in TESTDATA_TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    ensure_views(spark, sf_dir, TESTDATA_TABLES)

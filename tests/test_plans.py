@@ -312,3 +312,31 @@ def test_source_token_kl_single_explode_pass(spark, sf_dir):
     plan = plan_of(spark, "source_token_kl", sf_dir)
     n_generates = len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE))
     assert n_generates == 0, f"expected zero re-explodes, got {n_generates}"
+
+
+def test_sql_view_registration_not_stale_across_sf_dirs(spark, sf_dir, tmp_path):
+    """Round-4 review finding: sql_nation_rank's private view memo went
+    stale when register_testdata_views re-pointed the same view names
+    at a different sf_dir — a memo hit then computed over the WRONG
+    dataset.  The shared ensure_views state must re-register."""
+    import os
+
+    from shopify_youtube_etl_spark.sources.tables import load_table, register_testdata_views
+
+    first = SPECS["sql_nation_rank"].fn(spark, sf_dir).collect()
+
+    # A second sf_dir whose lineitem is a 100-row slice → different revenue.
+    other = tmp_path / "other_sf"
+    other.mkdir()
+    for t_ in os.listdir(sf_dir):
+        if t_ != "lineitem.parquet":
+            os.symlink(os.path.join(sf_dir, t_), other / t_)
+    load_table(spark, sf_dir, "lineitem").limit(100).write.parquet(
+        str(other / "lineitem.parquet")
+    )
+    register_testdata_views(spark, str(other))  # clobbers the view names
+
+    again = SPECS["sql_nation_rank"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first)), (
+        "sql_nation_rank served results from the clobbered views"
+    )

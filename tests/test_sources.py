@@ -172,3 +172,28 @@ def test_events_ts_loads_as_timestamp_under_any_physical_encoding(
     got = sess.fn(spark, str(vdir)).toPandas()
     want = sess.fn(spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_ts_instants_independent_of_session_timezone(spark, sf_dir):
+    """load_table must yield the same UTC instants on ANY caller
+    session: the NTZ wall clock IS the UTC instant, and a plain
+    cast('timestamp') would reinterpret it in the session timezone —
+    shifting every instant by the tz offset on a non-UTC driver
+    session (round-4 review finding)."""
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "events").agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).first()
+    pst = spark.newSession()
+    pst.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        got = load_table(pst, sf_dir, "events").agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        assert (got["lo"], got["hi"]) == (base["lo"], base["hi"]), (
+            "events.ts instants shifted under a non-UTC session"
+        )
+    finally:
+        pst.conf.unset("spark.sql.session.timeZone")
