@@ -1876,3 +1876,177 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         money(F.sum("rev")).alias("revenue"),
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    ref="TPC-H Q10 shape (returned-item revenue top-k) — aggregate-before-join so the dim join sees per-customer rows, not the fact table",
+    doc="Top-20 customers by Q4-1997 returned-lineitem revenue, enriched with account and nation facts.",
+    oracle="""
+SELECT CAST(c_custkey AS BIGINT)  AS c_custkey,
+       c_name,
+       round(revenue, 2)          AS revenue,
+       round(c_acctbal, 2)        AS acctbal,
+       n_name
+FROM (
+    SELECT o_custkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_custkey
+) r
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 with the join order a 100 TB plan needs: the lineitem⋈
+    orders fact join reduces to ONE row per buying customer BEFORE any
+    dimension join, so customer and nation join against ~|customers
+    with returns| rows instead of the raw fact stream (the canonical
+    group-by-five-dim-columns formulation shuffles every fact row wide
+    with all dim attributes attached).  Both date predicates and the
+    returnflag filter sit on base columns → parquet-pushed; nation
+    broadcasts; the final top-20 compiles to TakeOrderedAndProject."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-10-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            money(F.col("rev")).alias("revenue"),
+            money(F.col("c_acctbal")).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "exists_late_shipment_priority",
+    ref="TPC-H Q4 shape (correlated EXISTS with a non-equi predicate → left-semi hash join) — the decorrelation pattern below_avg_quantity_revenue doesn't cover",
+    doc="Q3-1997 order counts by priority, keeping only orders with at least one lineitem shipped >60 days after the order date.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def exists_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS decorrelated the way Catalyst does it: a
+    LEFT SEMI hash join on the equi key (l_orderkey = o_orderkey) with
+    the correlated non-equi predicate (l_shipdate > o_orderdate + 60d)
+    evaluated as a join residual — one pass over each table, no
+    per-order subquery re-execution, and the probe side never
+    duplicates orders however many late lineitems match.  The date
+    window pushes into the orders scan, so at 100 TB the semi join
+    probes with one quarter's orders only."""
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-07-01")
+            & (F.col("o_orderdate") < "1997-10-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "acctbal_rank_profile",
+    ref="SURVEY §2.5 extension — relative-rank window family (percent_rank / cume_dist), completing rank/dense_rank/ntile coverage",
+    doc="Top-5%-by-account-balance customers per market segment with their exact relative rank and cumulative distribution.",
+    oracle="""
+SELECT segment,
+       CAST(c_custkey AS BIGINT) AS c_custkey,
+       round(acctbal, 2)         AS acctbal,
+       round(pr, 6)              AS pr,
+       round(cd, 6)              AS cd
+FROM (
+    SELECT c_mktsegment AS segment,
+           c_custkey,
+           c_acctbal    AS acctbal,
+           percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr,
+           cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cd
+    FROM customer
+)
+WHERE pr >= 0.95
+ORDER BY segment, c_custkey
+""",
+)
+def acctbal_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist over per-segment balance order — both
+    are pure functions of the value multiset (tie-stable), so the
+    result is deterministic across engines without a tiebreak column.
+    One shuffle on the segment key; the window runs per-partition.  At
+    100 TB a 5-segment partition key is too coarse (each window lands
+    on one task) — the scale variant pre-aggregates per (segment,
+    balance-bucket) histograms and derives ranks from cumulative
+    bucket counts, which is exactly what approx_quantiles_profile
+    demonstrates; this query keeps the exact per-row semantics."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    ranked = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.percent_rank().over(w).alias("pr_raw"),
+        F.cume_dist().over(w).alias("cd_raw"),
+    )
+    return (
+        ranked.where(F.col("pr_raw") >= 0.95)
+        .select(
+            "segment",
+            "c_custkey",
+            money(F.col("acctbal")).alias("acctbal"),
+            F.round("pr_raw", 6).alias("pr"),
+            F.round("cd_raw", 6).alias("cd"),
+        )
+        .orderBy("segment", "c_custkey")
+    )

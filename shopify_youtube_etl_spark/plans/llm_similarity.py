@@ -1237,44 +1237,73 @@ def int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash are bit-identical across engines (ties broken by
     neighbor id).  Per-vector symmetric max-abs scaling is map-side
     (one fold for the max, one transform to quantize); the search
-    itself reuses the bounded broadcast-probe shape.  Recall vs the
-    float baseline is pinned in tests/test_llm_ops.py — quantization
-    error moves ranks, the test bounds how much."""
+    itself reuses the Arrow block-matmul shape of _block_matmul_topk.
+    Recall vs the float baseline is pinned in tests/test_llm_ops.py —
+    quantization error moves ranks, the test bounds how much."""
+    import numpy as np
+    import pandas as pd
+
     e = (
         t(spark, sf_dir, "embeddings")
         .where(F.col("embedding").isNotNull())  # null vectors unsearchable
         .select("vec_id", as_double_array("embedding").alias("v"))
     )
-    qv = F.expr(
-        "transform(v, x -> CAST(round(x * 127.0D /"
-        " greatest(aggregate(v, 0.0D, (a, y) -> greatest(a, abs(y))), 1e-30D))"
-        " AS INT))"
+
+    def quantize(V):
+        """Per-row symmetric max-abs int8 codes, matching the JVM/DuckDB
+        expression BIT-EXACTLY: same op order ((x·127.0)/maxabs) and
+        HALF_UP rounding via sign·floor(|v|+0.5) — np.round is
+        HALF_EVEN and would diverge on exact-.5 codes."""
+        scale = np.maximum(np.abs(V).max(axis=1, keepdims=True), 1e-30)
+        v = V * 127.0 / scale
+        return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+    probe_rows = (
+        e.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
     )
-    q = e.select("vec_id", qv.alias("qv"))
-    probes = q.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pq")
-    )
-    corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cq"))
-    scored = (
-        F.broadcast(probes)
-        .crossJoin(corpus)
-        .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.expr(
-                "aggregate(zip_with(pq, cq, (x, y) -> CAST(x AS BIGINT) * y),"
-                " CAST(0 AS BIGINT), (a, x) -> a + x)"
-            ).alias("qdot"),
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, qdot long, rank long"
         )
-    )
+    probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    # float64 GEMM on the int-valued codes is EXACT (dim · 127² ≪ 2^53)
+    # and hits BLAS — the same cast the DuckDB oracle applies before its
+    # list_dot_product.  Earlier variants scored via a Catalyst
+    # zip_with/aggregate fold over a broadcast crossJoin (correct, but
+    # the interpreted per-element fold was the whole cost of the query
+    # at sf0.1), then kept only quantization JVM-side — still ~60% of
+    # runtime.  Both stages are one vectorized block op now.
+    Q = quantize(np.array([r["v"] for r in probe_rows], dtype=np.float64))
+
+    def block_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = quantize(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            dots = (C @ Q.T).astype(np.int64)  # (block, n_probes), exact
+            for j, pid in enumerate(probe_ids):
+                mask = ids != pid  # exclude self-match
+                cand_ids, cand_dot = ids[mask], dots[mask, j]
+                # Local top-5 by (qdot desc, neighbor_id asc) — the
+                # global sort key, so the prune is lossless.
+                order = np.lexsort((cand_ids, -cand_dot))[:5]
+                yield pd.DataFrame(
+                    {
+                        "probe_id": pid,
+                        "neighbor_id": cand_ids[order],
+                        "qdot": cand_dot[order],
+                    }
+                )
+
+    local = e.mapInPandas(block_topk, "probe_id long, neighbor_id long, qdot long")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("probe_id").orderBy(
         F.col("qdot").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 5)
         .select("probe_id", "neighbor_id", "qdot", "rank")
     )

@@ -1319,3 +1319,78 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_novel"),
     )
+
+
+@query(
+    "duplicated_span_profile",
+    ref="span-level near-dup diagnostic (MassiveText/Gopher-style repeated-passage removal operates at this grain) — extends the doc-level dedup family to sub-document spans",
+    doc="Per-source profile of 8-token spans that recur across distinct documents: span counts, cross-doc duplicated occurrences, and the duplication ratio.",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS w
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS span
+    FROM toks, UNNEST(range(1, len(w) - 6)) AS s(i)
+    WHERE len(w) >= 8
+),
+corpus AS (
+    SELECT span, count(DISTINCT doc_id) AS nd
+    FROM spans GROUP BY span
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT)                    AS n_docs,
+       CAST(count(*) AS BIGINT)                                  AS n_spans,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)   AS n_dup_spans,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6)                                      AS dup_ratio
+FROM spans JOIN corpus USING (span)
+GROUP BY source
+ORDER BY source
+""",
+)
+def duplicated_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: explode each doc into its sliding
+    8-token spans, count how many DISTINCT docs each span occurs in
+    corpus-wide, then roll occurrences up per source.  Doc-level dedup
+    (dedup_exact / minhash) misses boilerplate repeated INSIDE
+    otherwise-unique pages; this is the operator that finds it.
+
+    Scale shape: span explosion is map-side (transform over a
+    sequence — no shuffle); the corpus count is one groupBy on the
+    span string (Spark shuffles on its hash, so the full string
+    never needs pre-hashing for correctness — at 100 TB you'd
+    project xxhash64(span) instead of the string to shrink shuffle
+    bytes, trading the hash-collision epsilon); the count-back join
+    re-shuffles on the same key so AQE coalesces, and the per-source
+    rollup is a partial-agg over ~|sources| groups.  Nothing is
+    quadratic — cost is O(total tokens)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split(F.col("text"), " ").alias("w"))
+        .where(F.size("w") >= 8)
+    )
+    spans = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 7),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 8)),
+            )
+        ).alias("span"),
+    )
+    corpus = spans.groupBy("span").agg(F.countDistinct("doc_id").alias("nd"))
+    dup_flag = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        spans.join(corpus, "span")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_spans"),
+            F.sum(dup_flag).alias("n_dup_spans"),
+            F.round(F.sum(dup_flag) / F.count("*"), 6).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )

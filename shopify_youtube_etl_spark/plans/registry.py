@@ -108,6 +108,10 @@ _DRIVER_PRIORITY = _CANARIES + [
     "cdc_apply_changes",
     "scd2_pointintime_join",
     "expectations_report",
+    "tpch_q10_returned_items",
+    "exists_late_shipment_priority",
+    "acctbal_rank_profile",
+    "duplicated_span_profile",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",
