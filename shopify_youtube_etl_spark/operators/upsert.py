@@ -174,6 +174,38 @@ class ParquetTable:
             raise FileNotFoundError(f"table at {self.path} has no committed generation")
         return self.spark.read.parquet(*segs)
 
+    def history(self) -> list[int]:
+        """Sequence numbers of the retained generations, oldest first —
+        the time-travel surface.  Only generations up to _CURRENT are
+        listed: a manifest with a higher seq can only be the leftover of
+        a writer that crashed before its pointer flip (healed by the
+        next commit), never a committed state."""
+        cur = self.current_manifest()
+        if cur is None:
+            return []
+        cur_seq = self._manifest_seq(cur)
+        return sorted(
+            self._manifest_seq(f)
+            for f in os.listdir(self.path)
+            if f.startswith("manifest-") and self._manifest_seq(f) <= cur_seq
+        )
+
+    def read_version(self, seq: int) -> DataFrame:
+        """VERSION AS OF ``seq`` — the absolute-sequence twin of
+        ``read_at`` (which counts generations BACK from current).
+        Retention is bounded (KEEP_GENERATIONS superseded manifests —
+        their segments stay on disk until GC'd), so reading an expired
+        generation raises instead of silently returning the wrong
+        rows."""
+        name = f"manifest-{seq:016d}.txt"
+        if seq not in self.history():
+            raise FileNotFoundError(
+                f"generation {seq} of {self.path} is expired or never existed; "
+                f"retained: {self.history()}"
+            )
+        segs = [os.path.join(self.path, s) for s in self._manifest_segments(name)]
+        return self.spark.read.parquet(*segs)
+
     def _write_segment(self, df: DataFrame) -> str:
         seg = f"seg-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, seg))

@@ -545,3 +545,55 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+@query(
+    "snapshot_time_travel",
+    ref="lakehouse table format surface (S10/S12 generalized) — ParquetTable's retained manifests exposed as Delta/Iceberg-style VERSION AS OF reads",
+    doc="Overwrite pre-1997 orders as generation 0, append 1997 orders as generation 1, then aggregate BOTH retained generations via time-travel reads.",
+    oracle="""
+SELECT CAST(0 AS BIGINT)           AS version,
+       CAST(count(*) AS BIGINT)    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY version
+""",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF on the engine's own table format: generation 0 is
+    an overwrite commit, generation 1 an O(batch) append, and both are
+    read back through ``ParquetTable.read_version`` — each generation scans
+    ONLY the segment files its manifest references (no copy-on-write,
+    no tombstone filtering at read time).  Retention is the manifest
+    window (KEEP_GENERATIONS), so time travel is free until GC —
+    exactly the Delta/Iceberg trade.  The oracle recomputes both
+    snapshots from the raw table."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    orders = t(spark, sf_dir, "orders")
+    tbl = ParquetTable(spark, staging_dir("timetravel", sf_dir))
+    tbl.overwrite(orders.where(F.col("o_orderdate") < "1997-01-01"))
+    tbl.append(
+        orders.where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+    )
+    snaps = [
+        tbl.read_version(seq)
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(seq).cast("long").alias("version"), "n_orders", "total_price"
+        )
+        for seq in tbl.history()
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out.select("version", "n_orders", "total_price").orderBy("version")

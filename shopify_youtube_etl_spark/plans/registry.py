@@ -112,6 +112,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "exists_late_shipment_priority",
     "acctbal_rank_profile",
     "duplicated_span_profile",
+    "snapshot_time_travel",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",

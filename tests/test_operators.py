@@ -367,3 +367,22 @@ def test_apply_changes_idempotent_and_latest_wins(spark):
     got_twice = {(r["k"], r["v"]) for r in twice.collect()}
     assert got_once == {("b", 7.0)}  # a deleted by the later tombstone
     assert got_twice == got_once  # re-applying the same feed changes nothing
+
+
+def test_parquet_table_history_and_read_version(spark, tmp_path):
+    """history() lists retained absolute sequences; read_version(seq) is
+    VERSION AS OF; expired generations raise, never silently misread."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).withColumnRenamed("id", "x"))
+    t.append(spark.range(10, 30).withColumnRenamed("id", "x"))
+    assert t.history() == [0, 1]
+    assert t.read_version(0).count() == 10
+    assert t.read_version(1).count() == 30
+    # Push generation 0 past the retention window.
+    for start in (30, 40):
+        t.append(spark.range(start, start + 10).withColumnRenamed("id", "x"))
+    assert t.history() == [1, 2, 3]
+    with pytest.raises(FileNotFoundError):
+        t.read_version(0)
+    with pytest.raises(FileNotFoundError):
+        t.read_version(99)
