@@ -365,6 +365,41 @@ class ParquetTable:
         ]
         return self.spark.read.parquet(*segs)
 
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Offline maintenance: remove segment dirs referenced by NO
+        manifest on disk (the leak ``_gc`` deliberately leaves — a
+        writer that crashed between ``_write_segment`` and its commit).
+        ``min_age_seconds`` is the safety window for writers that are
+        merely slow, not dead: a just-written segment whose commit
+        hasn't landed yet is younger than the grace period and is kept
+        (same contract as Delta's VACUUM retention check).  Runs under
+        the commit lock so the manifest set can't change mid-scan.
+        Returns the removed segment names."""
+        import fcntl
+        import time
+
+        removed: list[str] = []
+        with open(os.path.join(self.path, "_COMMIT_LOCK"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            referenced = {
+                s
+                for f in os.listdir(self.path)
+                if f.startswith("manifest-")
+                for s in self._manifest_segments(f)
+            }
+            cutoff = time.time() - min_age_seconds
+            for d in os.listdir(self.path):
+                full = os.path.join(self.path, d)
+                if (
+                    d.startswith("seg-")
+                    and d not in referenced
+                    and os.path.isdir(full)
+                    and os.path.getmtime(full) < cutoff
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(d)
+        return sorted(removed)
+
     def truncate(self, schema_source: DataFrame | None = None) -> None:
         """TRUNCATE TABLE (S11, shopify_etl.py:587-590)."""
         src = schema_source if schema_source is not None else self.read()

@@ -386,3 +386,27 @@ def test_parquet_table_history_and_read_version(spark, tmp_path):
         t.read_version(0)
     with pytest.raises(FileNotFoundError):
         t.read_version(99)
+
+
+def test_parquet_table_vacuum_removes_only_aged_orphans(spark, tmp_path):
+    """vacuum() deletes crash-orphaned segments (referenced by no
+    manifest) past the grace period — and NOTHING else: live segments
+    and young orphans (possibly a slow writer's in-flight segment)
+    survive."""
+    import os as _os
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).withColumnRenamed("id", "x"))
+    t.append(spark.range(10, 20).withColumnRenamed("id", "x"))
+    live = {_os.path.basename(s) for s in t.segments()}
+    # Fake a crashed writer: a segment dir no manifest references.
+    old_orphan = _os.path.join(t.path, "seg-deadbeef")
+    _os.makedirs(old_orphan)
+    _os.utime(old_orphan, (0, 0))  # ancient mtime → past any grace period
+    young_orphan = _os.path.join(t.path, "seg-cafebabe")
+    _os.makedirs(young_orphan)  # fresh mtime → inside grace period
+    removed = t.vacuum(min_age_seconds=3600)
+    assert removed == ["seg-deadbeef"]
+    on_disk = {d for d in _os.listdir(t.path) if d.startswith("seg-")}
+    assert live <= on_disk and "seg-cafebabe" in on_disk
+    assert t.read().count() == 20
