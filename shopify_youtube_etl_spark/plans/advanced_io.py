@@ -303,3 +303,69 @@ def partition_pruned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money(F.sum("o_totalprice")).alias("total_price"),
     )
+
+
+@query(
+    "pagestore_stream_ingest",
+    ref="S1+S9 fusion — STREAMING Python DataSource (Spark 4 DataSourceStreamReader): offset-checkpointed incremental page ingestion",
+    doc="Two landing waves consumed by a checkpointed pagestore stream (availableNow ×2); the parquet sink's per-lang profile must equal the direct aggregate — any offset replay would double-count.",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def pagestore_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental half of S1 the batch pagestore queries can't
+    show: the first availableNow run consumes wave-1 pages and
+    checkpoints the name-watermark offset; wave 2 lands; the second run
+    consumes ONLY the new pages.  The oracle equality IS the
+    exactly-once proof — a source that replayed wave 1 would
+    double-count every wave-1 doc and hash-mismatch.  At 100 TB this is
+    continuous ingestion: upstream fetchers land pages in object
+    storage, the stream tails the store, each new page parses on its
+    own executor core."""
+    from shopify_youtube_etl_spark.sources.pagestore import (
+        PageStoreDataSource,
+        write_page_store,
+    )
+
+    rows = [
+        r.asDict()
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    half = len(rows) // 2
+    store = _staging_dir("pagestream_store", sf_dir)
+    sink = _staging_dir("pagestream_sink", sf_dir)
+    cp = _staging_dir("pagestream_cp", sf_dir)
+    schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    spark.dataSource.register(PageStoreDataSource)
+
+    def consume() -> None:
+        q = (
+            spark.readStream.format("pagestore")
+            .schema(schema)
+            .option("path", store)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    n1 = write_page_store(rows[:half], store, page_size=250)
+    consume()
+    write_page_store(rows[half:], store, page_size=250, start_page=n1)
+    consume()
+
+    docs = spark.read.schema(schema).parquet(sink)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

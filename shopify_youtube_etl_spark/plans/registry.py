@@ -113,6 +113,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "acctbal_rank_profile",
     "duplicated_span_profile",
     "snapshot_time_travel",
+    "pagestore_stream_ingest",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",

@@ -23,13 +23,30 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 
 class PagePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _parse_page(path: str, field_names: list[str]) -> Iterator[tuple]:
+    """NDJSON page → rows projected to the declared fields (S8
+    semantics: missing -> None, unknown keys dropped)."""
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            yield tuple(row.get(name) for name in field_names)
 
 
 class PageStoreReader(DataSourceReader):
@@ -54,20 +71,65 @@ class PageStoreReader(DataSourceReader):
             # Spark substitutes a single None partition when partitions()
             # returns [] — an empty store yields an empty scan, not a crash.
             return
-        fields = [f.name for f in self.schema.fields]
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                row = json.loads(line)
-                # S8 semantics: project the declared fields only;
-                # missing -> None, unknown keys dropped.
-                yield tuple(row.get(name) for name in fields)
+        yield from _parse_page(partition.path, [f.name for f in self.schema.fields])
+
+
+class PageStoreStreamReader(DataSourceStreamReader):
+    """Incremental page ingestion with offset tracking — the S1 fetch
+    cursor fused with S9's streaming insert: pages landing in the store
+    become micro-batches, one InputPartition per new page.
+
+    The offset is the lexicographically-greatest page NAME consumed so
+    far (``{"last": "page-00042.ndjson"}``), so the store's contract is
+    append-only with monotonically-sorting names — exactly what
+    ``write_page_store(start_page=...)`` produces.  A name watermark
+    (not a file count) keeps offsets valid even if old pages are
+    retention-deleted behind the watermark.  Replay safety: for fixed
+    (start, end] the partition list is a pure function of the landed
+    names, so a failed micro-batch re-reads identical data — the
+    exactly-once half the checkpoint needs from the source."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.dir = options["path"]
+        self.schema = schema
+
+    def _pages(self) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(
+            f
+            for f in os.listdir(self.dir)
+            if f.startswith("page-") and f.endswith(".ndjson")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        pages = self._pages()
+        return {"last": pages[-1] if pages else ""}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[PagePartition]:
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return [
+            PagePartition(os.path.join(self.dir, f))
+            for f in self._pages()
+            if lo < f <= hi
+        ]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        yield from _parse_page(partition.path, [f.name for f in self.schema.fields])
+
+    def commit(self, end: dict) -> None:
+        # Offsets live in the stream checkpoint; the store itself keeps
+        # pages (retention/deletion is the landing side's concern).
+        pass
 
 
 class PageStoreDataSource(DataSource):
-    """``spark.read.format("pagestore").schema(s).option("path", d)``"""
+    """``spark.read.format("pagestore").schema(s).option("path", d)``;
+    streaming: ``spark.readStream.format("pagestore")...`` (new pages =
+    micro-batches, offset-checkpointed)."""
 
     @classmethod
     def name(cls) -> str:
@@ -76,11 +138,18 @@ class PageStoreDataSource(DataSource):
     def reader(self, schema: StructType) -> PageStoreReader:
         return PageStoreReader(self.options, schema)
 
+    def streamReader(self, schema: StructType) -> PageStoreStreamReader:
+        return PageStoreStreamReader(self.options, schema)
 
-def write_page_store(rows: list[dict], out_dir: str, page_size: int = 250) -> int:
+
+def write_page_store(
+    rows: list[dict], out_dir: str, page_size: int = 250, start_page: int = 0
+) -> int:
     """Land rows as page files (the reference's 250-row pages, S1
     :274; driver-side by nature — the fetch IS driver-side).  Returns
-    the page count.
+    the page count of THIS wave.  ``start_page`` numbers a later
+    landing wave after an earlier one (append-only, monotonic names —
+    the PageStoreStreamReader offset contract).
 
     100 TB landing story: this driver-side writer is faithful to the
     reference's live-API fetch loop, but it is a DRIVER BOTTLENECK at
@@ -94,7 +163,7 @@ def write_page_store(rows: list[dict], out_dir: str, page_size: int = 250) -> in
     n_pages = 0
     for i in range(0, len(rows), page_size):
         page = rows[i : i + page_size]
-        path = os.path.join(out_dir, f"page-{n_pages:05d}.ndjson")
+        path = os.path.join(out_dir, f"page-{start_page + n_pages:05d}.ndjson")
         with open(path, "w", encoding="utf-8") as fh:
             for row in page:
                 fh.write(json.dumps(row, default=str) + "\n")

@@ -212,3 +212,48 @@ def test_stream_static_enrichment_equals_batch(spark, event_json_dir, sf_dir):
     )
     want = sorted((r["window"], r["c_mktsegment"], r["n"]) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_pagestore_stream_consumes_only_new_pages(spark, tmp_path):
+    """The streaming pagestore source is exactly-once across restarts:
+    a second availableNow run against the same checkpoint reads ONLY
+    pages landed after the first run's offset watermark."""
+    from shopify_youtube_etl_spark.sources.pagestore import (
+        PageStoreDataSource,
+        write_page_store,
+    )
+
+    store, sink, cp = (
+        str(tmp_path / "store"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "cp"),
+    )
+    spark.dataSource.register(PageStoreDataSource)
+
+    def consume() -> None:
+        q = (
+            spark.readStream.format("pagestore")
+            .schema("k BIGINT")
+            .option("path", store)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    n1 = write_page_store([{"k": i} for i in range(500)], store, page_size=100)
+    consume()
+    out = spark.read.schema("k BIGINT").parquet(sink)
+    assert out.count() == 500
+    write_page_store(
+        [{"k": i} for i in range(500, 700)], store, page_size=100, start_page=n1
+    )
+    consume()
+    out = spark.read.schema("k BIGINT").parquet(sink)
+    # Exactly-once: 700 rows total, every key exactly once — a replayed
+    # wave-1 page would duplicate keys, a skipped wave-2 page would drop.
+    assert out.count() == 700
+    assert out.select("k").distinct().count() == 700
