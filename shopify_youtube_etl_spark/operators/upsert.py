@@ -29,12 +29,18 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def upsert(final: DataFrame, staging: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+def upsert(
+    final: DataFrame,
+    staging: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    evolve_schema: bool = False,
+) -> DataFrame:
     """Pure-DataFrame MERGE: rows of ``staging`` win on key collision.
 
     ``order_col``: when the staging batch itself may contain several
@@ -42,6 +48,12 @@ def upsert(final: DataFrame, staging: DataFrame, keys: list[str], order_col: str
     DISTINCT * (full-row, :575) then relies on load-order; we make it
     deterministic: latest ``order_col`` (or arbitrary-but-exact
     ``dropDuplicates`` when full rows are identical).
+
+    ``evolve_schema``: Delta ``mergeSchema`` semantics — columns new in
+    ``staging`` join the output (NULL for untouched final rows) and
+    final columns missing from ``staging`` are NULL on its rows.  Off
+    by default: silent widening is a schema-governance decision, not a
+    merge default.
     """
     if order_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
@@ -49,6 +61,8 @@ def upsert(final: DataFrame, staging: DataFrame, keys: list[str], order_col: str
     else:
         staged = staging.distinct()  # SELECT DISTINCT * :575
     kept = final.join(staged, on=keys, how="left_anti")
+    if evolve_schema:
+        return kept.unionByName(staged, allowMissingColumns=True)
     return kept.unionByName(staged.select(*final.columns))
 
 
@@ -364,6 +378,55 @@ class ParquetTable:
             for s in self._manifest_segments(manifests[generations_back])
         ]
         return self.spark.read.parquet(*segs)
+
+    def append_with_expectations(
+        self,
+        df: DataFrame,
+        expectations: dict[str, Column],
+        quarantine: "ParquetTable | None" = None,
+    ) -> DataFrame:
+        """Expectation-gated append (the Delta Live Tables
+        expect-or-quarantine pattern): rows passing EVERY expectation
+        land in this table; violating rows land in ``quarantine``
+        (default: a sibling table at ``<path>_quarantine``) with a
+        ``failed_expectations`` array naming each violated check — the
+        triage surface.  Returns the per-expectation violation report.
+
+        Expectations are boolean Columns over ``df``; a NULL-valued
+        check passes (ANSI CHECK-constraint semantics) — express
+        "must be non-null" as an explicit ``isNotNull`` expectation.
+        Scale shape: the gate is one map-side array expression (no
+        shuffle, no second validation scan); good/bad rows write in two
+        passes over the SAME marked frame, and the report aggregates
+        the (small) quarantine side only."""
+        failed = F.array_compact(
+            F.array(
+                *[
+                    F.when(~cond, F.lit(name)).otherwise(F.lit(None)).cast("string")
+                    for name, cond in expectations.items()
+                ]
+            )
+        )
+        marked = df.withColumn("failed_expectations", failed)
+        good = marked.where(F.size("failed_expectations") == 0).drop(
+            "failed_expectations"
+        )
+        bad = marked.where(F.size("failed_expectations") > 0)
+        if self.exists():
+            self.append(good)
+        else:
+            self.overwrite(good)
+        q = quarantine or ParquetTable(self.spark, self.path.rstrip("/") + "_quarantine")
+        if q.exists():
+            q.append(bad)
+        else:
+            q.overwrite(bad)
+        return (
+            q.read()
+            .select(F.explode("failed_expectations").alias("expectation"))
+            .groupBy("expectation")
+            .agg(F.count("*").alias("n_violations"))
+        )
 
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Offline maintenance: remove segment dirs referenced by NO

@@ -597,3 +597,72 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snaps[1:]:
         out = out.unionByName(s)
     return out.select("version", "n_orders", "total_price").orderBy("version")
+
+
+@query(
+    "expectation_gated_ingest",
+    ref="expectations_report made ENFORCING — the Delta Live Tables expect-or-quarantine write path (reference's verify step moved from report to gate)",
+    doc="Orders with injected violations (negated prices on key%7, mangled status on key%11) gated on append: kept/quarantined totals plus per-expectation violation counts.",
+    oracle="""
+WITH staged AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN -o_totalprice ELSE o_totalprice END AS price,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END         AS status
+    FROM orders
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT)                                         AS n_input,
+           CAST(count(*) FILTER (WHERE price > 0 AND status IN ('F','O','P'))
+                AS BIGINT)                                                  AS n_kept,
+           CAST(count(*) FILTER (WHERE price <= 0) AS BIGINT)               AS viol_price,
+           CAST(count(*) FILTER (WHERE status NOT IN ('F','O','P'))
+                AS BIGINT)                                                  AS viol_status
+    FROM staged
+)
+SELECT n_input, n_kept, n_input - n_kept AS n_quarantined, viol_price, viol_status
+FROM m
+""",
+)
+def expectation_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL gated write path: violations are injected into a
+    copy of orders, ``append_with_expectations`` lands clean rows in the
+    table and violating rows (tagged with every failed check) in the
+    quarantine table, and the result re-reads BOTH committed tables —
+    so the oracle equality verifies the physical split, not just the
+    predicate arithmetic.  A row can violate two expectations at once
+    (key divisible by 77), which is why n_quarantined ≤ viol_price +
+    viol_status."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    staged = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    base = staging_dir("expgate", sf_dir)
+    tbl = ParquetTable(spark, base + "/t")
+    report = tbl.append_with_expectations(
+        staged,
+        {
+            "price_positive": F.col("price") > 0,
+            "status_in_domain": F.col("status").isin("F", "O", "P"),
+        },
+    )
+    quarantined = ParquetTable(spark, base + "/t_quarantine").read()
+    viol = {r["expectation"]: r["n_violations"] for r in report.collect()}
+    return (
+        tbl.read()
+        .agg(F.count("*").alias("n_kept"))
+        .crossJoin(quarantined.agg(F.count("*").alias("n_quarantined")))
+        .select(
+            (F.col("n_kept") + F.col("n_quarantined")).alias("n_input"),
+            "n_kept",
+            "n_quarantined",
+            F.lit(viol.get("price_positive", 0)).cast("long").alias("viol_price"),
+            F.lit(viol.get("status_in_domain", 0)).cast("long").alias("viol_status"),
+        )
+    )

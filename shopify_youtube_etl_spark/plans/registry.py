@@ -114,6 +114,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "duplicated_span_profile",
     "snapshot_time_travel",
     "pagestore_stream_ingest",
+    "expectation_gated_ingest",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",

@@ -410,3 +410,39 @@ def test_parquet_table_vacuum_removes_only_aged_orphans(spark, tmp_path):
     on_disk = {d for d in _os.listdir(t.path) if d.startswith("seg-")}
     assert live <= on_disk and "seg-cafebabe" in on_disk
     assert t.read().count() == 20
+
+
+def test_upsert_evolve_schema(spark):
+    """evolve_schema=True: staging's new column appears (NULL on
+    untouched finals); final-only columns are NULL on staged rows."""
+    final = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    staging = spark.createDataFrame([(2, "B2", 9.5)], "k INT, v STRING, score DOUBLE")
+    out = upsert(final, staging, keys=["k"], evolve_schema=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("B2", 9.5)}
+    # Default stays strict: new columns are dropped.
+    strict = upsert(final, staging, keys=["k"])
+    assert strict.columns == ["k", "v"]
+
+
+def test_append_with_expectations_quarantines_violations(spark, tmp_path):
+    """Good rows land in the table, violating rows in quarantine with
+    every failed check named; NULL-valued checks pass (CHECK-constraint
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, -1.0)],
+        "k INT, price DOUBLE",
+    )
+    report = t.append_with_expectations(
+        df,
+        {"price_positive": F.col("price") > 0, "k_small": F.col("k") < 4},
+    )
+    assert {r["k"] for r in t.read().collect()} == {1, 3}  # NULL price passes
+    q = ParquetTable(spark, str(tmp_path / "t_quarantine")).read()
+    failed = {r["k"]: sorted(r["failed_expectations"]) for r in q.collect()}
+    assert failed == {2: ["price_positive"], 4: ["k_small", "price_positive"]}
+    rep = {r["expectation"]: r["n_violations"] for r in report.collect()}
+    assert rep == {"price_positive": 2, "k_small": 1}
