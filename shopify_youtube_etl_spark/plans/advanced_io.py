@@ -369,3 +369,90 @@ def pagestore_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@query(
+    "stateful_sessionize",
+    ref="§2.10 sessionization, STREAMING form — applyInPandasWithState with EVENT-TIME TIMEOUT (the state-expiry half stateful_user_totals doesn't exercise)",
+    doc="Per-user session stats from a streaming sessionizer whose sessions close via gap-successor events or watermark-driven timeouts; must equal the batch gaps-and-islands aggregate.",
+    oracle="""
+SELECT user_id,
+       CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT)                   AS n_events,
+       CAST(max(session_len) AS BIGINT)           AS max_session_events
+FROM (
+    SELECT user_id, session_id, count(*) OVER (PARTITION BY user_id, session_id) AS session_len
+    FROM (
+        SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS is_new
+            FROM events
+        )
+    )
+)
+GROUP BY user_id
+""",
+)
+def stateful_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming sessionizer, driven to completion: events land
+    as µs-integer NDJSON (JSON timestamp serialization is
+    millisecond-truncating — the ts_us column keeps exact parity), the
+    first micro-batch opens sessions and arms per-key event-time
+    timers, and a far-future sentinel row in a second micro-batch
+    (maxFilesPerTrigger=1, mtime-ordered) advances the watermark so
+    every real session's timer fires before availableNow terminates.
+    The sentinel's own session never closes and is never emitted.
+    Aggregating the emitted per-session rows must reproduce the batch
+    gaps-and-islands oracle EXACTLY — sessions closed by timeout and by
+    gap-successor events are indistinguishable in the result."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from shopify_youtube_etl_spark.streaming.stateful import stateful_sessionize
+
+    tmp = _staging_dir("sessful", sf_dir)
+    src = f"{tmp}/src"
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    ev.coalesce(1).write.mode("overwrite").json(src)
+    max_us = ev.agg(F.max("ts_us")).first()[0]
+    now = _time.time()
+    for f in _os.listdir(src):
+        if f.endswith(".json"):
+            _os.utime(_os.path.join(src, f), (now - 100, now - 100))
+    sentinel = _os.path.join(src, "zz-sentinel.json")
+    with open(sentinel, "w") as fh:
+        fh.write(_json.dumps({"user_id": -1, "ts_us": int(max_us + 2 * 86_400_000_000)}) + "\n")
+    _os.utime(sentinel, (now + 100, now + 100))
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts_us BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "0 seconds")
+    )
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sessions = spark.table(sink).where(F.col("user_id") >= 0)
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )

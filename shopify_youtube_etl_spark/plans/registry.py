@@ -115,6 +115,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "snapshot_time_travel",
     "pagestore_stream_ingest",
     "expectation_gated_ingest",
+    "stateful_sessionize",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",

@@ -133,3 +133,71 @@ def stateful_distinct_types(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         proc, DISTINCT_TYPES_OUTPUT, "Update", "None"
     )
+
+
+# --- event-time-timeout sessionization ---------------------------------
+
+SESSIONIZE_OUTPUT = "user_id BIGINT, start_us BIGINT, end_us BIGINT, n_events BIGINT"
+SESSIONIZE_STATE = "start BIGINT, end BIGINT, n BIGINT"
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user gaps-and-islands over engine-managed state: events merge
+    into the open session; a gap > 30 min closes it (emitted
+    immediately); an EVENT-TIME TIMEOUT closes the session when the
+    watermark passes last_event + gap — the streaming-native way to
+    finalize a session no further event will ever join.  State per key
+    is three longs regardless of session length."""
+    if state.hasTimedOut:
+        s, e, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "start_us": [s], "end_us": [e], "n_events": [n]}
+        )
+        return
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        ts_us.extend(int(v) for v in pdf["ts_us"])
+    ts_us.sort()
+    if state.exists:
+        s, e, n = state.get
+    else:
+        s, e, n = ts_us[0], ts_us[0], 0  # first event counted by the loop
+    closed = []
+    for t_us in ts_us:
+        if t_us - e > SESSION_GAP_US:
+            closed.append((s, e, n))
+            s, e, n = t_us, t_us, 1
+        else:
+            e = t_us
+            n += 1
+    state.update((s, e, n))
+    # Event-time timeout in MILLIS: fire once the watermark passes the
+    # moment this session can no longer grow.
+    state.setTimeoutTimestamp(e // 1000 + SESSION_GAP_US // 1000)
+    if closed:
+        yield pd.DataFrame(
+            [
+                {"user_id": key[0], "start_us": a, "end_us": b, "n_events": c}
+                for a, b, c in closed
+            ]
+        )
+
+
+def stateful_sessionize(events: DataFrame) -> DataFrame:
+    """Streaming sessionization with a 30-min gap on a frame carrying
+    ``user_id BIGINT, ts_us BIGINT, ts TIMESTAMP`` (``ts`` watermarked).
+    Emits one row per CLOSED session (append mode) — closed by a
+    larger-gap successor event or by the event-time timeout.  Sessions
+    still open when the stream's watermark stops advancing are not
+    emitted (they are not closed — that is the semantics, not a leak)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        SESSIONIZE_OUTPUT,
+        SESSIONIZE_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
