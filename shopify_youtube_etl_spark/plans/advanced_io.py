@@ -422,7 +422,9 @@ def stateful_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros("ts").alias("ts_us")
     )
     ev.coalesce(1).write.mode("overwrite").json(src)
-    max_us = ev.agg(F.max("ts_us")).first()[0]
+    # Empty events → no max; any sentinel timestamp drives the (empty)
+    # stream to a clean empty result, so epoch 0 stands in.
+    max_us = ev.agg(F.max("ts_us")).first()[0] or 0
     now = _time.time()
     for f in _os.listdir(src):
         if f.endswith(".json"):
