@@ -392,6 +392,7 @@ FROM (
                              <= INTERVAL 30 MINUTE
                         THEN 0 ELSE 1 END AS is_new
             FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
         )
     )
 )
@@ -418,8 +419,13 @@ def stateful_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = _staging_dir("sessful", sf_dir)
     src = f"{tmp}/src"
-    ev = t(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("ts_us")
+    ev = (
+        t(spark, sf_dir, "events")
+        # Null event-times can't be watermarked and null keys can't be
+        # sessionized — the production ingest drop (see the oracle's
+        # matching WHERE).
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
     )
     ev.coalesce(1).write.mode("overwrite").json(src)
     # Empty events → no max; any sentinel timestamp drives the (empty)

@@ -1346,3 +1346,167 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+@query(
+    "pq_ann_topk",
+    ref="similarity search scale path — product quantization (8 subspaces × 64 centroids, ADC shortlist + exact refine)",
+    doc="PQ-ADC shortlist (top-64) re-ranked by exact cosine, top-5 per probe; rows-only (codebook training not oracle-portable); recall vs the exact brute-force query pinned in pytest.",
+    oracle=None,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization, the memory-bound complement of IVF: each
+    64-dim float vector compresses to EIGHT 4-bit codes (one per 8-dim
+    subspace, 16 centroids each) — 64× smaller than float64 — and
+    queries score candidates through per-probe ADC lookup tables
+    (subspace-dot-products to every centroid, precomputed once per
+    probe) instead of touching the original vectors.  At 100 TB the
+    codes column fits where the raw embeddings never could, and the
+    scan-side cost per candidate is 8 table lookups + 7 adds.
+
+    Shape: codebooks fit on a BOUNDED deterministic sample (2048
+    lowest vec_ids, seeded Lloyd's — at scale: precomputed offline and
+    persisted, like the IVF centroids); corpus encoding is one
+    mapInPandas pass (argmin over the centroids per subspace, BLAS);
+    scoring streams the CODES through a second Arrow pass with a
+    partition-local ADC shortlist prune before the tiny global re-merge
+    (same discipline as _block_matmul_topk); the final stage re-ranks
+    ONLY the shortlist with exact cosine (candidate frame broadcasts
+    into the corpus join — raw vectors touched for 64 rows per probe,
+    a vanishing corpus fraction at scale).  Normalizing vectors before encoding makes ADC inner
+    product approximate cosine."""
+    import numpy as np
+    import pandas as pd
+
+    M, KSUB, ITERS = 8, 64, 10  # subspaces, centroids per subspace, Lloyd rounds
+    SHORTLIST = 64  # ADC candidates per probe that get exact re-ranking
+
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    train_rows = (
+        e.orderBy("vec_id").limit(2048).select("vec_id", "embedding").collect()
+    )
+    probe_rows = [r for r in train_rows if r["vec_id"] < 16]
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cosine double, rank int"
+        )
+    T = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
+    T = T / np.linalg.norm(T, axis=1, keepdims=True)
+    dim = T.shape[1]
+    dsub = dim // M
+
+    # Seeded Lloyd's per subspace; init = evenly spaced training rows
+    # (deterministic across runs and partitionings).
+    codebooks = np.empty((M, KSUB, dsub), dtype=np.float64)
+    for m in range(M):
+        X = T[:, m * dsub : (m + 1) * dsub]
+        C = X[np.linspace(0, len(X) - 1, KSUB, dtype=int)].copy()
+        for _ in range(ITERS):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(KSUB):
+                pts = X[assign == k]
+                if len(pts):
+                    C[k] = pts.mean(axis=0)
+        codebooks[m] = C
+
+    probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    P = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
+    P = P / np.linalg.norm(P, axis=1, keepdims=True)
+    # ADC tables: adc[p, m, k] = <probe_p subvector_m, centroid_mk>.
+    adc = np.einsum(
+        "pmd,mkd->pmk", P.reshape(len(P), M, dsub), codebooks
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = V.reshape(len(V), M, dsub)
+            # codes[i, m] = argmin_k ||S[i,m] - codebooks[m,k]||²
+            d2 = (
+                (S**2).sum(axis=2)[:, :, None]
+                - 2 * np.einsum("imd,mkd->imk", S, codebooks)
+                + (codebooks**2).sum(axis=2)[None, :, :]
+            )
+            yield pd.DataFrame(
+                {"vec_id": ids, "codes": list(d2.argmin(axis=2).astype(np.int8))}
+            )
+
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, codes array<tinyint>"
+    )
+
+    def adc_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, M)
+            # scores[i, p] = Σ_m adc[p, m, Cd[i, m]]
+            scores = np.round(
+                adc[:, np.arange(M)[None, :], Cd].sum(axis=2).T, 6
+            )
+            for j, pid in enumerate(probe_ids):
+                col = scores[:, j]
+                mask = ids != pid
+                cand_ids, cand_s = ids[mask], col[mask]
+                order = np.lexsort((cand_ids, -cand_s))[:SHORTLIST]
+                yield pd.DataFrame(
+                    {
+                        "probe_id": pid,
+                        "neighbor_id": cand_ids[order],
+                        "adc_score": cand_s[order],
+                    }
+                )
+
+    local = codes.mapInPandas(adc_topk, "probe_id long, neighbor_id long, adc_score double")
+    from pyspark.sql.window import Window
+
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        local.withColumn("arank", F.row_number().over(wa))
+        .where(F.col("arank") <= SHORTLIST)
+        .select("probe_id", "neighbor_id")
+    )
+    # Refine: exact cosine ONLY for the shortlisted candidates — the
+    # 16·SHORTLIST-row candidate frame broadcasts into the corpus
+    # join, so raw vectors are fetched for a fixed per-probe count,
+    # never the whole corpus.  ADC distortion picks the shortlist;
+    # exact scores pick the winners (classic IVFPQ + refine).
+    cand_vecs = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+
+    def rerank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            pidx = {int(p): i for i, p in enumerate(probe_ids)}
+            rows = np.array([pidx[int(p)] for p in pdf["probe_id"]])
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "cosine": np.round((V * P[rows]).sum(axis=1), 6),
+                }
+            )
+
+    exact = cand_vecs.mapInPandas(
+        rerank, "probe_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

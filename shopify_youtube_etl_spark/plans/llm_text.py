@@ -1394,3 +1394,135 @@ def duplicated_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "unigram_logprob_score",
+    ref="quality scoring (north star) — CCNet-style perplexity proxy: per-doc cross-entropy under the corpus unigram LM",
+    doc="Per document: token count and mean negative log-probability of its tokens under the corpus unigram distribution (high = unusual token mix).",
+    oracle=f"""
+WITH dt AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS k
+    FROM (SELECT doc_id, unnest({_D_WORDS}) AS token FROM documents)
+    GROUP BY doc_id, token
+),
+ct AS (SELECT token, CAST(sum(k) AS BIGINT) AS c_n FROM dt GROUP BY token),
+ctot AS (SELECT CAST(sum(k) AS BIGINT) AS t_n FROM dt)
+SELECT dt.doc_id,
+       CAST(sum(dt.k) AS BIGINT) AS n_tokens,
+       round(sum(dt.k * -ln(ct.c_n * 1.0 / (SELECT t_n FROM ctot)))
+             / sum(dt.k), 6)     AS unigram_xent
+FROM dt JOIN ct USING (token)
+GROUP BY dt.doc_id
+""",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet filtering idea with the LM simplified to corpus
+    unigrams: score each document by the mean -ln p(token) of its
+    tokens, where p comes from the corpus itself.  Boilerplate and
+    natural prose score low; lorem-noise, rare-token spam, and
+    wrong-language contamination score high — the cheap first-pass
+    quality screen before an expensive model-based filter.
+
+    Scale shape (mirrors source_token_kl): ONE explode pass reduced
+    immediately to per-doc token counts (doc_id, token, k) — the only
+    corpus-sized shuffle; the vocabulary frame (token, c_n) and the
+    one-row grand total both DERIVE from that reduced frame, never from
+    a second scan.  The LM join shuffles on token (vocab-sized build
+    side — hash join, broadcast only if the vocab is small), and the
+    per-doc score is a partial-agg shuffle on doc_id.  Support is
+    guaranteed (every doc token is in the corpus LM), so no smoothing
+    term is needed."""
+    dt = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("k"))
+        # Three downstream branches (self, vocab counts, grand total)
+        # would each rebuild the explode+agg; the reduced frame is
+        # bounded by sum-of-distinct-tokens-per-doc, far below corpus
+        # token count, so materializing once is cheap at any scale.
+        .localCheckpoint(eager=True)
+    )
+    ct = dt.groupBy("token").agg(F.sum("k").alias("c_n"))
+    ctot = ct.agg(F.sum("c_n").alias("t_n"))
+    return (
+        dt.join(ct, "token")
+        .join(F.broadcast(ctot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("k") * -F.log(F.col("c_n") / F.col("t_n")))
+                / F.sum("k"),
+                6,
+            ).alias("unigram_xent"),
+        )
+    )
+
+
+@query(
+    "bpe_train_merges",
+    ref="tokenizer training (north star) — BPE merge learning over the distributed word histogram (Sennrich-style)",
+    doc="Top-30 learned BPE merges (rank, left, right, weighted pair count); rows-only (the greedy merge loop is iterative, not SQL-expressible).",
+    oracle=None,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE training, structured the way production trainers
+    (subword-nmt, HuggingFace tokenizers) actually scale: the ONLY
+    corpus-sized work is building the word histogram — one explode +
+    groupBy shuffle that reduces 100 TB of text to a vocab-sized
+    (word, count) frame — and the greedy merge loop then runs on that
+    histogram, never on the corpus.  The histogram is capped at the
+    top 2000 words by count (deterministic count-desc/word tie-break),
+    a documented bounded collect like the ANN probe slices; rare tail
+    words contribute negligible pair mass to early merges.
+
+    Loop semantics (Sennrich et al. 2016): words start as character
+    sequences + '</w>'; each round counts adjacent symbol pairs
+    weighted by word frequency, merges the (count desc, pair lexical)
+    argmax everywhere it occurs, and records it.  Determinism across
+    runs/partitionings comes from the total order on both the
+    histogram cut and the argmax tie-break."""
+    hist_rows = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(words(F.lower(F.col("text")))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(2000)
+        .collect()
+    )
+    hist: dict[tuple[str, ...], int] = {
+        tuple(r["word"]) + ("</w>",): r["n"] for r in hist_rows
+    }
+
+    merges = []
+    for rank in range(1, 31):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in hist.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        new_hist: dict[tuple[str, ...], int] = {}
+        for syms, n in hist.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_hist[key] = new_hist.get(key, 0) + n
+        hist = new_hist
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )

@@ -116,6 +116,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "pagestore_stream_ingest",
     "expectation_gated_ingest",
     "stateful_sessionize",
+    "unigram_logprob_score",
+    "bpe_train_merges",
+    "pq_ann_topk",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",

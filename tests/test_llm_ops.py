@@ -477,3 +477,61 @@ def test_int8_ann_recall_vs_float_baseline(spark, sf_dir):
         len({(a, b) for a, b in base if a == p} & quant) / 5 for p in probes
     ) / len(probes)
     assert recall >= 0.5, f"int8 recall@5 collapsed: {recall}"
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    """PQ-ADC shortlist + exact refine must recover most of the true
+    top-5 (measured 0.94 mean at sf0.01; pinned conservatively)."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    brute = specs["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    pq = specs["pq_ann_topk"].fn(spark, sf_dir).collect()
+    truth = {(r["probe_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["probe_id"], r["neighbor_id"]) for r in pq}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"PQ recall@5 {recall:.2%}"
+    # Refined scores are EXACT cosines — on the overlap they must agree
+    # with brute force bit-for-bit (both round to 6dp).
+    bmap = {(r["probe_id"], r["neighbor_id"]): r["cosine"] for r in brute}
+    for r in pq:
+        k = (r["probe_id"], r["neighbor_id"])
+        if k in bmap:
+            assert abs(r["cosine"] - bmap[k]) < 1e-12
+
+
+def test_bpe_train_merges_toy_corpus(spark, tmp_path):
+    """Hand-checkable BPE: corpus of 'low' ×5 and 'lower' ×2 — the
+    first merge must be ('l','o') with weighted count 7, the second
+    ('lo','w') with 7 (classic Sennrich walkthrough)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "text": ["low"] * 5 + ["lower"] * 2,
+            "lang": ["en"] * 7,
+            "source": ["t"] * 7,
+            "n_chars": [3] * 5 + [5] * 2,
+        }
+    )
+    sf = tmp_path / "bpe_sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet")
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    out = all_queries()["bpe_train_merges"].fn(spark, str(sf)).collect()
+    got = [(r["merge_rank"], r["left"], r["right"], r["pair_count"]) for r in out]
+    assert got[0] == (1, "l", "o", 7)
+    assert got[1] == (2, "lo", "w", 7)
+    # 'low</w>' merge (count 5) must beat 'w','e' (count 2).
+    assert got[2] == (3, "low", "</w>", 5)
+
+
+def test_bpe_train_merges_deterministic(spark, sf_dir):
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    fn = all_queries()["bpe_train_merges"].fn
+    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert a == b and len(a) == 30

@@ -294,12 +294,15 @@ def test_deletion_cascade_uses_broadcast_semi_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_int8_ann_broadcasts_probe_side(spark, sf_dir):
-    """The quantized search must reuse the bounded broadcast-probe shape
-    (corpus never shuffled against probes)."""
+def test_int8_ann_topk_plan_has_no_probe_join(spark, sf_dir):
+    """The r4 rewrite moved quantization + scoring into the Arrow block
+    (probes closure-captured), so the plan must contain NO join of the
+    corpus against probes at all — just the mapInPandas scan feeding
+    the tiny top-k re-merge window."""
     plan = plan_of(spark, "int8_ann_topk", sf_dir)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    for join in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"):
+        assert join not in plan, f"unexpected {join} in int8 plan"
 
 
 def test_source_token_kl_single_explode_pass(spark, sf_dir):
