@@ -2050,3 +2050,242 @@ def acctbal_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "c_custkey")
     )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    ref="TPC-H Q17 shape — correlated scalar-aggregate subquery (per-part avg) decorrelated into an aggregate join",
+    doc="Average yearly revenue lost if Brand#12 orders below 20% of the part's average quantity were not taken.",
+    oracle="""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+pa AS (
+    SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+    FROM lineitem JOIN bp ON l_partkey = p_partkey
+    GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_quantity < qty_cut
+""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's correlated scalar subquery (per-part AVG compared
+    against each lineitem of the same part), written as Catalyst
+    decorrelates it: the brand's part keys broadcast into lineitem,
+    the per-part quantity cutoff is ONE partial-agg shuffle over that
+    reduced slice, and the cutoff frame (≤ |parts-in-brand| rows)
+    broadcasts back — the fact table is scanned once and never
+    shuffled.  A naive per-row subquery would be O(facts) scalar
+    lookups; this is two broadcast joins and one small agg."""
+    bp = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(bp), li.l_partkey == bp.p_partkey)
+    cut = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        brand_li.join(F.broadcast(cut), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    ref="TPC-H Q19 shape — disjunctive (OR-of-conjunctions) predicate spanning both join sides",
+    doc="Revenue from three brand/size/quantity bands OR-ed together.",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT)                          AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's planner test: an OR-of-conjunctions that mixes
+    columns from BOTH sides of the join.  Catalyst extracts the
+    side-local residues — part rows must match SOME brand/size band,
+    lineitems SOME quantity band — and pushes each into its own scan
+    (visible as PushedFilters on both), so the join only sees
+    pre-filtered rows; the full disjunction re-applies post-join for
+    exactness.  Getting this prune wrong reads 100 TB to answer a
+    query about three brands."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(bands)
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    ref="TPC-H Q21 shape — double-correlated EXISTS / NOT EXISTS, rewritten as one per-order supplier census",
+    doc="Suppliers who were the ONLY late shipper on multi-supplier orders (late = shipped >60 days after order date), top 20.",
+    oracle="""
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+census AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+    FROM li GROUP BY l_orderkey
+),
+blamed AS (
+    SELECT DISTINCT li.l_orderkey, li.l_suppkey
+    FROM li JOIN census USING (l_orderkey)
+    WHERE li.is_late = 1 AND census.n_supp >= 2 AND census.n_late_supp = 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 is the classic double-correlation: EXISTS(another
+    supplier on the order) AND NOT EXISTS(another LATE supplier).
+    The scalable rewrite replaces both correlated probes with ONE
+    per-order census — distinct suppliers and distinct late
+    suppliers per order in a single partial-agg shuffle — then
+    `n_supp >= 2 AND n_late_supp = 1` reproduces the EXISTS/NOT
+    EXISTS pair exactly for late rows.  The plan costs two
+    column-pruned scans of lineitem's 3-column projection (census +
+    blame pass) — deliberately NOT a cache/checkpoint of the joined
+    frame, which at 100 TB would materialize the whole fact table to
+    save one cheap scan; the original EXISTS form scans three times
+    AND correlates per row.  The census joins back on the SAME
+    l_orderkey the agg just
+    shuffled on (census is order-count-sized — never broadcastable at
+    scale — so co-partitioned hash join, no extra exchange of the
+    fact side); top-20 compiles to TakeOrderedAndProject."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+            .cast("int")
+            .alias("is_late"),
+        )
+    )
+    census = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    blamed = (
+        li.where(F.col("is_late") == 1)
+        .join(
+            census.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    ref="TPC-H Q22 shape — global-average scalar subquery + NOT EXISTS anti join",
+    doc="Per nation: count and total balance of above-average-balance customers with no orders since 2000-01-01.",
+    oracle="""
+WITH cut AS (
+    SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+),
+idle AS (
+    SELECT c_nationkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT a FROM cut)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT)  AS numcust,
+       round(sum(c_acctbal), 2)  AS totacctbal
+FROM idle JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's two planner features: a scalar aggregate subquery
+    (the positive-balance average) that must evaluate ONCE and
+    broadcast — never per-row — and a NOT EXISTS that Catalyst turns
+    into a LEFT ANTI hash join against the recent-order customer
+    keys (the recency filter pushes into the orders scan, so the anti
+    build side is key-sized, not order-sized); the rich-customer
+    filter applies BEFORE the anti join so the probe side is already
+    small.
+    Same anti-join machinery as the reference's orphan checks (J1),
+    pointed the other way."""
+    cust = t(spark, sf_dir, "customer")
+    cut = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = (
+        cust.join(F.broadcast(cut))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    recent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    idle = rich.join(recent, "c_custkey", "left_anti")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            money(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )

@@ -119,6 +119,10 @@ _DRIVER_PRIORITY = _CANARIES + [
     "unigram_logprob_score",
     "bpe_train_merges",
     "pq_ann_topk",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_rich_customers",
     # --- once verified (external record from round 3 only) ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",

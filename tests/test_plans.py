@@ -343,3 +343,26 @@ def test_sql_view_registration_not_stale_across_sf_dirs(spark, sf_dir, tmp_path)
     assert sorted(map(tuple, again)) == sorted(map(tuple, first)), (
         "sql_nation_rank served results from the clobbered views"
     )
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """TPC-H Q19's OR-of-conjunctions mixes columns from both join
+    sides; Catalyst must extract the side-local residues and push a
+    quantity disjunction into the lineitem scan AND a brand/size
+    disjunction into the part scan."""
+    plan = plan_of(spark, "tpch_q19_disjunctive_revenue", sf_dir)
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    li_pushed = [p for p in pushed if "l_quantity" in p]
+    part_pushed = [p for p in pushed if "p_brand" in p]
+    assert li_pushed and any("Or(" in p for p in li_pushed), "no lineitem OR residue pushed"
+    assert part_pushed and any("Or(" in p for p in part_pushed), "no part OR residue pushed"
+
+
+def test_q17_cutoff_joins_are_broadcast(spark, sf_dir):
+    """The decorrelated Q17 must broadcast both the brand part keys and
+    the per-part cutoff frame — the fact table never shuffles."""
+    plan = plan_of(spark, "tpch_q17_small_quantity_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
