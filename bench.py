@@ -60,6 +60,10 @@ HEADLINE = [
     "adaptive_join_revenue",
     "tpch_q5_local_supplier_volume",
     "int8_ann_topk",
+    # Round-4 session-3 additions: the PQ/refine ANN path and the
+    # heaviest new text aggregation (explode + vocab join).
+    "pq_ann_topk",
+    "unigram_logprob_score",
 ]
 
 

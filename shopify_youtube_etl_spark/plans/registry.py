@@ -119,6 +119,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "unigram_logprob_score",
     "bpe_train_merges",
     "pq_ann_topk",
+    "interval_left_join_attribution",
+    "theta_audience_overlap",
+    "kll_daily_value_quantiles",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",

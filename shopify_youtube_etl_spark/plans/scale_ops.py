@@ -282,3 +282,85 @@ def adaptive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query(
+    "theta_audience_overlap",
+    ref="scale machinery — theta sketches (Datasketches): distinct SET ALGEBRA (intersection/difference) that HLL cannot do",
+    doc="Pairwise event-type audience overlap from per-type theta sketches: union, intersection, and A-minus-B distinct-user estimates.",
+    # No DuckDB oracle: theta sketch binaries are Spark/Datasketches
+    # internal.  Driver does the rows-only check; tests/test_scale.py
+    # pins every estimate within 5% of the exact distinct counts.
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audience-overlap question ('how many distinct users did BOTH
+    X and Y') breaks HLL — union is the only HLL-mergeable operation —
+    but theta sketches carry full set algebra.  Each event type
+    aggregates its users into ONE theta sketch (partial-agg shuffle on
+    type, sketch size O(2^lgK) regardless of input); every pairwise
+    union/intersection/difference then computes on the tiny sketch
+    frame via a self-join of ~|types|² rows.  At 100 TB the raw
+    alternative is a COUNT(DISTINCT) over a re-shuffled pair-expanded
+    events table per pair — this is O(types²) sketch merges instead.
+    Estimates cast to long for hash-stable rows-only output."""
+    sk = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est = lambda c: F.expr(f"theta_sketch_estimate({c})").cast("long")  # noqa: E731
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est("theta_union(sk_a, sk_b)").alias("union_users"),
+        est("theta_intersection(sk_a, sk_b)").alias("both_users"),
+        est("theta_difference(sk_a, sk_b)").alias("only_a_users"),
+    )
+
+
+@query(
+    "kll_daily_value_quantiles",
+    ref="scale machinery — mergeable quantile sketches (Datasketches KLL): per-day sketches rolled up to monthly p50/p95 without re-scanning raw",
+    doc="Per month: event count and KLL-estimated p50/p95 of value, computed by merging the per-day sketch column.",
+    # No DuckDB oracle (sketch binaries not portable).  Driver rows-only;
+    # tests/test_scale.py pins merged-sketch quantiles within the KLL
+    # rank-error band of the exact percentiles.
+)
+def kll_daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile twin of hll_daily_users_rollup: days aggregate
+    their values into KLL sketches once, and ANY coarser grain (month
+    here) is a kll_sketch_merge over the stored sketch column — the
+    pre-aggregation that makes p95-latency-style dashboards
+    interactive over 100 TB.  Unlike GK on raw rows
+    (approx_quantiles_profile), the sketch column is reusable: month,
+    quarter, and all-time all derive from the same O(days) frame.
+    Quantile outputs rounded to 4dp for hash-stable rows."""
+    from shopify_youtube_etl_spark.plans.common import day_str
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            day_str(F.col("ts")).alias("day"),
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            "value",
+        )
+        .groupBy("month", "day")
+        .agg(
+            F.expr("kll_sketch_agg_double(value)").alias("sk"),
+            F.count("*").alias("n"),
+        )
+    )
+    merged = daily.groupBy("month").agg(
+        F.expr("kll_merge_agg_double(sk)").alias("msk"),
+        F.sum("n").alias("n_events"),
+    )
+    return merged.select(
+        "month",
+        "n_events",
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.95)"), 4).alias("p95"),
+    ).orderBy("month")

@@ -187,3 +187,60 @@ def interval_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> Da
         e.where(F.col("event_type") == "purchase"),
         e.where(F.col("event_type") == "click"),
     )
+
+def interval_left_join_builder(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """LEFT-OUTER sibling of ``interval_join_builder``: every purchase
+    survives, unmatched ones with a NULL click_id.  In streaming this
+    is the interesting half — the engine may only emit the null-padded
+    row once BOTH watermarks pass the purchase's join window (no
+    earlier click can still arrive), so unmatched results are
+    watermark-driven state evictions, not join hits."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id")
+
+
+@query(
+    "interval_left_join_attribution",
+    ref="§2.10 extension — LEFT OUTER interval join; streaming twin emits unmatched rows on watermark-driven state eviction",
+    doc="Every purchase with its preceding-30-min same-user clicks, NULL click_id when unattributed.",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id  AS user_id
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+WHERE p.event_type = 'purchase'
+""",
+)
+def interval_left_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with explicit no-touch rows: the inner interval join
+    silently drops purchases with no preceding click — exactly the rows
+    a marketing funnel needs to see.  Batch plan is the same
+    one-shuffle-per-side sort-merge range join with LeftOuter;
+    tests/test_streaming.py proves the watermarked stream-stream twin
+    (null rows emitted only after both watermarks clear the window)
+    converges to this batch result."""
+    e = t(spark, sf_dir, "events")
+    return interval_left_join_builder(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+    )

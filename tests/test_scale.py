@@ -237,3 +237,46 @@ def test_adaptive_join_picks_plain_on_uniform_keys(spark):
     out = adaptive_join(fact, dim, "k", sample_fraction=1.0)
     assert SALT_COL not in _explain(out)
     assert out.count() == 10000
+
+
+def test_theta_overlap_matches_exact_within_5pct(spark, sf_dir):
+    """Theta set algebra vs exact distincts: union, intersection, and
+    difference estimates must each land within 5% (at these
+    cardinalities the sketch is exact or near-exact)."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["theta_audience_overlap"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert rows
+    for r in rows[:4]:  # bound runtime: 4 pairs × 3 exact set ops
+        ua = ev.where(F.col("event_type") == r["type_a"]).select("user_id").distinct()
+        ub = ev.where(F.col("event_type") == r["type_b"]).select("user_id").distinct()
+        exact_union = ua.union(ub).distinct().count()
+        exact_both = ua.intersect(ub).count()
+        exact_only_a = ua.exceptAll(ub).count()
+        for est, exact in (
+            (r["union_users"], exact_union),
+            (r["both_users"], exact_both),
+            (r["only_a_users"], exact_only_a),
+        ):
+            assert abs(est - exact) <= max(1, 0.05 * exact), (r, exact)
+
+
+def test_kll_monthly_quantiles_within_rank_error(spark, sf_dir):
+    """Merged per-day KLL sketches must reproduce each month's exact
+    p50/p95 within a 2% rank band (KLL k=200 normalized rank error
+    ≈1.6%): the estimated quantile VALUE must sit between the exact
+    48th-52nd (93rd-97th) percentile values."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["kll_daily_value_quantiles"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    assert rows
+    for r in rows:
+        vals = ev.where(F.date_format("ts", "yyyy-MM") == r["month"])
+        for q, est in ((0.5, r["p50"]), (0.95, r["p95"])):
+            lo, hi = vals.agg(
+                F.percentile("value", max(0.0, q - 0.02)).alias("lo"),
+                F.percentile("value", min(1.0, q + 0.02)).alias("hi"),
+            ).first()
+            assert lo - 1e-9 <= est <= hi + 1e-9, (r["month"], q, est, lo, hi)

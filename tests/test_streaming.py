@@ -257,3 +257,80 @@ def test_pagestore_stream_consumes_only_new_pages(spark, tmp_path):
     # wave-1 page would duplicate keys, a skipped wave-2 page would drop.
     assert out.count() == 700
     assert out.select("k").distinct().count() == 700
+
+
+def test_stream_stream_left_outer_interval_join_equals_batch(
+    spark, event_json_dir, tmp_path_factory
+):
+    """LEFT OUTER stream-stream join: matched rows emit like the inner
+    join, but unmatched purchases emit their NULL-click row only when
+    BOTH watermarks clear the purchase's join window — a far-future
+    sentinel file (one purchase + one click, mtime-ordered last)
+    advances both watermarks so every real unmatched row is evicted
+    before availableNow drains.  Result must equal the batch left
+    join exactly (sentinel rows excluded)."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from shopify_youtube_etl_spark.plans.windows import interval_left_join_builder
+
+    d = str(tmp_path_factory.mktemp("events_lj"))
+    now = time.time()
+    for i, f in enumerate(sorted(os.listdir(event_json_dir))):
+        if f.endswith(".json"):
+            shutil.copy(os.path.join(event_json_dir, f), os.path.join(d, f))
+            os.utime(os.path.join(d, f), (now - 100 + i, now - 100 + i))
+    far = "2035-01-01T00:00:00.000Z"
+    sentinel = os.path.join(d, "zz-sentinel.json")
+    with open(sentinel, "w") as fh:
+        for eid, etype in ((-1, "purchase"), (-2, "click")):
+            fh.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": far,
+                        "user_id": -1,
+                        "event_type": etype,
+                        "value": 0.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    os.utime(sentinel, (now + 100, now + 100))
+
+    def side(event_type):
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(d)
+            .where(F.col("event_type") == event_type)
+            .withWatermark("ts", "0 seconds")
+        )
+
+    q = (
+        interval_left_join_builder(side("purchase"), side("click"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_left_interval_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch_events = spark.read.schema(EVENT_SCHEMA).json(event_json_dir)
+    want = sorted(
+        interval_left_join_builder(
+            batch_events.where(F.col("event_type") == "purchase"),
+            batch_events.where(F.col("event_type") == "click"),
+        ).collect()
+    )
+    got = sorted(
+        spark.sql(
+            "SELECT * FROM stream_left_interval_join WHERE user_id >= 0"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert any(r["click_id"] is None for r in got), "no watermark-evicted rows seen"
