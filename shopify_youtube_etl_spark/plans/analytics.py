@@ -2289,3 +2289,59 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# Shared text for the recursive reachability query — Spark 4.1's
+# WITH RECURSIVE (UNION ALL + explicit hop bound; UNION-distinct
+# recursion is not yet supported, so the dedup happens in the outer
+# GROUP BY) runs the IDENTICAL string DuckDB runs as the oracle.
+_NATION_REACH_SQL = """
+WITH RECURSIVE trade AS (
+    SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+),
+reach(nation, hop) AS (
+    SELECT 'NATION_0' AS nation, 0 AS hop
+    UNION ALL
+    SELECT t.dst, r.hop + 1
+    FROM reach r JOIN trade t ON t.src = r.nation
+    WHERE r.hop < 2
+)
+SELECT nation,
+       CAST(min(hop) AS BIGINT)  AS min_hops,
+       CAST(count(*) AS BIGINT)  AS n_paths
+FROM reach
+GROUP BY nation
+"""
+
+
+@query(
+    "recursive_nation_reach",
+    ref="SURVEY §3 SQL-text entry point × graph family — WITH RECURSIVE (Spark 4.x) multi-hop reachability over the nation trade graph",
+    doc="Nations reachable from NATION_0 within 2 hops of the customer→supplier trade graph: min hop distance and path multiplicity.",
+    oracle=_NATION_REACH_SQL,
+)
+def recursive_nation_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's recursive CTE, used the way it stays safe at 100 TB:
+    the corpus-sized work is the DISTINCT trade-edge aggregation (one
+    shuffle over the star join), which reduces everything to a
+    FIXED-size graph (≤25 nations, ≤600 edges) — the recursion then
+    iterates over that reduced frame, so its cost is independent of
+    input scale.  UNION ALL recursion enumerates paths (multiplicity
+    is part of the result); the explicit hop bound is load-bearing —
+    without it a cyclic graph recurses forever.  For unbounded-depth
+    closure over DATA-sized graphs, `connected_components`
+    (operators/components.py) with its O(log d) label propagation is
+    the right operator, not a recursive CTE."""
+    from shopify_youtube_etl_spark.sources.tables import ensure_views
+
+    ensure_views(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "supplier")
+    )
+    return spark.sql(_NATION_REACH_SQL)

@@ -292,12 +292,29 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = minhash_signature(d, "doc_id", "shingles", num_hashes=32)
     bands = lsh_bands(sigs, "doc_id", num_hashes=32, bands=8)
-    pairs = lsh_candidate_pairs(bands, "doc_id")
-    sh_a = d.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
-    sh_b = d.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    # Materialize the candidate frame ONCE (pairs ≪ corpus): without
+    # it, each broadcast of candidate ids below re-executes the whole
+    # shingle→signature→band subtree, and the verification join would
+    # recompute corpus-wide shingles for BOTH sides (3 full shingle
+    # passes total — the dominant cost at any scale).
+    pairs = lsh_candidate_pairs(bands, "doc_id").localCheckpoint(eager=True)
+
+    def cand_shingles(id_col: str, out_id: str, out_sh: str) -> DataFrame:
+        # Prune the RAW docs to candidate ids BEFORE the shingle
+        # expression runs — verification touches only candidate docs.
+        ids = pairs.select(F.col(id_col).alias("doc_id")).distinct()
+        return (
+            docs.join(F.broadcast(ids), "doc_id")
+            .select("doc_id", words(F.col("text")).alias("ws"))
+            .select(
+                F.col("doc_id").alias(out_id),
+                shingles_from_words("ws", 3).alias(out_sh),
+            )
+        )
+
     return (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        pairs.join(cand_shingles("id_a", "id_a", "sa"), "id_a")
+        .join(cand_shingles("id_b", "id_b", "sb"), "id_b")
         .select(
             "id_a", "id_b", F.round(jaccard(F.col("sa"), F.col("sb")), 6).alias("jaccard")
         )

@@ -122,6 +122,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "interval_left_join_attribution",
     "theta_audience_overlap",
     "kll_daily_value_quantiles",
+    "recursive_nation_reach",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
