@@ -464,3 +464,50 @@ def stateful_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+@query(
+    "pagestore_write_roundtrip",
+    ref="S6/S9 scale path — Spark 4 Python DataSource WRITE (transactional page sink: task-staged temp files, driver commit renames)",
+    doc="Documents written through the pagestore writer (executor-side staging, commit-or-nothing publish) and re-read via the pagestore reader; per-source profile must equal the direct aggregate.",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+""",
+)
+def pagestore_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write half of the custom connector: every executor task
+    stages its pages under reader-invisible ``.tmp-*`` names and the
+    driver's ``commit()`` publishes them atomically — a failed job
+    leaves the store untouched (tests/test_sources.py proves the
+    abort path).  No driver round-trip anywhere: rows flow executor →
+    staged page → committed page → executor parse.  This is the
+    staging-then-merge discipline of the reference's GCS load jobs
+    (shopify_etl.py:558-561) rebuilt on the DataSourceWriter
+    contract."""
+    from shopify_youtube_etl_spark.sources.pagestore import PageStoreDataSource
+
+    spark.dataSource.register(PageStoreDataSource)
+    out_dir = _staging_dir("pagestore_write", sf_dir)
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .repartition(8)
+        .write.format("pagestore")
+        .option("path", out_dir)
+        .option("page_size", "250")
+        .mode("append")
+        .save()
+    )
+    docs = (
+        spark.read.format("pagestore")
+        .schema("doc_id BIGINT, source STRING, n_chars BIGINT")
+        .option("path", out_dir)
+        .load()
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

@@ -1526,3 +1526,64 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count bigint"
     )
+
+
+@query(
+    "hashed_linear_quality_score",
+    ref="quality scoring (north star) — fasttext-style hashed-feature linear classifier, pure JVM expressions",
+    doc="Per document: sigmoid score of a hashed bag-of-tokens linear model (deterministic stand-in weights); the model-scoring SHAPE used for quality/toxicity filters at scale.",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(token)),
+                   i -> CAST(unicode(substr(token, i, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(1.0 / (1.0 + exp(-avg((h % 997) / 997.0 - 0.5))), 6) AS quality_score
+FROM tok
+GROUP BY doc_id
+""",
+)
+def hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring half of a fasttext-style quality filter: tokens hash
+    into a weight table, the doc's score is sigmoid(mean weight).  The
+    weights here are a fixed arithmetic function of the bucket
+    ((h % 997)/997 − ½ — a deterministic stand-in; production swaps in
+    trained weights as a broadcast array lookup, same plan) so both
+    engines can verify the FULL pipeline value-for-value.
+
+    Why this shape matters at 100 TB: model-based filters (quality,
+    toxicity, language) are usually the first wall where pipelines
+    fall back to Python UDFs.  A linear/hashed model needs none of
+    that — the token hash is a higher-order-function fold, the weight
+    lookup is arithmetic (or a broadcast array index), and the score
+    is a partial-agg mean: one explode shuffle, whole-stage codegen
+    end to end, zero Python.  The hash is the SAME polynomial both
+    engines compute per code point (unicode-parity-tested family)."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    h = F.aggregate(
+        F.transform(F.split(F.col("token"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 2147483647,
+    )
+    w = (h % 997) / 997.0 - 0.5
+    return (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(1.0 / (1.0 + F.exp(-F.avg("w"))), 6).alias("quality_score"),
+        )
+    )

@@ -123,6 +123,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "theta_audience_overlap",
     "kll_daily_value_quantiles",
     "recursive_nation_reach",
+    "pagestore_write_roundtrip",
+    "hashed_linear_quality_score",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",

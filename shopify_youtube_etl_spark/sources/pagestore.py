@@ -22,12 +22,15 @@ from __future__ import annotations
 import json
 import os
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -141,6 +144,9 @@ class PageStoreDataSource(DataSource):
     def streamReader(self, schema: StructType) -> PageStoreStreamReader:
         return PageStoreStreamReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "PageStoreWriter":
+        return PageStoreWriter(self.options, overwrite)
+
 
 def write_page_store(
     rows: list[dict], out_dir: str, page_size: int = 250, start_page: int = 0
@@ -212,3 +218,92 @@ def land_pages_distributed(df, out_dir: str, page_size: int = 250):
                 yield pd.DataFrame({"page_path": [path], "n_rows": [len(chunk)]})
 
     return df.mapInPandas(write_pages, "page_path string, n_rows long")
+
+
+@dataclass
+class PageCommitMessage(WriterCommitMessage):
+    """Per-task commit message: the temp files this attempt staged."""
+
+    staged: list[tuple[str, str]]  # (tmp_path, final_name)
+    n_rows: int
+
+
+class PageStoreWriter(DataSourceWriter):
+    """Transactional page sink (S6/S9 as a custom DataSource WRITE
+    path): tasks stage pages under attempt-unique ``.tmp-*`` names the
+    reader's ``page-*.ndjson`` pattern can never match, and only the
+    driver-side ``commit()`` — which runs IFF every task succeeded —
+    renames staged files to visible page names.  ``abort()`` deletes
+    the stage, so a failed job leaves the store byte-identical to its
+    pre-write state: readers see all of a write or none of it (the
+    GCS-staging-then-load discipline of shopify_etl.py:558-561,
+    rebuilt on the Spark 4 writer contract).
+
+    Speculative/zombie attempts are safe for the same reason: losers'
+    temp files are never renamed (their messages don't reach commit)
+    and cost only stray ``.tmp-*`` litter, swept by the next commit."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.dir = options["path"]
+        self.page_size = int(options.get("page_size", "250"))
+        if overwrite:
+            raise ValueError("pagestore is append-only (reference S1 contract)")
+        self.fail_partition = int(options.get("fail_partition", "-1"))
+
+    def write(self, rows) -> PageCommitMessage:
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        if pid == self.fail_partition:
+            raise RuntimeError("injected failure for abort-path test")
+        os.makedirs(self.dir, exist_ok=True)
+        staged: list[tuple[str, str]] = []
+        n_rows, k, buf = 0, 0, []
+
+        def flush():
+            nonlocal k
+            if not buf:
+                return
+            final = f"page-w{pid:05d}-{k:05d}.ndjson"
+            tmp = os.path.join(self.dir, f".tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for r in buf:
+                    fh.write(json.dumps(r.asDict(), default=str) + "\n")
+            staged.append((tmp, final))
+            k += 1
+            buf.clear()
+
+        for row in rows:
+            buf.append(row)
+            n_rows += 1
+            if len(buf) >= self.page_size:
+                flush()
+        flush()
+        return PageCommitMessage(staged=staged, n_rows=n_rows)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, final in m.staged:
+                os.rename(tmp, os.path.join(self.dir, final))
+        # Sweep stray temp files from lost speculative attempts.
+        for f in os.listdir(self.dir):
+            if f.startswith(".tmp-"):
+                try:
+                    os.remove(os.path.join(self.dir, f))
+                except OSError:
+                    pass
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for tmp, _final in m.staged:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass

@@ -197,3 +197,52 @@ def test_events_ts_instants_independent_of_session_timezone(spark, sf_dir):
         )
     finally:
         pst.conf.unset("spark.sql.session.timeZone")
+
+
+def test_pagestore_writer_roundtrip_and_atomic_abort(spark, tmp_path):
+    """The custom DataSource WRITE path: a committed write is readable
+    and equal to its input; a failed write (injected task failure)
+    aborts without publishing ANY page — readers see all of a write or
+    none of it, and the store is byte-identical afterward."""
+    import pyspark.sql.functions as F
+
+    from shopify_youtube_etl_spark.sources.pagestore import PageStoreDataSource
+
+    spark.dataSource.register(PageStoreDataSource)
+    d = str(tmp_path / "pw_store")
+    schema = "doc_id BIGINT, lang STRING"
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("l"), F.col("id") % 3).alias("lang")
+    )
+    df.repartition(4).write.format("pagestore").option("path", d).option(
+        "page_size", "100"
+    ).mode("append").save()
+
+    back = spark.read.format("pagestore").schema(schema).option("path", d).load()
+    assert back.count() == 1000
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(1000))
+    import os
+
+    visible_before = sorted(f for f in os.listdir(d) if not f.startswith("."))
+    assert all(f.startswith("page-w") and f.endswith(".ndjson") for f in visible_before)
+
+    # Failed second wave: partition 2 raises mid-job → abort → nothing
+    # published, first wave untouched.
+    with pytest.raises(Exception, match="injected failure|JOB_ABORTED|aborted"):
+        df.repartition(4).write.format("pagestore").option("path", d).option(
+            "fail_partition", "2"
+        ).mode("append").save()
+    visible_after = sorted(f for f in os.listdir(d) if not f.startswith("."))
+    assert visible_after == visible_before
+    assert spark.read.format("pagestore").schema(schema).option("path", d).load().count() == 1000
+
+
+def test_pagestore_writer_rejects_overwrite(spark, tmp_path):
+    from shopify_youtube_etl_spark.sources.pagestore import PageStoreDataSource
+
+    spark.dataSource.register(PageStoreDataSource)
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("pagestore").option(
+            "path", str(tmp_path / "ow_store")
+        ).mode("overwrite").save()
