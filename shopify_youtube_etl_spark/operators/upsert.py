@@ -220,6 +220,66 @@ class ParquetTable:
         segs = [os.path.join(self.path, s) for s in self._manifest_segments(name)]
         return self.spark.read.parquet(*segs)
 
+    def change_feed(self, from_seq: int, to_seq: int, keys: list[str]) -> DataFrame:
+        """Change data feed between two retained generations — the READ
+        side of CDC (``apply_changes`` is the write side): one
+        key-partitioned full-outer join of the two snapshots classifies
+        every key as I (only in ``to``), D (only in ``from``), or U
+        (present in both with any non-key column differing; null-safe
+        compare).  Unchanged keys are dropped.  Emitted value columns
+        are the post-image for I/U and the pre-image for D, plus an
+        ``op`` column — directly replayable by ``apply_changes``.
+
+        Scale: both sides scan only their manifest's segments; the diff
+        is one shuffle on the key (both sides hash-partition the same
+        way, AQE coalesces).  This is how downstream consumers subscribe
+        to a table's deltas without Delta's CDF storage: any two
+        retained generations reconstruct the feed on demand."""
+        old = self.read_version(from_seq)
+        new = self.read_version(to_seq)
+        value_cols = [c for c in new.columns if c not in keys]
+        o = old.select(
+            *[F.col(k).alias(f"_k{i}_o") for i, k in enumerate(keys)],
+            *[F.col(c).alias(f"_o_{c}") for c in value_cols],
+        )
+        n = new.select(
+            *[F.col(k).alias(f"_k{i}_n") for i, k in enumerate(keys)],
+            *[F.col(c).alias(f"_n_{c}") for c in value_cols],
+        )
+        cond = None
+        for i in range(len(keys)):
+            eq = F.col(f"_k{i}_o").eqNullSafe(F.col(f"_k{i}_n"))
+            cond = eq if cond is None else (cond & eq)
+        j = o.join(n, cond, "full_outer")
+        in_old = F.col("_k0_o").isNotNull()
+        in_new = F.col("_k0_n").isNotNull()
+        changed = None
+        for c in value_cols:
+            d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+            changed = d if changed is None else (changed | d)
+        op = (
+            F.when(~in_old, F.lit("I"))
+            .when(~in_new, F.lit("D"))
+            .when(changed if changed is not None else F.lit(False), F.lit("U"))
+        )
+        return (
+            j.withColumn("op", op)
+            .where(F.col("op").isNotNull())
+            .select(
+                "op",
+                *[
+                    F.coalesce(F.col(f"_k{i}_n"), F.col(f"_k{i}_o")).alias(k)
+                    for i, k in enumerate(keys)
+                ],
+                *[
+                    F.when(F.col("op") == "D", F.col(f"_o_{c}"))
+                    .otherwise(F.col(f"_n_{c}"))
+                    .alias(c)
+                    for c in value_cols
+                ],
+            )
+        )
+
     def _write_segment(self, df: DataFrame) -> str:
         seg = f"seg-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, seg))

@@ -666,3 +666,66 @@ def expectation_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(viol.get("status_in_domain", 0)).cast("long").alias("viol_status"),
         )
     )
+
+
+@query(
+    "table_change_feed",
+    ref="CDC read side (inverse of cdc_apply_changes) — change data feed reconstructed between two retained table generations",
+    doc="I/U/D feed between generation 0 (base customers) and generation 1 (deletes on key%10, +100 balance on key%7, 100 inserts), replayable by apply_changes.",
+    oracle="""
+WITH v0 AS (
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer WHERE c_custkey <= 1200
+),
+v1 AS (
+    SELECT c_custkey, c_name,
+           round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END, 2)      AS c_acctbal
+    FROM customer
+    WHERE c_custkey <= 1300 AND c_custkey % 10 <> 0
+)
+SELECT CASE WHEN v0.c_custkey IS NULL THEN 'I'
+            WHEN v1.c_custkey IS NULL THEN 'D'
+            ELSE 'U' END                          AS op,
+       coalesce(v1.c_custkey, v0.c_custkey)       AS c_custkey,
+       coalesce(v1.c_name, v0.c_name)             AS c_name,
+       CASE WHEN v1.c_custkey IS NULL THEN v0.c_acctbal
+            ELSE v1.c_acctbal END                 AS c_acctbal
+FROM v0 FULL JOIN v1 USING (c_custkey)
+WHERE v0.c_custkey IS NULL OR v1.c_custkey IS NULL
+   OR v0.c_acctbal <> v1.c_acctbal OR v0.c_name <> v1.c_name
+""",
+)
+def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds two real generations of a ParquetTable (overwrite v0,
+    overwrite v1 with deletes/updates/inserts applied) and
+    reconstructs the I/U/D feed between them with
+    ``ParquetTable.change_feed`` — the subscription surface a
+    downstream consumer uses to stay incremental against this
+    engine's tables without the table storing a change log.  Only
+    changed keys survive (unchanged rows never leave the join); the
+    oracle recomputes both snapshots from raw and diffs them in SQL."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", money(F.col("c_acctbal")).alias("c_acctbal")
+    )
+    tbl = ParquetTable(spark, staging_dir("changefeed", sf_dir))
+    v0 = cust.where(F.col("c_custkey") <= 1200)
+    v1 = (
+        t(spark, sf_dir, "customer")
+        .where((F.col("c_custkey") <= 1300) & (F.col("c_custkey") % 10 != 0))
+        .select(
+            "c_custkey",
+            "c_name",
+            money(
+                F.when(
+                    F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+                ).otherwise(F.col("c_acctbal"))
+            ).alias("c_acctbal"),
+        )
+    )
+    tbl.overwrite(v0)
+    tbl.overwrite(v1)
+    v_from, v_to = tbl.history()[-2], tbl.history()[-1]
+    return tbl.change_feed(v_from, v_to, keys=["c_custkey"])

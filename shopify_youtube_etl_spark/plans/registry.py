@@ -125,6 +125,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "recursive_nation_reach",
     "pagestore_write_roundtrip",
     "hashed_linear_quality_score",
+    "table_change_feed",
+    "two_level_window_hourly",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",

@@ -244,3 +244,31 @@ def interval_left_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         e.where(F.col("event_type") == "purchase"),
         e.where(F.col("event_type") == "click"),
     )
+
+
+@query(
+    "two_level_window_hourly",
+    ref="§2.10 extension — CHAINED stateful window aggregation (15-min partials → hourly finals via window_time); streaming twin proven in tests/test_streaming.py",
+    doc="Hourly event rollup computed THROUGH 15-minute partial windows (the multiple-stateful-operator pipeline), equal to a direct hourly aggregate.",
+    oracle="""
+SELECT strftime(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000),
+                '%Y-%m-%d %H:%M:%S')        AS hour_start,
+       CAST(count(*) AS BIGINT)             AS n_events,
+       round(sum(value), 2)                 AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def two_level_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch face of the chained streaming aggregation: 15-minute
+    windows re-windowed into hours via ``window_time`` — numerically a
+    partial→final cascade, so the result must equal (and the oracle IS)
+    the direct hourly aggregate.  In streaming this exact builder runs
+    as TWO stateful operators in one query (Spark 3.5+), with the
+    hourly state seeing 4 rows/hour instead of raw events
+    (tests/test_streaming.py::test_chained_streaming_windows_equal_batch_hourly).
+    Rounding nests (15-min sums rounded, then re-rounded at the hour) —
+    identical at 2dp because each 15-min sum is already a 2dp value."""
+    from shopify_youtube_etl_spark.streaming.windows import two_level_window_agg
+
+    return two_level_window_agg(t(spark, sf_dir, "events"))

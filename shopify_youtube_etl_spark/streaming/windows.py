@@ -90,3 +90,31 @@ def enrich_stream(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     table updated between batches is picked up automatically; at 100 TB
     keep the dim broadcast-sized or pre-bucket it on the key."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def two_level_window_agg(events: DataFrame) -> DataFrame:
+    """CHAINED stateful aggregation (Spark 3.5+ multiple-stateful-
+    operator support): 15-minute tumbling partials re-aggregated into
+    hourly windows INSIDE one streaming query — ``window_time()`` gives
+    the first window's event-time column so the second ``window()``
+    can treat finalized 15-min rows as events.  The scale point: the
+    hourly state operates on 4 rows/hour instead of raw events, the
+    same partial→final cascade batch Catalyst builds automatically,
+    made explicit across streaming state boundaries.  Works in append
+    mode only (each level emits when the watermark closes it)."""
+    quarter = (
+        events.groupBy(F.window("ts", "15 minutes").alias("w15"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+    )
+    return (
+        quarter.groupBy(F.window(F.window_time("w15"), "1 hour").alias("w"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("value_sum"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+            "total_value",
+        )
+    )

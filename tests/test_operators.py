@@ -446,3 +446,33 @@ def test_append_with_expectations_quarantines_violations(spark, tmp_path):
     assert failed == {2: ["price_positive"], 4: ["k_small", "price_positive"]}
     rep = {r["expectation"]: r["n_violations"] for r in report.collect()}
     assert rep == {"price_positive": 2, "k_small": 1}
+
+
+def test_change_feed_replays_to_target_version(spark, sf_dir, tmp_path):
+    """The CDC round trip: apply_changes(v0, change_feed(v0→v1)) == v1.
+    I/U map to apply_changes 'U' (insert-or-replace), D to its
+    tombstone — proving the feed is complete AND minimal (only changed
+    keys appear)."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable, apply_changes
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    tbl = ParquetTable(spark, str(tmp_path / "cf"))
+    v0 = cust.where(F.col("c_custkey") <= 100)
+    v1 = cust.where((F.col("c_custkey") <= 120) & (F.col("c_custkey") % 3 != 0))
+    tbl.overwrite(v0)
+    tbl.overwrite(v1)
+    s0, s1 = tbl.history()[-2], tbl.history()[-1]
+    feed = tbl.change_feed(s0, s1, keys=["c_custkey"])
+    # no unchanged keys in the feed
+    assert feed.where(F.col("op") == "U").count() == 0  # only adds/drops here
+    replayed = apply_changes(
+        tbl.read_version(s0),
+        feed.withColumn("op", F.when(F.col("op") == "D", "D").otherwise("U")),
+        keys=["c_custkey"],
+    )
+    got = sorted(tuple(r) for r in replayed.collect())
+    want = sorted(tuple(r) for r in tbl.read_version(s1).collect())
+    assert got == want and len(want) > 0

@@ -334,3 +334,66 @@ def test_stream_stream_left_outer_interval_join_equals_batch(
     )
     assert got == want and len(got) > 0
     assert any(r["click_id"] is None for r in got), "no watermark-evicted rows seen"
+
+
+def test_chained_streaming_windows_equal_batch_hourly(
+    spark, event_json_dir, tmp_path_factory
+):
+    """Two stateful window aggs chained in ONE streaming query (15-min
+    partials → hourly finals via window_time) must equal the batch
+    hourly aggregate; a far-future sentinel file closes the last hour
+    so availableNow drains both state levels."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from shopify_youtube_etl_spark.streaming.windows import two_level_window_agg
+
+    d = str(tmp_path_factory.mktemp("events_chain"))
+    now = time.time()
+    for i, f in enumerate(sorted(os.listdir(event_json_dir))):
+        if f.endswith(".json"):
+            shutil.copy(os.path.join(event_json_dir, f), os.path.join(d, f))
+            os.utime(os.path.join(d, f), (now - 100 + i, now - 100 + i))
+    sentinel = os.path.join(d, "zz-sentinel.json")
+    with open(sentinel, "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "event_id": -1,
+                    "ts": "2035-01-01T00:00:00.000Z",
+                    "user_id": -1,
+                    "event_type": "view",
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            )
+            + "\n"
+        )
+    os.utime(sentinel, (now + 100, now + 100))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        two_level_window_agg(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_chained_windows")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = two_level_window_agg(spark.read.schema(EVENT_SCHEMA).json(event_json_dir))
+    want = sorted(batch.collect())
+    got = sorted(
+        spark.sql(
+            "SELECT * FROM stream_chained_windows WHERE hour_start < '2035'"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
