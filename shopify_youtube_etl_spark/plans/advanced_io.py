@@ -511,3 +511,53 @@ def pagestore_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@query(
+    "dynamic_partition_overwrite",
+    ref="S10/S11 layout lever — INSERT OVERWRITE with dynamic partitionOverwriteMode (Delta replaceWhere equivalent): rewrite ONLY the partitions the batch touches",
+    doc="Day-partitioned events table: one day's rows corrected via dynamic partition overwrite (values doubled for day 2024-01-05); all other days must remain byte-untouched.",
+    oracle="""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT)                    AS n_events,
+       round(sum(CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '2024-01-05'
+                      THEN value * 2 ELSE value END), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-correction write every dated lake table needs:
+    restating one day must NOT rewrite the table.  With
+    ``partitionOverwriteMode=dynamic``, mode("overwrite") replaces
+    ONLY the partition directories present in the incoming batch —
+    here the single corrected day — while static mode would truncate
+    the whole table first (the failure people discover in production).
+    The conf is set per-write via option(), not session-wide, so
+    concurrent writers with different intents don't fight.  At 100 TB
+    this is an O(day) rewrite of an O(years) table; the test of
+    untouchedness is the oracle equality itself (uncorrected days must
+    aggregate to their original values)."""
+    from shopify_youtube_etl_spark.plans.common import day_str
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", day_str(F.col("ts")).alias("day")
+    )
+    out = _staging_dir("dynpart", sf_dir)
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    corrected = ev.where(F.col("day") == "2024-01-05").withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.schema(
+        "event_id long, ts timestamp, value double, day string"
+    ).parquet(out)
+    return back.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

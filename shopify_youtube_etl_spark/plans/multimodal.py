@@ -101,3 +101,44 @@ def resize_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("resized").cast("long").alias("resized_len"),
         F.lower(F.hex(F.substring(F.col("resized"), 1, 32))).alias("digest_hex"),
     )
+
+
+@query(
+    "media_payload_dedup",
+    ref="multimodal dedup — content-addressed (sha-256) binary payload dedup, the CAS layout every media lake uses",
+    doc="Per distinct payload digest: copy count, keeper doc, payload bytes, and bytes reclaimable by deduplication.",
+    oracle="""
+SELECT sha256(text)                                   AS digest,
+       CAST(count(*) AS BIGINT)                       AS n_copies,
+       CAST(min(doc_id) AS BIGINT)                    AS keeper_id,
+       CAST(min(strlen(text)) AS BIGINT)              AS payload_bytes,
+       CAST((count(*) - 1) * min(strlen(text)) AS BIGINT) AS reclaimable_bytes
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1
+""",
+)
+def media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup the way object stores do it: hash the raw
+    BYTES (sha-256 over the binary column — not a text normalization;
+    two images differing in one byte are different media), group on
+    the 32-byte digest, keep one copy per digest.  At 100 TB the
+    digest can be computed AT INGEST and stored, making this a
+    digest-column groupBy that never re-reads payloads; here it runs
+    over the binary column directly — one map-side hash + one
+    key-sized shuffle (digests, never payload bytes, cross the wire).
+    reclaimable_bytes prices the dedup win for capacity planning."""
+    d = with_binary_payload(t(spark, sf_dir, "documents")).where(
+        F.col("payload").isNotNull()
+    )
+    return (
+        d.select("doc_id", F.lower(F.sha2(F.col("payload"), 256)).alias("digest"),
+                 F.octet_length("payload").alias("nb"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+            F.min("nb").cast("long").alias("payload_bytes"),
+            ((F.count("*") - 1) * F.min("nb")).cast("long").alias("reclaimable_bytes"),
+        )
+    )

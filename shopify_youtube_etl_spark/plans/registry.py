@@ -127,6 +127,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "hashed_linear_quality_score",
     "table_change_feed",
     "two_level_window_hourly",
+    "media_payload_dedup",
+    "dynamic_partition_overwrite",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
