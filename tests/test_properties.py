@@ -230,3 +230,53 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(empty)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+@given(old=rows_st, new=rows_st)
+@SETTINGS
+def test_change_feed_complete_and_minimal(spark, old, new):
+    """For ANY two table states: replaying change_feed(v0→v1) over v0
+    reproduces v1 exactly (complete), and the feed contains ONLY keys
+    that actually changed (minimal)."""
+    import shutil
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import (
+        ParquetTable,
+        apply_changes,
+    )
+
+    v0 = dedup_keep_first(_df(spark, old), ["k"], order_col="seq").drop("seq")
+    v1 = dedup_keep_first(_df(spark, new), ["k"], order_col="seq").drop("seq")
+    d = tempfile.mkdtemp(prefix="cf_prop_")
+    try:
+        tbl = ParquetTable(spark, d)
+        tbl.overwrite(v0)
+        tbl.overwrite(v1)
+        s0, s1 = tbl.history()[-2], tbl.history()[-1]
+        feed = tbl.change_feed(s0, s1, keys=["k"]).collect()
+        o = {r["k"]: r["v"] for r in v0.collect()}
+        n = {r["k"]: r["v"] for r in v1.collect()}
+        changed = {
+            k for k in o.keys() | n.keys() if o.get(k, object()) != n.get(k, object())
+        }
+        assert {r["k"] for r in feed} == changed  # minimal
+        for r in feed:
+            want = "I" if r["k"] not in o else "D" if r["k"] not in n else "U"
+            assert r["op"] == want
+        feed_df = spark.createDataFrame(
+            [(r["op"], r["k"], r["v"]) for r in feed] or [],
+            "op STRING, k INT, v INT",
+        )
+        replayed = apply_changes(
+            tbl.read_version(s0),
+            feed_df.withColumn(
+                "op", F.when(F.col("op") == "D", "D").otherwise("U")
+            ),
+            keys=["k"],
+        )
+        assert sorted((r["k"], r["v"]) for r in replayed.collect()) == sorted(
+            n.items()
+        )  # complete
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

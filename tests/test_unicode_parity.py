@@ -54,6 +54,10 @@ TEXT_QUERIES = [
     "char_ngram_neardup",
     "containment_pairs",
     "benchmark_contamination",
+    "unigram_logprob_score",
+    "hashed_linear_quality_score",
+    "media_payload_dedup",
+    "duplicated_span_profile",
 ]
 
 
