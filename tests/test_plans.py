@@ -366,3 +366,16 @@ def test_q17_cutoff_joins_are_broadcast(spark, sf_dir):
     plan = plan_of(spark, "tpch_q17_small_quantity_revenue", sf_dir)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_verification_prunes_to_candidates(spark, sf_dir):
+    """The exact-Jaccard verification stage must probe the raw docs
+    with BROADCAST candidate-id joins (shingles recomputed only for
+    candidate rows) — not re-derive corpus-wide shingles on both join
+    sides.  The checkpointed pair frame keeps the LSH subtree out of
+    the returned plan entirely."""
+    plan = plan_of(spark, "minhash_lsh_neardup", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the LSH pipeline (posexplode of signatures) was checkpointed away
+    assert "minhash" not in plan.lower()
