@@ -1527,3 +1527,87 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@query(
+    "semantic_cluster_dedup",
+    ref="SemDeDup (Abbas et al. 2023) — k-means-scoped semantic dedup: within-cluster cosine screening, greedy min-id keeper",
+    doc="Per vector: cluster assignment, keep/drop decision (cosine >= 0.35 to an already-kept clustermate drops it), and the triggering similarity; rows-only (clustering not oracle-portable).",
+    oracle=None,
+)
+def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup shape: semantic duplicates are near-identical in
+    embedding space, so cluster FIRST (k-means, k scaled to corpus
+    size so expected cluster size stays ~512), then compare pairs only
+    WITHIN a cluster — the quadratic step runs on cluster-sized
+    groups, never the corpus (cross-cluster near-dups are rare by
+    construction: duplicates land in the same cell).  Each cluster is
+    one applyInPandas group: members sort by vec_id and a vector is
+    dropped iff it scores >= 0.35 cosine against an already-KEPT
+    member (greedy min-id keeper — deterministic, order-stable).
+    At 100 TB: centroids are precomputed offline (like IVF), cluster
+    assignment is a map-side argmin, and the groupBy(cluster) shuffle
+    is the only data movement."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    n = e.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, keep boolean, dup_cosine double"
+        )
+    k = max(2, min(64, n // 512 + 1))
+    model = KMeans(k=k, seed=42, maxIter=10).fit(
+        e.select("vec_id", array_to_vector("v").alias("features"))
+    )
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def sqdist_to(center):
+        c = F.array(*[F.lit(x) for x in center])
+        diff = F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = F.array(*[sqdist_to(c) for c in centers])
+    assigned = e.withColumn(
+        "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        kept_idx: list[int] = []
+        keep, dup_cos = [], []
+        for i in range(len(pdf)):
+            if kept_idx:
+                sims = V[kept_idx] @ V[i]
+                m = float(np.round(sims.max(), 6))
+            else:
+                m = -1.0
+            if m >= 0.35:
+                keep.append(False)
+                dup_cos.append(m)
+            else:
+                keep.append(True)
+                dup_cos.append(m if kept_idx else None)
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "keep": keep,
+                "dup_cosine": dup_cos,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedup_cluster, "vec_id long, cluster int, keep boolean, dup_cosine double"
+    )

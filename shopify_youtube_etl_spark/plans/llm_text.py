@@ -1484,6 +1484,18 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax everywhere it occurs, and records it.  Determinism across
     runs/partitionings comes from the total order on both the
     histogram cut and the argmax tie-break."""
+    merges = _learn_bpe_merges(spark, sf_dir, n_merges=30)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
+def _learn_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Shared by bpe_train_merges (reports the merges) and
+    bpe_encode_stats (applies them): distributed word histogram →
+    local greedy merge loop (see bpe_train_merges docstring)."""
     hist_rows = (
         t(spark, sf_dir, "documents")
         .select(F.explode(words(F.lower(F.col("text")))).alias("word"))
@@ -1498,8 +1510,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         tuple(r["word"]) + ("</w>",): r["n"] for r in hist_rows
     }
 
-    merges = []
-    for rank in range(1, 31):
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
         pairs: dict[tuple[str, str], int] = {}
         for syms, n in hist.items():
             for a, b in zip(syms, syms[1:]):
@@ -1522,9 +1534,81 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = tuple(out)
             new_hist[key] = new_hist.get(key, 0) + n
         hist = new_hist
+    return merges
 
-    return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, pair_count bigint"
+
+@query(
+    "bpe_encode_stats",
+    ref="tokenizer apply (north star) — encode the corpus with the LEARNED BPE merges (train+apply pair with bpe_train_merges)",
+    doc="Per document: word count, BPE piece count under 200 learned merges, and compression vs character tokens; rows-only (iterative encode).",
+    oracle=None,
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of the tokenizer story: the merge table learned
+    from the word histogram (bounded driver loop, see
+    bpe_train_merges) ships to executors as a closure-captured rank
+    dict, and encoding is one Arrow pass — per word, repeatedly merge
+    the lowest-rank adjacent pair (the exact greedy algorithm GPT-2's
+    tokenizer uses), with a per-task memo because Zipf makes most
+    word occurrences repeats.  Piece counts are what a training
+    pipeline actually consumes (packing budgets, cost estimates);
+    sequence_packing's regex estimate is the cheap JVM proxy, this is
+    the real thing."""
+    import pandas as pd
+
+    ranks = {
+        (left, right): rank
+        for rank, left, right, _ in _learn_bpe_merges(spark, sf_dir, n_merges=200)
+    }
+
+    def encode_word(word: str, memo: dict) -> int:
+        if word in memo:
+            return memo[word]
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        memo[word] = len(syms)
+        return len(syms)
+
+    def encode(batches):
+        memo: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_words, n_pieces, n_chars = [], [], []
+            for text in pdf["text"]:
+                ws = [w for w in (text or "").lower().split() if w]
+                n_words.append(len(ws))
+                n_pieces.append(sum(encode_word(w, memo) for w in ws))
+                n_chars.append(sum(len(w) for w in ws))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_pieces": n_pieces,
+                    "n_chars": n_chars,
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out = d.select("doc_id", "text").mapInPandas(
+        encode, "doc_id long, n_words long, n_pieces long, n_chars long"
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.when(
+            F.col("n_pieces") > 0,
+            F.round((F.col("n_chars") + F.col("n_words")) / F.col("n_pieces"), 4),
+        ).alias("chars_per_piece"),
     )
 
 

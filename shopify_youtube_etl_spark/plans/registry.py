@@ -129,6 +129,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "two_level_window_hourly",
     "media_payload_dedup",
     "dynamic_partition_overwrite",
+    "bpe_encode_stats",
+    "semantic_cluster_dedup",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",

@@ -535,3 +535,50 @@ def test_bpe_train_merges_deterministic(spark, sf_dir):
     a = [tuple(r) for r in fn(spark, sf_dir).collect()]
     b = [tuple(r) for r in fn(spark, sf_dir).collect()]
     assert a == b and len(a) == 30
+
+
+def test_bpe_encode_bounds_and_compression(spark, sf_dir):
+    """Piece counts must sit between word count (full merges) and
+    chars+words (no merges); 200 learned merges on this corpus must
+    compress at least some docs below character tokenization."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["bpe_encode_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    compressed = 0
+    for r in rows:
+        if r["n_words"] == 0:
+            continue
+        assert r["n_words"] <= r["n_pieces"], r
+        # chars + one </w> per word is the unmerged ceiling
+        assert r["n_pieces"] <= r["n_words"] * 100, r
+        if r["chars_per_piece"] and r["chars_per_piece"] > 1.0:
+            compressed += 1
+    assert compressed > len(rows) // 2, f"only {compressed}/{len(rows)} compressed"
+
+
+def test_semantic_cluster_dedup_drops_planted_copies(spark, sf_dir, tmp_path):
+    """Exact-copy vectors planted under new ids must be DROPPED (cosine
+    1.0 to their kept original lands both in the same k-means cell),
+    and the greedy keeper must be the min id of each copy group."""
+    import pandas as pd
+
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").toPandas()
+    copies = base[base.vec_id < 20].copy()
+    copies["vec_id"] = copies["vec_id"] + 1_000_000
+    sf = tmp_path / "sem_sf"
+    sf.mkdir()
+    pd.concat([base, copies]).to_parquet(sf / "embeddings.parquet")
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["semantic_cluster_dedup"].fn(spark, str(sf)).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    for vid in copies["vec_id"]:
+        r = by_id[vid]
+        assert not r["keep"], f"planted copy {vid} survived"
+        assert r["dup_cosine"] == 1.0, r
+        # its original (min id of the pair) must be in the same cluster and kept
+        orig = by_id[vid - 1_000_000]
+        assert orig["cluster"] == r["cluster"]
