@@ -280,10 +280,81 @@ class ParquetTable:
             )
         )
 
-    def _write_segment(self, df: DataFrame) -> str:
+    def _write_segment(self, df: DataFrame, stats_cols: list[str] | None = None) -> str:
         seg = f"seg-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, seg))
+        seg_path = os.path.join(self.path, seg)
+        df.write.mode("overwrite").parquet(seg_path)
+        if stats_cols:
+            # Segment-level min/max stats (Iceberg manifest-entry
+            # equivalent) — computed with ONE scan of the new segment
+            # only (O(batch)), stored as an underscore sidecar INSIDE
+            # the segment dir so parquet readers ignore it and GC
+            # removes it with the segment.  Timestamps/dates serialize
+            # as ISO strings (lexicographic order == time order);
+            # numerics stay raw JSON.
+            import json as _json
+
+            seg_df = self.spark.read.parquet(seg_path)
+            row = seg_df.agg(
+                *[F.min(c).alias(f"min_{c}") for c in stats_cols],
+                *[F.max(c).alias(f"max_{c}") for c in stats_cols],
+            ).first()
+
+            def enc(v):
+                return v if isinstance(v, (int, float, type(None))) else str(v)
+
+            stats = {
+                c: {"min": enc(row[f"min_{c}"]), "max": enc(row[f"max_{c}"])}
+                for c in stats_cols
+            }
+            with open(os.path.join(seg_path, "_stats.json"), "w") as fh:
+                _json.dump(stats, fh)
         return seg
+
+    def _segment_stats(self, seg_path: str) -> dict | None:
+        import json as _json
+
+        try:
+            with open(os.path.join(seg_path, "_stats.json")) as fh:
+                return _json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def segments_for_range(self, col: str, lo, hi) -> list[str]:
+        """Live segments that MAY contain rows with ``col`` in
+        [lo, hi] — file skipping on the engine's own table format.
+        A segment is skipped iff its recorded [min, max] for ``col``
+        is disjoint from the query range; segments without stats (or
+        with an all-null min/max) are always kept, so pruning is
+        SAFE-BY-DEFAULT: stats can only remove provably-irrelevant
+        files, never rows.  Driver cost is O(#segments) tiny sidecar
+        reads — the same order as reading the manifest itself."""
+
+        def enc(v):
+            return v if isinstance(v, (int, float)) else str(v)
+
+        lo, hi = enc(lo), enc(hi)
+        keep = []
+        for seg_path in self.segments():
+            st = self._segment_stats(seg_path)
+            rng = (st or {}).get(col)
+            if rng is None or rng["min"] is None or rng["max"] is None:
+                keep.append(seg_path)
+            elif not (rng["max"] < lo or rng["min"] > hi):
+                keep.append(seg_path)
+        return keep
+
+    def read_range(self, col: str, lo, hi) -> DataFrame:
+        """Range read with segment skipping + exact residual filter.
+        Returns an empty (schema-correct) frame when every segment is
+        pruned."""
+        segs = self.segments_for_range(col, lo, hi)
+        base = (
+            self.spark.read.parquet(*segs)
+            if segs
+            else self.read().limit(0)
+        )
+        return base.where((F.col(col) >= lo) & (F.col(col) <= hi))
 
     @staticmethod
     def _manifest_seq(name: str) -> int:
@@ -370,11 +441,16 @@ class ParquetTable:
         for seg in retired - kept_refs:
             shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
 
-    def overwrite(self, df: DataFrame) -> None:
-        seg = self._write_segment(df)
+    def overwrite(self, df: DataFrame, stats_cols: list[str] | None = None) -> None:
+        seg = self._write_segment(df, stats_cols=stats_cols)
         self._commit(lambda prior: [seg])
 
-    def append(self, df: DataFrame, auto_compact_at: int | None = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        auto_compact_at: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> None:
         """WRITE_APPEND semantics (U1/S8): lands ONLY the new batch's
         files; existing segments are referenced, not rewritten.
 
@@ -386,8 +462,11 @@ class ParquetTable:
 
         The prior-segment list is resolved INSIDE the commit lock, so a
         concurrent writer's freshly-committed segments are referenced,
-        never dropped."""
-        seg = self._write_segment(df)
+        never dropped.
+
+        ``stats_cols``: record per-segment min/max for these columns
+        (one O(batch) scan), enabling ``read_range`` file skipping."""
+        seg = self._write_segment(df, stats_cols=stats_cols)
         self._commit(lambda prior: prior + [seg])
         if auto_compact_at is not None and len(self.segments()) >= auto_compact_at:
             self.compact()

@@ -729,3 +729,55 @@ def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.overwrite(v1)
     v_from, v_to = tbl.history()[-2], tbl.history()[-1]
     return tbl.change_feed(v_from, v_to, keys=["c_custkey"])
+
+
+@query(
+    "segment_skipping_scan",
+    ref="lakehouse data skipping — per-segment min/max stats (Iceberg manifest-entry equivalent) prune files before the scan",
+    doc="Orders appended in four year-partitioned batches with o_orderdate stats; a 1997 range read must scan only the overlapping segment (pruning proven in pytest) and aggregate correctly.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT)    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate <= TIMESTAMP '1997-12-31'
+GROUP BY o_orderpriority
+""",
+)
+def segment_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping on the engine's own table format: each append
+    records min/max stats for the clustering column (one O(batch)
+    scan, stored in an underscore sidecar the parquet reader ignores),
+    and ``read_range`` consults them to open ONLY segments whose
+    range overlaps the query — the same mechanism as Iceberg
+    manifest-entry pruning or Delta file stats, without the format
+    dependency.  Pruning is safe-by-default (statless segments are
+    always kept) and exactness comes from the residual filter, so
+    stats can only remove provably-irrelevant FILES, never rows.  At
+    100 TB with date-ordered ingest this turns a year-range query
+    over a decade table into a ~10% file scan before the parquet
+    row-group stats even engage.  tests/test_operators.py asserts the
+    1997 read opens exactly one of the four segments."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    orders = t(spark, sf_dir, "orders")
+    tbl = ParquetTable(spark, staging_dir("segskip", sf_dir))
+    bounds = [("1900", "1997"), ("1997", "1998"), ("1998", "1999"), ("1999", "2100")]
+    first = True
+    for lo, hi in bounds:
+        batch = orders.where(
+            (F.col("o_orderdate") >= f"{lo}-01-01") & (F.col("o_orderdate") < f"{hi}-01-01")
+        )
+        if first:
+            tbl.overwrite(batch, stats_cols=["o_orderdate"])
+            first = False
+        else:
+            tbl.append(batch, stats_cols=["o_orderdate"])
+    return (
+        tbl.read_range("o_orderdate", "1997-01-01", "1997-12-31")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )

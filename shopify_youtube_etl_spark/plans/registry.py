@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "dynamic_partition_overwrite",
     "bpe_encode_stats",
     "semantic_cluster_dedup",
+    "segment_skipping_scan",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",

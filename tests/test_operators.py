@@ -476,3 +476,48 @@ def test_change_feed_replays_to_target_version(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in replayed.collect())
     want = sorted(tuple(r) for r in tbl.read_version(s1).collect())
     assert got == want and len(want) > 0
+
+
+def test_segment_stats_prune_files_not_rows(spark, sf_dir, tmp_path):
+    """Stats-based skipping: a range read opens only overlapping
+    segments; statless segments always survive pruning (safety), and
+    the residual filter keeps results exact even when a kept segment
+    straddles the range."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "skip"))
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id").cast("long").alias("k"))
+    tbl.overwrite(mk(0, 100), stats_cols=["k"])
+    tbl.append(mk(100, 200), stats_cols=["k"])
+    tbl.append(mk(200, 300), stats_cols=["k"])
+    tbl.append(mk(300, 400))  # NO stats — must always be kept
+
+    segs = tbl.segments_for_range("k", 120, 180)
+    assert len(segs) == 2  # the [100,200) segment + the statless one
+    got = sorted(r["k"] for r in tbl.read_range("k", 120, 180).collect())
+    assert got == list(range(120, 181))  # residual filter exact, inclusive
+
+    # fully-outside range: only the statless segment survives pruning
+    assert len(tbl.segments_for_range("k", 5000, 6000)) == 1
+    assert tbl.read_range("k", 5000, 6000).count() == 0
+
+
+def test_segment_skipping_query_prunes_to_one_segment(spark, sf_dir):
+    """The registered query's pruning claim, asserted directly: the
+    1997 range must select exactly one of the four year segments."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    all_queries()["segment_skipping_scan"].fn(spark, sf_dir).collect()
+    # staging_dir clears on REUSE, so reopen the table it just built
+    import os
+    import tempfile
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = ParquetTable(
+        spark, os.path.join(tempfile.gettempdir(), f"sye_segskip_{key}")
+    )
+    assert len(tbl.segments()) == 4
+    assert len(tbl.segments_for_range("o_orderdate", "1997-01-01", "1997-12-31")) == 1
