@@ -561,3 +561,55 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "pagestore_stream_sink_roundtrip",
+    ref="S9 streaming write via custom DataSourceStreamWriter — epoch-keyed idempotent page publish (the sink half of exactly-once)",
+    doc="Events streamed (availableNow) INTO the pagestore streaming sink, read back via the pagestore reader; per-user profile must equal the direct aggregate.",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def pagestore_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write half of the streaming connector: micro-batches land
+    as epoch-keyed pages (commit clears + renames per epoch, so
+    replays overwrite themselves — tests/test_sources.py proves
+    redelivery lands exactly once).  Together with
+    pagestore_stream_ingest this closes the loop: stream in, stream
+    out, both through the Spark 4 Python DataSource API, both
+    oracle-verified."""
+    from shopify_youtube_etl_spark.sources.pagestore import PageStoreDataSource
+
+    spark.dataSource.register(PageStoreDataSource)
+    tmp = _staging_dir("pgstream_sink", sf_dir)
+    src, store, cp = f"{tmp}/src", f"{tmp}/store", f"{tmp}/cp"
+    schema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .json(src)
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .writeStream.format("pagestore")
+        .option("path", store)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = (
+        spark.read.format("pagestore").schema(schema).option("path", store).load()
+    )
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), money(F.sum("value")).alias("total_value")
+    )

@@ -132,6 +132,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "bpe_encode_stats",
     "semantic_cluster_dedup",
     "segment_skipping_scan",
+    "pagestore_stream_sink_roundtrip",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",

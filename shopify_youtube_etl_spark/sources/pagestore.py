@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -146,6 +147,9 @@ class PageStoreDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "PageStoreWriter":
         return PageStoreWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "PageStoreStreamWriter":
+        return PageStoreStreamWriter(self.options)
 
 
 def write_page_store(
@@ -303,6 +307,76 @@ class PageStoreWriter(DataSourceWriter):
             if m is None:
                 continue
             for tmp, _final in m.staged:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+
+class PageStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming page sink with per-epoch idempotent publish: tasks
+    stage pages under attempt-unique ``.tmp-*`` names, and the driver's
+    ``commit(messages, batchId)`` publishes them as
+    ``page-s{batchId:05d}-{i:05d}.ndjson`` — names keyed by EPOCH, so a
+    replayed micro-batch (restart between sink commit and checkpoint
+    commit, or a full redelivery against a fresh checkpoint) simply
+    re-publishes the same epoch, replacing its own files instead of
+    duplicating them.  Commit clears the epoch's existing pages first,
+    so even a replay that repartitions differently cannot leave stale
+    extras.  This is the sink half of exactly-once: deterministic
+    epoch-keyed names + all-or-nothing rename publish."""
+
+    def __init__(self, options: dict):
+        self.dir = options["path"]
+        self.page_size = int(options.get("page_size", "250"))
+
+    def write(self, rows) -> "PageCommitMessage":
+        import uuid as _uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        staged: list[tuple[str, str]] = []
+        n_rows, buf = 0, []
+
+        def flush():
+            if not buf:
+                return
+            tmp = os.path.join(self.dir, f".tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for r in buf:
+                    fh.write(json.dumps(r.asDict(), default=str) + "\n")
+            staged.append((tmp, ""))  # final name assigned at commit
+            buf.clear()
+
+        for row in rows:
+            buf.append(row)
+            n_rows += 1
+            if len(buf) >= self.page_size:
+                flush()
+        flush()
+        return PageCommitMessage(staged=staged, n_rows=n_rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        # Epoch replay safety: clear this epoch's previously-published
+        # pages (a replay may stage a different page split), then
+        # publish the staged files under epoch-keyed names.
+        prefix = f"page-s{batchId:05d}-"
+        if os.path.isdir(self.dir):
+            for f in os.listdir(self.dir):
+                if f.startswith(prefix):
+                    os.remove(os.path.join(self.dir, f))
+        i = 0
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _ in m.staged:
+                os.rename(tmp, os.path.join(self.dir, f"{prefix}{i:05d}.ndjson"))
+                i += 1
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for tmp, _ in m.staged:
                 try:
                     os.remove(tmp)
                 except OSError:

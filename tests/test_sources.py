@@ -246,3 +246,50 @@ def test_pagestore_writer_rejects_overwrite(spark, tmp_path):
         df.write.format("pagestore").option(
             "path", str(tmp_path / "ow_store")
         ).mode("overwrite").save()
+
+
+def test_pagestore_stream_writer_exactly_once_on_redelivery(spark, sf_dir, tmp_path):
+    """Streaming pagestore sink: an availableNow run lands all rows;
+    a FULL REDELIVERY (fresh checkpoint, identical deterministic
+    batches) re-publishes the same epoch-keyed pages instead of
+    duplicating — the store reads back exactly once either way."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from shopify_youtube_etl_spark.sources.pagestore import PageStoreDataSource
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    spark.dataSource.register(PageStoreDataSource)
+    src = str(tmp_path / "ev_json")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.coalesce(2).write.mode("overwrite").json(src)
+    store = str(tmp_path / "stream_store")
+    schema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+
+    def run(cp):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .writeStream.format("pagestore")
+            .option("path", store)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "cp1"))
+    n_expected = ev.count()
+    back = spark.read.format("pagestore").schema(schema).option("path", store).load()
+    assert back.count() == n_expected
+    pages_first = sorted(os.listdir(store))
+
+    run(str(tmp_path / "cp2"))  # full redelivery
+    back2 = spark.read.format("pagestore").schema(schema).option("path", store).load()
+    assert back2.count() == n_expected  # no duplicates
+    assert sorted(r["event_id"] for r in back2.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
+    assert sorted(os.listdir(store)) == pages_first  # same epoch-keyed names
