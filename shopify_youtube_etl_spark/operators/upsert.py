@@ -186,7 +186,10 @@ class ParquetTable:
         segs = self.segments()
         if not segs:
             raise FileNotFoundError(f"table at {self.path} has no committed generation")
-        return self.spark.read.parquet(*segs)
+        # mergeSchema: segments may carry evolved schemas (see
+        # append(evolve_schema=True)); without it Spark silently adopts
+        # ONE file's schema and drops the other segments' columns.
+        return self.spark.read.option("mergeSchema", True).parquet(*segs)
 
     def history(self) -> list[int]:
         """Sequence numbers of the retained generations, oldest first —
@@ -450,6 +453,7 @@ class ParquetTable:
         df: DataFrame,
         auto_compact_at: int | None = None,
         stats_cols: list[str] | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """WRITE_APPEND semantics (U1/S8): lands ONLY the new batch's
         files; existing segments are referenced, not rewritten.
@@ -465,7 +469,23 @@ class ParquetTable:
         never dropped.
 
         ``stats_cols``: record per-segment min/max for these columns
-        (one O(batch) scan), enabling ``read_range`` file skipping."""
+        (one O(batch) scan), enabling ``read_range`` file skipping.
+
+        ``evolve_schema``: by default an append whose schema differs
+        from the table's (by field name or type) RAISES — mixing
+        schemas across segments otherwise silently drops columns at
+        read time (Spark adopts one file's schema).  Pass True to
+        evolve deliberately: the new columns surface via the
+        mergeSchema read, NULL on old segments."""
+        if self.exists():
+            cur = {f.name: f.dataType for f in self.read().schema.fields}
+            new = {f.name: f.dataType for f in df.schema.fields}
+            if cur != new and not evolve_schema:
+                raise ValueError(
+                    f"append schema drift on {self.path}: table has "
+                    f"{sorted(cur)} but batch has {sorted(new)} (or a type "
+                    "changed) — pass evolve_schema=True to evolve deliberately"
+                )
         seg = self._write_segment(df, stats_cols=stats_cols)
         self._commit(lambda prior: prior + [seg])
         if auto_compact_at is not None and len(self.segments()) >= auto_compact_at:

@@ -521,3 +521,21 @@ def test_segment_skipping_query_prunes_to_one_segment(spark, sf_dir):
     )
     assert len(tbl.segments()) == 4
     assert len(tbl.segments_for_range("o_orderdate", "1997-01-01", "1997-12-31")) == 1
+
+
+def test_append_rejects_schema_drift_unless_evolving(spark, tmp_path):
+    """A drifted-schema append must raise (pre-fix it silently dropped
+    the old column at read time); with evolve_schema=True the union
+    schema surfaces via mergeSchema, NULL-filled both ways."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "drift"))
+    tbl.overwrite(spark.range(3).select(F.col("id").alias("a"), F.lit("x").alias("b")))
+    drifted = spark.range(3, 6).select(F.col("id").alias("a"), F.lit(1.5).alias("c"))
+    with pytest.raises(ValueError, match="schema drift"):
+        tbl.append(drifted)
+    tbl.append(drifted, evolve_schema=True)
+    out = tbl.read()
+    assert set(out.columns) == {"a", "b", "c"}
+    rows = {r["a"]: (r["b"], r["c"]) for r in out.collect()}
+    assert rows[0] == ("x", None) and rows[5] == (None, 1.5)
