@@ -510,7 +510,16 @@ class ParquetTable:
         if not snapshot:
             return
         snap_names = {os.path.basename(s) for s in snapshot}
-        seg = self._write_segment(self.spark.read.parquet(*snapshot))
+        # Carry data-skipping stats through the rewrite: the compacted
+        # segment records min/max for every column ANY replaced segment
+        # tracked (else compaction would silently disable read_range
+        # pruning until the next stats-bearing append).
+        stats_cols = sorted(
+            {c for sp in snapshot for c in (self._segment_stats(sp) or {})}
+        )
+        seg = self._write_segment(
+            self.spark.read.parquet(*snapshot), stats_cols=stats_cols or None
+        )
         committed = self._commit(
             lambda prior: [seg] + [p for p in prior if p not in snap_names]
             if snap_names <= set(prior)

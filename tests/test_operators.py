@@ -539,3 +539,23 @@ def test_append_rejects_schema_drift_unless_evolving(spark, tmp_path):
     assert set(out.columns) == {"a", "b", "c"}
     rows = {r["a"]: (r["b"], r["c"]) for r in out.collect()}
     assert rows[0] == ("x", None) and rows[5] == (None, 1.5)
+
+
+def test_compact_preserves_segment_stats(spark, tmp_path):
+    """Compaction must carry the stats columns of the segments it
+    replaces, so read_range pruning keeps working on the compacted
+    table (and prunes the whole table when the range is disjoint)."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "cstat"))
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id").alias("k"))
+    tbl.overwrite(mk(0, 100), stats_cols=["k"])
+    tbl.append(mk(100, 200), stats_cols=["k"])
+    tbl.compact()
+    assert len(tbl.segments()) == 1
+    st = tbl._segment_stats(tbl.segments()[0])
+    assert st and st["k"]["min"] == 0 and st["k"]["max"] == 199
+    assert tbl.segments_for_range("k", 500, 600) == []
+    assert sorted(r["k"] for r in tbl.read_range("k", 50, 150).collect()) == list(
+        range(50, 151)
+    )
