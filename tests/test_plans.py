@@ -379,3 +379,43 @@ def test_minhash_verification_prunes_to_candidates(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # the LSH pipeline (posexplode of signatures) was checkpointed away
     assert "minhash" not in plan.lower()
+
+
+# Shuffle-budget regression lock: each headline query's un-executed
+# physical plan may not exceed its audited Exchange count (measured at
+# sf0.001; AQE runtime coalescing only ever reduces these).  A code
+# change that adds a shuffle to one of these plans is a 100 TB
+# regression even when local timings hide it — this catches it at
+# test time, not in the next round's bench.
+SHUFFLE_BUDGET = {
+    "flagship_revenue": 2,  # join + agg share one, final gather
+    "star_join_revenue_by_nation": 1,  # dims broadcast; agg only
+    "uniqueness_profile": 2,  # two exact expand-aggregates
+    "events_daily_rollup": 2,
+    "tumbling_window_15m": 1,
+    "dedup_exact": 1,
+    "token_stats": 0,  # pure map-side projection
+    "tfidf_top_terms": 4,
+    "grouping_sets_revenue": 1,
+    "sessionize_gaps_islands": 1,  # one user_id exchange, windows share it
+    "tpch_q1_pricing_summary": 1,
+    "tpch_q3_shipping_priority": 1,
+    "tpch_q18_large_orders": 1,
+    "tpch_q17_small_quantity_revenue": 2,
+    "tpch_q19_disjunctive_revenue": 1,
+    "tpch_q22_idle_rich_customers": 2,
+    "unigram_logprob_score": 4,
+    "latest_order_per_customer": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_headline_shuffle_budget(spark, sf_dir, name):
+    import re
+
+    plan = plan_of(spark, name, sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n <= SHUFFLE_BUDGET[name], (
+        f"{name}: {n} exchanges (budget {SHUFFLE_BUDGET[name]}) — a shuffle "
+        "was added to a headline plan"
+    )
