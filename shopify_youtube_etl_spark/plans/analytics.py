@@ -2345,3 +2345,223 @@ def recursive_nation_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ("lineitem", "orders", "customer", "nation", "supplier")
     )
     return spark.sql(_NATION_REACH_SQL)
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    ref="TPC-H Q6 shape — pure scan-aggregate with three conjunctive range predicates, ALL pushed to the parquet scan",
+    doc="Forecast revenue change: sum(extendedprice*discount) for 1997 shipments with discount 0.05-0.07 and quantity < 24.",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT)                    AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pushdown stress test: no join, no window — the whole query
+    is whether the three range predicates reach the scan (they show as
+    PushedFilters; row groups whose stats are disjoint never
+    decompress) and whether the agg is map-side partial.  At 100 TB
+    Q6 is effectively free when pushdown works and a full-table
+    decompress when it doesn't — the largest single constant factor
+    in the suite."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    ref="TPC-H Q7 shape — symmetric two-nation predicate (OR of nation pairs) across customer and supplier dimension chains",
+    doc="Trade volume between NATION_1 and NATION_2 by direction and ship year.",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT)                  AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7's planner feature: the nation restriction is an OR across
+    TWO different dimension chains (customer's nation vs supplier's
+    nation), so neither single-chain filter alone may drop a row —
+    but each chain's filter to {NATION_1, NATION_2} IS implied and
+    prunes both broadcast dims to 2 rows before the fact join; the
+    full cross-pair predicate re-applies after both attaches.  The
+    fact table joins two tiny broadcast chains and shuffles once for
+    the group-by."""
+    pair = ["NATION_1", "NATION_2"]
+    nat = t(spark, sf_dir, "nation")
+    cust_n = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.where(F.col("n_name").isin(pair))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp_n = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.where(F.col("n_name").isin(pair))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "volume"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    ref="TPC-H Q8 shape — conditional-aggregate ratio (market share) over a region-restricted star",
+    doc="NATION_3 suppliers' share of PROMO-part revenue to ASIA customers, by order year.",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region    ON cn.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN part      ON l_partkey = p_partkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY year(o_orderdate)
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8's two lessons: the numerator restriction (supplier nation)
+    must NOT filter rows — it lives inside a conditional aggregate so
+    the denominator sees every qualifying sale — while the row-level
+    restrictions (customer region, part type) prune the broadcast
+    dims before the fact join.  One fact pass, one group-by shuffle,
+    ratio computed in the agg."""
+    nat = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(region),
+                    nat.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = (
+        t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    ref="TPC-H Q14 shape — conditional-aggregate percentage over a time-sliced fact join",
+    doc="PROMO parts' percentage of 1997-H1 revenue.",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       CAST(count(*) AS BIGINT)                            AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: the date slice pushes into the fact scan, the (whole) part
+    dim broadcasts — p_type can't pre-filter because the denominator
+    needs every part — and the percentage is one conditional
+    aggregate.  Same one-row-out shape as Q6 plus a broadcast
+    attach."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )

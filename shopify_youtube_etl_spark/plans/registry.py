@@ -133,6 +133,10 @@ _DRIVER_PRIORITY = _CANARIES + [
     "semantic_cluster_dedup",
     "segment_skipping_scan",
     "pagestore_stream_sink_roundtrip",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",

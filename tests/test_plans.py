@@ -419,3 +419,13 @@ def test_headline_shuffle_budget(spark, sf_dir, name):
         f"{name}: {n} exchanges (budget {SHUFFLE_BUDGET[name]}) — a shuffle "
         "was added to a headline plan"
     )
+
+
+def test_q6_pushes_all_three_predicates(spark, sf_dir):
+    """Q6's entire cost model is predicate pushdown: shipdate range,
+    discount band, and quantity cap must ALL reach the lineitem scan."""
+    plan = plan_of(spark, "tpch_q6_forecast_revenue", sf_dir)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert "partial" in plan.lower()  # map-side agg before the 1-row gather
