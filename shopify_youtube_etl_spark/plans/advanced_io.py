@@ -613,3 +613,49 @@ def pagestore_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     return back.groupBy("user_id").agg(
         F.count("*").alias("n_events"), money(F.sum("value")).alias("total_value")
     )
+
+
+@query(
+    "range_sorted_layout",
+    ref="layout lever — repartitionByRange + sortWithinPartitions write: global order across files, non-overlapping per-file min/max for stats skipping",
+    doc="Orders written range-partitioned and sorted by o_orderdate (8 files, disjoint date ranges — proven via parquet footers in pytest), read back with a date filter; oracle = direct filtered agg.",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY o_orderstatus
+""",
+)
+def range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-D cousin of the z-order layout: ``repartitionByRange``
+    gives files DISJOINT key ranges (sampled range boundaries) and
+    ``sortWithinPartitions`` orders rows inside each, so every file's
+    parquet footer min/max is a tight, non-overlapping envelope — a
+    date-range query decompresses only the files (and row groups)
+    whose envelope intersects, no table format needed.  This is what
+    'sort your fact table by its query key at write time' buys at
+    100 TB; tests/test_advanced_io.py opens the footers and proves
+    the ranges are disjoint.  The range exchange is one extra shuffle
+    paid once at write time, amortized over every later read."""
+    src = t(spark, sf_dir, "orders")
+    out = _staging_dir("rangesort", sf_dir)
+    (
+        src.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.schema(src.schema).parquet(out)
+    return (
+        back.where(
+            (F.col("o_orderdate") >= "1998-01-01")
+            & (F.col("o_orderdate") < "1999-01-01")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )

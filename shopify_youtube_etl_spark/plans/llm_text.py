@@ -1671,3 +1671,56 @@ def hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 / (1.0 + F.exp(-F.avg("w"))), 6).alias("quality_score"),
         )
     )
+
+
+@query(
+    "zipf_alpha_fit",
+    ref="corpus diagnostics (north star) — Zipf exponent via distributed OLS on the log-log rank/frequency curve",
+    doc="Corpus token rank-frequency Zipf fit: vocabulary size, total tokens, fitted alpha (negated log-log slope), and R².",
+    oracle=f"""
+WITH ct AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_D_WORDS}) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+),
+ranked AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM ct
+)
+SELECT CAST(count(*) AS BIGINT)                        AS vocab_size,
+       CAST(sum(n) AS BIGINT)                          AS total_tokens,
+       round(-regr_slope(ln(n), ln(rnk)), 6)           AS zipf_alpha,
+       round(regr_r2(ln(n), ln(rnk)), 6)               AS r2
+FROM ranked
+""",
+)
+def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does this corpus look like natural language?  Natural text has
+    Zipf alpha ≈ 1; templated/synthetic/spam corpora deviate hard, so
+    the fitted exponent is a one-number ingest sanity check.  Shape:
+    the corpus reduces to vocab-sized (token, count) in one explode
+    shuffle; ranking is ONE window over that reduced frame (vocab ≪
+    corpus — fine even at 100 TB, and a sort-based rank if vocab ever
+    isn't); the OLS is SQL:2003 regr_slope/regr_r2 — single-pass
+    mergeable moment aggregates, no driver-side fit.  Identical
+    tie-break (count desc, token) keeps ranks hash-equal across
+    engines."""
+    from pyspark.sql.window import Window
+
+    ct = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = ct.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
+    )
+    ln_n, ln_r = F.log(F.col("n")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+        F.round(-F.regr_slope(ln_n, ln_r), 6).alias("zipf_alpha"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
+    )

@@ -137,6 +137,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q14_promo_revenue",
+    "zipf_alpha_fit",
+    "range_sorted_layout",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",

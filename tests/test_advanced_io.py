@@ -111,3 +111,40 @@ def test_stateful_totals_across_micro_batches(spark, sf_dir, tmp_path):
     assert final.count() == want.count()
     # >1 emission per key proves multiple micro-batches actually ran
     assert spark.table("totals_mb").count() > final.count()
+
+
+def test_range_sorted_layout_files_are_disjoint(spark, sf_dir):
+    """The layout claim, proven at the parquet-footer level: after
+    repartitionByRange + sortWithinPartitions, per-file o_orderdate
+    min/max envelopes must not overlap across files."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    all_queries()["range_sorted_layout"].fn(spark, sf_dir).collect()
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"sye_rangesort_{key}")
+    envelopes = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i
+            for i in range(md.schema.to_arrow_schema().remove_metadata().names.__len__())
+            if md.schema.column(i).name == "o_orderdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            envelopes.append((min(mins), max(maxs)))
+    assert len(envelopes) >= 4
+    envelopes.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(envelopes, envelopes[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
