@@ -781,3 +781,66 @@ def segment_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("o_totalprice")).alias("total_price"),
         )
     )
+
+
+@query(
+    "observed_pipeline_metrics",
+    ref="stage-timing/record-count instrumentation (shopify_etl.py:648-649, 662-670) made native — df.observe() accumulator metrics collected DURING the run, no second scan",
+    doc="Flagship revenue pipeline instrumented with observe(): row counts and revenue totals at two pipeline stages, harvested from the SAME pass that produced the result.",
+    oracle="""
+SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT)               AS scanned_items,
+       CAST(count(*) AS BIGINT)                                      AS joined_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)             AS joined_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+""",
+)
+def observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference logs per-stage record counts by re-counting;
+    ``observe()`` attaches named aggregates to plan NODES, so the
+    metrics are computed by the same tasks that execute the query —
+    zero extra scans, exact, and available on the driver the moment
+    the action finishes.  Two observation points here: the raw scan
+    (before the join) and the joined/filtered stream.  At 100 TB
+    re-counting for monitoring doubles the bill; observation makes
+    instrumentation free.  The observed values are returned AS the
+    result frame so the oracle can verify them value-for-value."""
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "1997-01-01")
+    scan_obs = Observation("scan")
+    join_obs = Observation("joined")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pipeline = (
+        li.observe(scan_obs, F.count(F.lit(1)).alias("scanned_items"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .observe(
+            join_obs,
+            F.count(F.lit(1)).alias("joined_rows"),
+            F.round(F.sum(rev), 2).alias("joined_revenue"),
+        )
+    )
+    pipeline.write.format("noop").mode("overwrite").save()  # one real pass
+
+    def harvest(obs, name, default):
+        # AQE empty-relation propagation can replace an all-empty
+        # subtree with a LocalRelation, eliding the observe node —
+        # then no metric row ever lands and Observation.get asserts.
+        # An elided node means zero rows flowed: report the identity.
+        try:
+            v = obs.get[name]
+        except Exception:  # noqa: BLE001 — JVM assertion, not a py error
+            return default
+        return default if v is None else v
+
+    return spark.createDataFrame(
+        [
+            (
+                harvest(scan_obs, "scanned_items", 0),
+                harvest(join_obs, "joined_rows", 0),
+                float(harvest(join_obs, "joined_revenue", 0.0)),
+            )
+        ],
+        "scanned_items long, joined_rows long, joined_revenue double",
+    )

@@ -139,6 +139,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q14_promo_revenue",
     "zipf_alpha_fit",
     "range_sorted_layout",
+    "observed_pipeline_metrics",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
