@@ -283,10 +283,17 @@ class ParquetTable:
             )
         )
 
-    def _write_segment(self, df: DataFrame, stats_cols: list[str] | None = None) -> str:
+    def _write_segment(
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> str:
         seg = f"seg-{uuid.uuid4().hex}"
         seg_path = os.path.join(self.path, seg)
         df.write.mode("overwrite").parquet(seg_path)
+        if bloom_cols:
+            self._write_bloom(seg_path, bloom_cols)
         if stats_cols:
             # Segment-level min/max stats (Iceberg manifest-entry
             # equivalent) — computed with ONE scan of the new segment
@@ -313,6 +320,96 @@ class ParquetTable:
             with open(os.path.join(seg_path, "_stats.json"), "w") as fh:
                 _json.dump(stats, fh)
         return seg
+
+    BLOOM_M, BLOOM_K = 8192, 4  # bits per segment bloom, hash count
+
+    def _write_bloom(self, seg_path: str, bloom_cols: list[str]) -> None:
+        """Per-segment Bloom sidecar for point-lookup file skipping
+        (Delta bloom-filter-index equivalent).  Bit positions are
+        computed DISTRIBUTED — k seeded xxhash64 expressions per key,
+        exploded and collect_set-reduced to one bounded row (≤ M
+        positions) — so no key list ever reaches the driver.  Stored
+        as the sorted set positions; at ~8 K bits the sidecar is ≤
+        a few KB regardless of segment size."""
+        import json as _json
+
+        seg_df = self.spark.read.parquet(seg_path)
+        blooms = {}
+        for c in bloom_cols:
+            pos = F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(self.BLOOM_M))
+                    for i in range(self.BLOOM_K)
+                ]
+            )
+            row = (
+                seg_df.where(F.col(c).isNotNull())
+                .select(F.explode(pos).alias("p"))
+                .agg(F.collect_set("p").alias("bits"))
+                .first()
+            )
+            blooms[c] = sorted(int(b) for b in (row["bits"] or []))
+        with open(os.path.join(seg_path, "_bloom.json"), "w") as fh:
+            _json.dump({"m": self.BLOOM_M, "k": self.BLOOM_K, "bits": blooms}, fh)
+
+    def _segment_bloom(self, seg_path: str) -> dict | None:
+        import json as _json
+
+        try:
+            with open(os.path.join(seg_path, "_bloom.json")) as fh:
+                return _json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _point_positions(self, col: str, value) -> list[int]:
+        # One-row JVM round trip so the probe hashes EXACTLY as the
+        # write side did (python reimplementations of xxhash64 drift).
+        # xxhash64 is TYPE-sensitive: a python int literal hashes as
+        # IntegerType while the column may be LongType — cast the
+        # probe to the table column's actual type.
+        dtype = self.read().schema[col].dataType
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(value).cast(dtype), F.lit(i)),
+                        F.lit(self.BLOOM_M),
+                    ).alias(f"p{i}")
+                    for i in range(self.BLOOM_K)
+                ]
+            )
+            .first()
+        )
+        return [int(row[f"p{i}"]) for i in range(self.BLOOM_K)]
+
+    def segments_for_point(self, col: str, value) -> list[str]:
+        """Live segments that MAY contain ``col = value``: a segment
+        is skipped iff it has a bloom for ``col`` and ANY of the k bit
+        positions is absent (definite miss).  Bloomless segments are
+        always kept — same safe-by-default contract as the min/max
+        stats."""
+        probe = self._point_positions(col, value)
+        keep = []
+        for seg_path in self.segments():
+            bl = self._segment_bloom(seg_path)
+            bits = (bl or {}).get("bits", {}).get(col)
+            if bits is None:
+                keep.append(seg_path)
+            elif all(p in set(bits) for p in probe):
+                keep.append(seg_path)
+        return keep
+
+    def read_point(self, col: str, value) -> DataFrame:
+        """Point lookup with bloom file skipping + exact residual
+        filter (false positives cost an open, never a wrong row)."""
+        segs = self.segments_for_point(col, value)
+        base = (
+            self.spark.read.option("mergeSchema", True).parquet(*segs)
+            if segs
+            else self.read().limit(0)
+        )
+        return base.where(F.col(col) == value)
 
     def _segment_stats(self, seg_path: str) -> dict | None:
         import json as _json
@@ -444,8 +541,13 @@ class ParquetTable:
         for seg in retired - kept_refs:
             shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
 
-    def overwrite(self, df: DataFrame, stats_cols: list[str] | None = None) -> None:
-        seg = self._write_segment(df, stats_cols=stats_cols)
+    def overwrite(
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> None:
+        seg = self._write_segment(df, stats_cols=stats_cols, bloom_cols=bloom_cols)
         self._commit(lambda prior: [seg])
 
     def append(
@@ -453,6 +555,7 @@ class ParquetTable:
         df: DataFrame,
         auto_compact_at: int | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
         evolve_schema: bool = False,
     ) -> None:
         """WRITE_APPEND semantics (U1/S8): lands ONLY the new batch's
@@ -486,7 +589,7 @@ class ParquetTable:
                     f"{sorted(cur)} but batch has {sorted(new)} (or a type "
                     "changed) — pass evolve_schema=True to evolve deliberately"
                 )
-        seg = self._write_segment(df, stats_cols=stats_cols)
+        seg = self._write_segment(df, stats_cols=stats_cols, bloom_cols=bloom_cols)
         self._commit(lambda prior: prior + [seg])
         if auto_compact_at is not None and len(self.segments()) >= auto_compact_at:
             self.compact()
@@ -517,8 +620,17 @@ class ParquetTable:
         stats_cols = sorted(
             {c for sp in snapshot for c in (self._segment_stats(sp) or {})}
         )
+        bloom_cols = sorted(
+            {
+                c
+                for sp in snapshot
+                for c in ((self._segment_bloom(sp) or {}).get("bits", {}))
+            }
+        )
         seg = self._write_segment(
-            self.spark.read.parquet(*snapshot), stats_cols=stats_cols or None
+            self.spark.read.parquet(*snapshot),
+            stats_cols=stats_cols or None,
+            bloom_cols=bloom_cols or None,
         )
         committed = self._commit(
             lambda prior: [seg] + [p for p in prior if p not in snap_names]

@@ -844,3 +844,37 @@ def observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "scanned_items long, joined_rows long, joined_revenue double",
     )
+
+
+@query(
+    "bloom_indexed_point_lookup",
+    ref="lakehouse point-lookup index — per-segment Bloom sidecars (Delta bloom-filter-index equivalent) prune files for key = value probes",
+    doc="Orders appended in three key-ranged batches with a Bloom index on o_orderkey; a point lookup opens only admitting segments (pruning pinned in pytest) and returns the exact row.",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderstatus,
+       round(o_totalprice, 2)     AS o_totalprice
+FROM orders WHERE o_orderkey = 4711
+""",
+)
+def bloom_indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max stats answer RANGE queries; point lookups on a key with
+    no write-order correlation need a membership structure — each
+    append records a segment Bloom (bit positions computed
+    DISTRIBUTED via seeded xxhash64, collect_set-reduced to a ≤1 KB
+    sidecar), and ``read_point`` opens only segments whose bloom
+    admits the probe.  False positives cost a file open (residual
+    filter keeps results exact); false negatives are impossible.  At
+    100 TB this is the difference between a needle-in-haystack scan
+    and opening one file — the same contract as Delta's bloom filter
+    index, on the engine's own table format."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", money(F.col("o_totalprice")).alias("o_totalprice")
+    )
+    tbl = ParquetTable(spark, staging_dir("bloomidx", sf_dir))
+    tbl.overwrite(orders.where(F.col("o_orderkey") % 3 == 0), bloom_cols=["o_orderkey"])
+    tbl.append(orders.where(F.col("o_orderkey") % 3 == 1), bloom_cols=["o_orderkey"])
+    tbl.append(orders.where(F.col("o_orderkey") % 3 == 2), bloom_cols=["o_orderkey"])
+    return tbl.read_point("o_orderkey", 4711)

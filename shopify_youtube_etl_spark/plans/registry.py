@@ -140,6 +140,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "zipf_alpha_fit",
     "range_sorted_layout",
     "observed_pipeline_metrics",
+    "bloom_indexed_point_lookup",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",

@@ -559,3 +559,28 @@ def test_compact_preserves_segment_stats(spark, tmp_path):
     assert sorted(r["k"] for r in tbl.read_range("k", 50, 150).collect()) == list(
         range(50, 151)
     )
+
+
+def test_bloom_sidecar_prunes_point_lookups(spark, tmp_path):
+    """Bloom file skipping: a point lookup opens only segments whose
+    bloom admits the key; a missing key prunes everything with blooms;
+    bloomless segments always survive (safety); results stay exact."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "bloom"))
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    tbl.overwrite(mk(0, 1000), bloom_cols=["k"])
+    tbl.append(mk(1000, 2000), bloom_cols=["k"])
+    tbl.append(mk(2000, 3000))  # bloomless — must always be kept
+
+    segs = tbl.segments_for_point("k", 1500)
+    assert len(segs) == 2  # the [1000,2000) segment + the bloomless one
+    got = tbl.read_point("k", 1500).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1500, 3000)]
+
+    # absent key: both bloomed segments prune (definite miss), only
+    # the bloomless segment is opened, residual filter yields nothing
+    assert len(tbl.segments_for_point("k", 999_999)) == 1
+    assert tbl.read_point("k", 999_999).count() == 0
