@@ -50,6 +50,7 @@ _CANARIES = [
     "uniqueness_profile",  # exact multi-column countDistinct on orders
     "token_stats",  # documents text family (split/regexp expressions)
     "ann_cosine_topk",  # embeddings array<float> family (Arrow batch path)
+    "merge_upsert",  # ParquetTable/MERGE family (the engine's custom write path)
 ]
 
 # Queries surfaced FIRST in ``all_queries()`` iteration order.
