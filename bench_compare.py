@@ -68,6 +68,12 @@ DISPOSITIONS = {
         "so the r03 hot-bucket cap is effective and the r02 flag was "
         "host scheduling."
     ),
+    "star_join_revenue_by_nation": (
+        "host-variance (improvement): no code or plan change since r02 "
+        "(plan-gated 2×BroadcastHashJoin star, untouched); the r04 floor "
+        "0.883s vs r02's 1.181s is the same host baseline drift the other "
+        "sub-second queries show, in the favorable direction."
+    ),
     "asof_click_attribution": (
         "host-variance: sub-0.5s query, deltas are inside scheduling "
         "jitter on this box (MIN_SECONDS guard exists for this class)."
