@@ -57,60 +57,20 @@ _CANARIES = [
 #
 # The per-round correctness harness samples queries in registration order
 # with a bounded window (first ~50), so the exposed ordering is: canaries,
-# then queries with NO external correctness record (r01∪r02∪r03), then
-# once-verified queries (external record from r03 only), then the
-# twice-verified relational/analytics core via registration order.  Union
-# coverage across rounds then spans the whole registry while every round
-# still re-checks each table/type family.  Names listed here must exist
-# in the registry (enforced in ``all_queries``) so a rename can't
-# silently drop a query out of the priority window.
+# then round-5 additions plus the queries with NO external correctness
+# record anywhere in r01–r04, then once-verified queries (r04-only,
+# then r03-only), then the multiply-verified core via registration
+# order.  Union coverage across rounds then spans the whole registry
+# while every round still re-checks each table/type family.  Names
+# listed here must exist in the registry (enforced in ``all_queries``)
+# so a rename can't silently drop a query out of the priority window.
+# Re-sorted for round 5 against CORRECTNESS_r04.json (the r04 verdict's
+# top action); tests/test_plans.py globs CORRECTNESS_r*.json so the
+# ordering can't silently go stale again.
 _DRIVER_PRIORITY = _CANARIES + [
-    # --- never externally verified (no CORRECTNESS_r01/r02/r03 row) ---
-    "reconcile_tables",
-    "scd2_status_history",
-    "temperature_resample_weights",
-    "leakage_safe_split",
-    "zorder_locality_profile",
-    "orc_roundtrip_ingest",
-    "bloom_prefilter_join",
-    "pagerank_nation_trade",
-    "weighted_sample_per_group",
-    "approx_quantiles_profile",
-    "gap_fill_daily_revenue",
-    "cohort_retention",
-    "event_transition_matrix",
-    "regr_price_by_size",
-    "ntile_value_quartiles",
-    "unpivot_part_metrics",
-    "iqr_outlier_profile",
-    "value_histogram",
-    "triangle_count_copurchase",
-    "bigram_pmi_top",
-    "key_skew_profile",
-    "hll_daily_users_rollup",
-    # Round-4 additions (no external record yet, by construction).
-    "adaptive_join_revenue",
-    "bpe_sequence_packing",
-    "quality_quantile_filter",
-    "cross_source_dup_matrix",
-    "containment_pairs",
-    "tpch_q3_shipping_priority",
-    "tpch_q18_large_orders",
-    "daily_anomaly_mad",
-    "int8_ann_topk",
-    "embedding_norm_profile",
-    "source_token_kl",
-    "deletion_propagation_report",
-    "segment_price_quantiles",
-    "schema_evolution_union",
-    "partition_pruned_ingest",
-    "incremental_dedup_report",
-    "tpch_q5_local_supplier_volume",
-    "cdc_apply_changes",
-    "scd2_pointintime_join",
-    "expectations_report",
-    "tpch_q10_returned_items",
-    "exists_late_shipment_priority",
+    # --- never externally verified (no CORRECTNESS_r01–r04 row) ---
+    # Round-5 additions first (new queries land here as they are built).
+    # Round-4 tail: added after the r04 window filled.
     "acctbal_rank_profile",
     "duplicated_span_profile",
     "snapshot_time_travel",
@@ -146,7 +106,52 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_rich_customers",
-    # --- once verified (external record from round 3 only) ---
+    # --- once verified, round 4 only ---
+    "reconcile_tables",
+    "scd2_status_history",
+    "temperature_resample_weights",
+    "leakage_safe_split",
+    "zorder_locality_profile",
+    "orc_roundtrip_ingest",
+    "bloom_prefilter_join",
+    "pagerank_nation_trade",
+    "weighted_sample_per_group",
+    "approx_quantiles_profile",
+    "gap_fill_daily_revenue",
+    "cohort_retention",
+    "event_transition_matrix",
+    "regr_price_by_size",
+    "ntile_value_quartiles",
+    "unpivot_part_metrics",
+    "iqr_outlier_profile",
+    "value_histogram",
+    "triangle_count_copurchase",
+    "bigram_pmi_top",
+    "key_skew_profile",
+    "hll_daily_users_rollup",
+    "adaptive_join_revenue",
+    "bpe_sequence_packing",
+    "quality_quantile_filter",
+    "cross_source_dup_matrix",
+    "containment_pairs",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "daily_anomaly_mad",
+    "int8_ann_topk",
+    "embedding_norm_profile",
+    "source_token_kl",
+    "deletion_propagation_report",
+    "segment_price_quantiles",
+    "schema_evolution_union",
+    "partition_pruned_ingest",
+    "incremental_dedup_report",
+    "tpch_q5_local_supplier_volume",
+    "cdc_apply_changes",
+    "scd2_pointintime_join",
+    "expectations_report",
+    "tpch_q10_returned_items",
+    "exists_late_shipment_priority",
+    # --- once verified, round 3 only ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",
     "session_window_30m",

@@ -30,6 +30,7 @@ def test_registry_surfaces_unverified_queries_first():
     is pinned to the very front even though its members are verified,
     so every round re-exercises each table/type family (round-3 lesson:
     a rotated-out events.ts query broke while CORRECTNESS stayed green)."""
+    import glob
     import json
     import os
 
@@ -38,12 +39,14 @@ def test_registry_surfaces_unverified_queries_first():
     names = list(SPECS)
     assert names[: len(_CANARIES)] == _CANARIES, "canaries must hold the first slots"
     root = os.path.join(os.path.dirname(__file__), "..")
+    # Glob, don't hardcode: round 4's record landed AFTER the list was
+    # last sorted, so a hardcoded file list let the ordering go stale
+    # for a whole round without this test noticing (r04 verdict #1).
     recorded: set[str] = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
-        path = os.path.join(root, f)
-        if os.path.exists(path):
-            with open(path) as fh:
-                recorded |= set(json.load(fh))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            recorded |= set(json.load(fh))
+    assert recorded, "no CORRECTNESS_r*.json records found next to the repo"
     rest = names[len(_CANARIES) :]
     unverified = [n for n in rest if n not in recorded]
     # Prefix invariant (after the canaries): every never-verified query
