@@ -182,14 +182,20 @@ class ParquetTable:
     def exists(self) -> bool:
         return self.current_manifest() is not None
 
+    def _read_segments(self, segs: list[str]) -> DataFrame:
+        """EVERY multi-segment read goes through here.  mergeSchema:
+        segments may carry evolved schemas (see
+        append(evolve_schema=True)); without it Spark silently adopts
+        ONE file's schema and drops the other segments' columns —
+        catastrophic in compact(), where the rewrite then becomes the
+        only copy once old segments are GC'd (ADVICE r4)."""
+        return self.spark.read.option("mergeSchema", True).parquet(*segs)
+
     def read(self) -> DataFrame:
         segs = self.segments()
         if not segs:
             raise FileNotFoundError(f"table at {self.path} has no committed generation")
-        # mergeSchema: segments may carry evolved schemas (see
-        # append(evolve_schema=True)); without it Spark silently adopts
-        # ONE file's schema and drops the other segments' columns.
-        return self.spark.read.option("mergeSchema", True).parquet(*segs)
+        return self._read_segments(segs)
 
     def history(self) -> list[int]:
         """Sequence numbers of the retained generations, oldest first —
@@ -221,7 +227,7 @@ class ParquetTable:
                 f"retained: {self.history()}"
             )
         segs = [os.path.join(self.path, s) for s in self._manifest_segments(name)]
-        return self.spark.read.parquet(*segs)
+        return self._read_segments(segs)
 
     def change_feed(self, from_seq: int, to_seq: int, keys: list[str]) -> DataFrame:
         """Change data feed between two retained generations — the READ
@@ -240,15 +246,26 @@ class ParquetTable:
         retained generations reconstruct the feed on demand."""
         old = self.read_version(from_seq)
         new = self.read_version(to_seq)
-        value_cols = [c for c in new.columns if c not in keys]
-        o = old.select(
-            *[F.col(k).alias(f"_k{i}_o") for i, k in enumerate(keys)],
-            *[F.col(c).alias(f"_o_{c}") for c in value_cols],
-        )
-        n = new.select(
-            *[F.col(k).alias(f"_k{i}_n") for i, k in enumerate(keys)],
-            *[F.col(c).alias(f"_n_{c}") for c in value_cols],
-        )
+        # Union of both generations' value columns: the schema may have
+        # evolved between ``from_seq`` and ``to_seq``, so a column can
+        # exist on only one side — it reads as NULL on the other (the
+        # same semantics mergeSchema gives within one generation).
+        value_cols = [c for c in new.columns if c not in keys] + [
+            c for c in old.columns if c not in keys and c not in new.columns
+        ]
+
+        def side(df: DataFrame, tag: str) -> DataFrame:
+            have = set(df.columns)
+            return df.select(
+                *[F.col(k).alias(f"_k{i}_{tag}") for i, k in enumerate(keys)],
+                *[
+                    (F.col(c) if c in have else F.lit(None)).alias(f"_{tag}_{c}")
+                    for c in value_cols
+                ],
+            )
+
+        o = side(old, "o")
+        n = side(new, "n")
         cond = None
         for i in range(len(keys)):
             eq = F.col(f"_k{i}_o").eqNullSafe(F.col(f"_k{i}_n"))
@@ -404,11 +421,7 @@ class ParquetTable:
         """Point lookup with bloom file skipping + exact residual
         filter (false positives cost an open, never a wrong row)."""
         segs = self.segments_for_point(col, value)
-        base = (
-            self.spark.read.option("mergeSchema", True).parquet(*segs)
-            if segs
-            else self.read().limit(0)
-        )
+        base = self._read_segments(segs) if segs else self.read().limit(0)
         return base.where(F.col(col) == value)
 
     def _segment_stats(self, seg_path: str) -> dict | None:
@@ -449,11 +462,7 @@ class ParquetTable:
         Returns an empty (schema-correct) frame when every segment is
         pruned."""
         segs = self.segments_for_range(col, lo, hi)
-        base = (
-            self.spark.read.parquet(*segs)
-            if segs
-            else self.read().limit(0)
-        )
+        base = self._read_segments(segs) if segs else self.read().limit(0)
         return base.where((F.col(col) >= lo) & (F.col(col) <= hi))
 
     @staticmethod
@@ -628,7 +637,7 @@ class ParquetTable:
             }
         )
         seg = self._write_segment(
-            self.spark.read.parquet(*snapshot),
+            self._read_segments(snapshot),
             stats_cols=stats_cols or None,
             bloom_cols=bloom_cols or None,
         )
@@ -657,7 +666,7 @@ class ParquetTable:
             os.path.join(self.path, s)
             for s in self._manifest_segments(manifests[generations_back])
         ]
-        return self.spark.read.parquet(*segs)
+        return self._read_segments(segs)
 
     def append_with_expectations(
         self,

@@ -2202,7 +2202,11 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_suppkey",
-            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+            # INTERVAL, not date_add: date_add truncates the timestamp
+            # to DATE while the DuckDB oracle's `+ INTERVAL 60 DAY`
+            # keeps time-of-day — they diverge on any non-midnight
+            # o_orderdate (ADVICE r4).
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
             .cast("int")
             .alias("is_late"),
         )

@@ -200,11 +200,18 @@ def land_pages_distributed(df, out_dir: str, page_size: int = 250):
     without atomic rename, use the committer-style write-then-manifest
     protocol instead — only paths the winning attempt reported in the
     returned manifest are read.)"""
+    import uuid as _uuid
+
     import pandas as pd
 
     from pyspark import TaskContext
 
     os.makedirs(out_dir, exist_ok=True)
+    # Job-unique name component, fixed driver-side and closed over by
+    # every task: a second landing into the same store appends new
+    # pages instead of os.rename-ing over the first job's (the same
+    # double-append hazard ADVICE r4 flagged on PageStoreWriter).
+    job_id = _uuid.uuid4().hex[:12]
 
     def write_pages(batches):
         ctx = TaskContext.get()
@@ -214,7 +221,7 @@ def land_pages_distributed(df, out_dir: str, page_size: int = 250):
         for pdf in batches:
             for i in range(0, len(pdf), page_size):
                 chunk = pdf.iloc[i : i + page_size]
-                path = os.path.join(out_dir, f"page-{pid:05d}-{k:05d}.ndjson")
+                path = os.path.join(out_dir, f"page-{job_id}-{pid:05d}-{k:05d}.ndjson")
                 tmp = f"{path}.attempt-{attempt}.tmp"
                 chunk.to_json(tmp, orient="records", lines=True, date_format="iso")
                 os.rename(tmp, path)
@@ -248,11 +255,21 @@ class PageStoreWriter(DataSourceWriter):
     and cost only stray ``.tmp-*`` litter, swept by the next commit."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid as _uuid
+
         self.dir = options["path"]
         self.page_size = int(options.get("page_size", "250"))
         if overwrite:
             raise ValueError("pagestore is append-only (reference S1 contract)")
         self.fail_partition = int(options.get("fail_partition", "-1"))
+        # Job-unique component for final page names (ADVICE r4): the
+        # writer instance is built ONCE on the driver per write job and
+        # pickled to tasks, so this id is shared by all of the job's
+        # tasks but distinct across jobs — a second append to the same
+        # store can never os.rename over the first append's pages, and
+        # the commit-time temp sweep can be scoped to THIS job's stage
+        # instead of deleting a concurrent job's staged files.
+        self.job_id = _uuid.uuid4().hex[:12]
 
     def write(self, rows) -> PageCommitMessage:
         import uuid as _uuid
@@ -271,8 +288,8 @@ class PageStoreWriter(DataSourceWriter):
             nonlocal k
             if not buf:
                 return
-            final = f"page-w{pid:05d}-{k:05d}.ndjson"
-            tmp = os.path.join(self.dir, f".tmp-{_uuid.uuid4().hex}")
+            final = f"page-w{self.job_id}-{pid:05d}-{k:05d}.ndjson"
+            tmp = os.path.join(self.dir, f".tmp-{self.job_id}-{_uuid.uuid4().hex}")
             with open(tmp, "w", encoding="utf-8") as fh:
                 for r in buf:
                     fh.write(json.dumps(r.asDict(), default=str) + "\n")
@@ -294,9 +311,10 @@ class PageStoreWriter(DataSourceWriter):
                 continue
             for tmp, final in m.staged:
                 os.rename(tmp, os.path.join(self.dir, final))
-        # Sweep stray temp files from lost speculative attempts.
+        # Sweep stray temp files from THIS job's lost speculative
+        # attempts only — a concurrent job's stage must survive.
         for f in os.listdir(self.dir):
-            if f.startswith(".tmp-"):
+            if f.startswith(f".tmp-{self.job_id}-"):
                 try:
                     os.remove(os.path.join(self.dir, f))
                 except OSError:

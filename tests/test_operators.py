@@ -561,6 +561,59 @@ def test_compact_preserves_segment_stats(spark, tmp_path):
     )
 
 
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """ADVICE r4 (high): compact() must mergeSchema-read the segments it
+    rewrites — without it the compacted segment silently adopts ONE
+    file's schema, and once old segments are GC'd the dropped columns'
+    data is gone.  auto_compact_at can trigger this implicitly right
+    after an evolving append, so that path is exercised too."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "cevo"))
+    tbl.overwrite(spark.range(3).select(F.col("id").alias("a"), F.lit("x").alias("b")))
+    drifted = spark.range(3, 6).select(F.col("id").alias("a"), F.lit(1.5).alias("c"))
+    tbl.append(drifted, evolve_schema=True, auto_compact_at=2)
+    assert len(tbl.segments()) == 1  # auto-compaction fired
+    out = tbl.read()
+    assert set(out.columns) == {"a", "b", "c"}
+    rows = {r["a"]: (r["b"], r["c"]) for r in out.collect()}
+    assert rows[0] == ("x", None) and rows[5] == (None, 1.5)
+    # GC the pre-compaction generations: the compacted segment is now
+    # the ONLY copy — all three columns must still be there.
+    for start in (6, 9, 12):
+        tbl.append(
+            spark.range(start, start + 3).select(
+                F.col("id").alias("a"), F.lit("y").alias("b"), F.lit(2.5).alias("c")
+            )
+        )
+    assert set(tbl.read().columns) == {"a", "b", "c"}
+    assert tbl.read().where(F.col("a") == 5).collect()[0]["c"] == 1.5
+
+
+def test_evolved_schema_survives_all_read_paths(spark, tmp_path):
+    """ADVICE r4 (medium): read_version / read_at / read_range /
+    change_feed over a schema-evolved table must surface the union
+    schema, same as read()."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "revo"))
+    tbl.overwrite(
+        spark.range(3).select(F.col("id").alias("a"), F.lit("x").alias("b")),
+        stats_cols=["a"],
+    )
+    drifted = spark.range(3, 6).select(F.col("id").alias("a"), F.lit(1.5).alias("c"))
+    tbl.append(drifted, evolve_schema=True, stats_cols=["a"])
+    seqs = tbl.history()
+    assert set(tbl.read_version(seqs[-1]).columns) == {"a", "b", "c"}
+    assert set(tbl.read_at(0).columns) == {"a", "b", "c"}
+    rng = tbl.read_range("a", 0, 5)
+    assert set(rng.columns) == {"a", "b", "c"}
+    assert rng.count() == 6
+    feed = tbl.change_feed(seqs[0], seqs[-1], keys=["a"])
+    ins = {r["a"]: r["c"] for r in feed.where(F.col("op") == "I").collect()}
+    assert ins == {3: 1.5, 4: 1.5, 5: 1.5}
+
+
 def test_bloom_sidecar_prunes_point_lookups(spark, tmp_path):
     """Bloom file skipping: a point lookup opens only segments whose
     bloom admits the key; a missing key prunes everything with blooms;

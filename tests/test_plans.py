@@ -62,6 +62,28 @@ def test_registry_surfaces_unverified_queries_first():
     )
 
 
+def test_readme_query_counts_match_registry():
+    """ADVICE r4: README's query counts drifted from the registry.
+    Derive both numbers from all_queries() so a new registration
+    without a README refresh fails here instead of shipping stale
+    docs."""
+    import os
+    import re
+
+    total = len(SPECS)
+    with_oracle = sum(1 for s in SPECS.values() if s.oracle is not None)
+    readme = open(os.path.join(os.path.dirname(__file__), "..", "README.md")).read()
+    m = re.search(r"(\d+) named queries \((\d+) with", readme)
+    assert m, "README no longer states the query counts"
+    assert (int(m.group(1)), int(m.group(2))) == (total, with_oracle), (
+        f"README says {m.group(1)}/{m.group(2)} but registry has "
+        f"{total}/{with_oracle} — update README.md (both the layout note "
+        f"and the '## Query surface' heading)"
+    )
+    h = re.search(r"## Query surface \((\d+) declared queries\)", readme)
+    assert h and int(h.group(1)) == total
+
+
 def explain_str(df, mode="formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 

@@ -237,6 +237,29 @@ def test_pagestore_writer_roundtrip_and_atomic_abort(spark, tmp_path):
     assert spark.read.format("pagestore").schema(schema).option("path", d).load().count() == 1000
 
 
+def test_pagestore_second_append_never_overwrites(spark, tmp_path):
+    """ADVICE r4: final page names carry a job-unique id, so a second
+    successful append to the same store ADDS pages instead of
+    os.rename-ing over the first job's — the append-only contract
+    holds across jobs, not just within one."""
+    from shopify_youtube_etl_spark.sources.pagestore import PageStoreDataSource
+
+    spark.dataSource.register(PageStoreDataSource)
+    d = str(tmp_path / "pw2_store")
+    schema = "doc_id BIGINT"
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+    # Same partitioning both times — pre-fix the second job's
+    # page-w{pid}-{k} names collide exactly with the first job's.
+    mk(0, 500).repartition(4).write.format("pagestore").option("path", d).mode(
+        "append"
+    ).save()
+    mk(500, 1000).repartition(4).write.format("pagestore").option("path", d).mode(
+        "append"
+    ).save()
+    back = spark.read.format("pagestore").schema(schema).option("path", d).load()
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(1000))
+
+
 def test_pagestore_writer_rejects_overwrite(spark, tmp_path):
     from shopify_youtube_etl_spark.sources.pagestore import PageStoreDataSource
 
