@@ -64,6 +64,19 @@ HEADLINE = [
     # heaviest new text aggregation (explode + vocab join).
     "pq_ann_topk",
     "unigram_logprob_score",
+    # Round-5 additions (r4 verdict item #6): the remaining heavy r4
+    # queries, tracked before they regress silently — k-means cell
+    # dedup, the BPE apply pass, the span-census profile, and the
+    # Python-DataSource streaming ingest.
+    "semantic_cluster_dedup",
+    "bpe_encode_stats",
+    "duplicated_span_profile",
+    "pagestore_stream_ingest",
+    # Round-5 new operators with corpus-sized work: span masking is
+    # the profile's transform twin; the real header decode exercises
+    # the Arrow binary path.
+    "repeated_span_removal",
+    "media_header_decode",
 ]
 
 

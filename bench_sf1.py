@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""sf1.0 stress rehearsal (r4 verdict item #2).
+
+The per-round bench runs at sf0.1 where every headline query is
+sub-2s; this harness is the cheapest local scale-up rehearsal: build a
+10× corpus (each sf0.1 table unioned with 9 key-shifted copies; text
+copies get a per-copy suffix token so they are NEAR-dups, not exact
+dups — the realistic dedup workload) under /tmp, then time the ten
+heaviest queries at both scales and report the growth ratio.
+
+A query is flagged ``superlinear`` when its sf1 min exceeds ~12× its
+sf0.1 min (10× data + scheduling slack); every flag needs a written
+disposition in the artifact before the round closes.
+
+Usage: python bench_sf1.py  → writes BENCH_SF1_r05.json and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from bench import force_eval
+from shopify_youtube_etl_spark.plans.registry import all_queries
+from shopify_youtube_etl_spark.session import get_spark
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = "/tmp/sye_sf1"
+COPIES = 10
+REPS = 4
+
+# The ten heaviest queries by r04 bench + plan inspection.
+HEAVY = [
+    "minhash_lsh_neardup",
+    "pq_ann_topk",
+    "ann_ivf_topk",
+    "int8_ann_topk",
+    "simhash_neardup",
+    "semantic_cluster_dedup",
+    "duplicated_span_profile",
+    "tfidf_top_terms",
+    "uniqueness_profile",
+    "reconcile_tables",
+]
+
+# Tables the HEAVY set reads; the rest are symlink-copied unscaled.
+SCALED = {"documents", "embeddings", "orders", "lineitem"}
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+SHIFT = {"documents": "doc_id", "embeddings": "vec_id",
+         "orders": "o_orderkey", "lineitem": "l_orderkey"}
+OFFSET = 100_000_000
+
+
+def build_sf1(spark) -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for name in ALL_TABLES:
+        out = os.path.join(SF1, f"{name}.parquet")
+        if os.path.exists(out):
+            continue
+        base = spark.read.parquet(os.path.join(SF01, f"{name}.parquet"))
+        if name not in SCALED:
+            base.write.mode("overwrite").parquet(out)
+            continue
+        parts = [base]
+        for k in range(1, COPIES):
+            c = base.withColumn(SHIFT[name], F.col(SHIFT[name]) + F.lit(k * OFFSET))
+            if name == "documents":
+                # Near-dup copies: one extra token per copy keeps the
+                # neardup queries on their intended workload instead of
+                # a degenerate 10-way exact-dup lattice.
+                c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" copytok{k}")))
+            parts.append(c)
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        scaled.write.mode("overwrite").parquet(out)
+        print(f"# built {name}: {spark.read.parquet(out).count()} rows", file=sys.stderr)
+
+
+def time_query(specs, spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(REPS):
+        start = time.perf_counter()
+        force_eval(specs[name].fn(spark, sf_dir))
+        best = min(best, time.perf_counter() - start)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    build_sf1(spark)
+
+    # Warmup both Arrow and JVM paths.
+    force_eval(specs["flagship_revenue"].fn(spark, SF01))
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
+
+    results: dict[str, dict] = {}
+    for name in HEAVY:
+        t01 = time_query(specs, spark, name, SF01)
+        t1 = time_query(specs, spark, name, SF1)
+        ratio = round(t1 / t01, 2) if t01 > 0 else None
+        results[name] = {
+            "sf0.1_min_sec": t01,
+            "sf1_min_sec": t1,
+            "ratio": ratio,
+            "superlinear": bool(ratio is not None and ratio > 12),
+        }
+        print(f"# {name}: {t01:.3f}s -> {t1:.3f}s ({ratio}x)", file=sys.stderr)
+
+    artifact = {
+        "metric": "sf1_stress_ratios",
+        "copies": COPIES,
+        "reps": REPS,
+        "queries": results,
+        "dispositions": {},
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r05.json"), "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,9 +151,17 @@ class ParquetTable:
 
     KEEP_GENERATIONS = 2  # superseded manifests kept for in-flight readers
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, keep_generations: int | None = None):
         self.spark = spark
         self.path = path
+        # Per-table retention override (r4 verdict item #8): an audit
+        # table wants a deep time-travel window, an hourly staging
+        # table wants a shallow one; ``retain`` trims an existing
+        # window explicitly.  The class default stays 2.
+        if keep_generations is not None:
+            if keep_generations < 0:
+                raise ValueError("keep_generations must be >= 0")
+            self.KEEP_GENERATIONS = keep_generations
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -717,7 +725,73 @@ class ParquetTable:
             .agg(F.count("*").alias("n_violations"))
         )
 
-    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+    def retain(
+        self,
+        max_generations: int | None = None,
+        max_age_seconds: float | None = None,
+    ) -> dict:
+        """Explicit generation-retention policy (r4 verdict item #8):
+        trim the time-travel window NOW to the newest ``max_generations``
+        manifests and/or those younger than ``max_age_seconds``,
+        deleting the trimmed manifests plus every segment they retire
+        (referenced by no surviving manifest) — the bounded-history
+        maintenance a long-lived hourly pipeline schedules next to
+        ``vacuum``.  The CURRENT generation always survives, so
+        ``read()`` and a ``change_feed`` over retained generations are
+        unaffected; reading a trimmed generation raises (the documented
+        'expired generations raise' contract, unchanged).  Runs under
+        the commit lock.  Returns {dropped_generations, removed_segments}."""
+        import fcntl
+        import time
+
+        if max_generations is None and max_age_seconds is None:
+            raise ValueError("pass max_generations and/or max_age_seconds")
+        if max_generations is not None and max_generations < 1:
+            raise ValueError("max_generations must be >= 1 (current always kept)")
+        with open(os.path.join(self.path, "_COMMIT_LOCK"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            cur = self.current_manifest()
+            if cur is None:
+                return {"dropped_generations": [], "removed_segments": []}
+            cur_seq = self._manifest_seq(cur)
+            manifests = sorted(
+                (
+                    f
+                    for f in os.listdir(self.path)
+                    if f.startswith("manifest-") and self._manifest_seq(f) <= cur_seq
+                ),
+                reverse=True,  # zero-padded: lexicographic == numeric
+            )
+            keep = set(manifests)
+            if max_generations is not None:
+                keep &= set(manifests[:max_generations])
+            if max_age_seconds is not None:
+                cutoff = time.time() - max_age_seconds
+                keep = {
+                    m
+                    for m in keep
+                    if os.path.getmtime(os.path.join(self.path, m)) >= cutoff
+                }
+            keep.add(manifests[0])  # the live generation is never dropped
+            drop = [m for m in manifests if m not in keep]
+            kept_refs = {s for m in keep for s in self._manifest_segments(m)}
+            retired: set[str] = set()
+            dropped: list[int] = []
+            for m in drop:
+                retired.update(self._manifest_segments(m))
+                os.remove(os.path.join(self.path, m))
+                dropped.append(self._manifest_seq(m))
+            removed = sorted(retired - kept_refs)
+            for seg in removed:
+                shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
+        return {"dropped_generations": sorted(dropped), "removed_segments": removed}
+
+    def vacuum(
+        self,
+        min_age_seconds: float = 3600.0,
+        retain_generations: int | None = None,
+        retain_age_seconds: float | None = None,
+    ) -> list[str]:
         """Offline maintenance: remove segment dirs referenced by NO
         manifest on disk (the leak ``_gc`` deliberately leaves — a
         writer that crashed between ``_write_segment`` and its commit).
@@ -726,11 +800,21 @@ class ParquetTable:
         hasn't landed yet is younger than the grace period and is kept
         (same contract as Delta's VACUUM retention check).  Runs under
         the commit lock so the manifest set can't change mid-scan.
-        Returns the removed segment names."""
+        ``retain_generations`` / ``retain_age_seconds`` apply the
+        ``retain`` policy first, so one scheduled vacuum call does both
+        history trimming and orphan sweeping.  Returns the removed
+        segment names."""
         import fcntl
         import time
 
         removed: list[str] = []
+        if retain_generations is not None or retain_age_seconds is not None:
+            removed.extend(
+                self.retain(
+                    max_generations=retain_generations,
+                    max_age_seconds=retain_age_seconds,
+                )["removed_segments"]
+            )
         with open(os.path.join(self.path, "_COMMIT_LOCK"), "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
             referenced = {

@@ -669,6 +669,60 @@ def expectation_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "targeted_reprocess",
+    ref="targeted reload by explicit key list (monitoring-guide.md:89-101 recovery runbook; r4 verdict item #7) — IncrementalPipeline.reprocess is the pipeline-level twin",
+    doc="Corrupted final table (negated price on key%97) healed by reloading ONLY the problem keys from the source via broadcast semi-join + upsert; summary proves exact restoration.",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)                                  AS n_rows,
+       CAST(count(*) FILTER (WHERE o_orderkey % 97 = 0)
+            AS BIGINT)                                           AS n_reprocessed,
+       round(sum(o_totalprice), 2)                               AS total_revenue
+FROM orders
+""",
+)
+def targeted_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runbook's 'temp table with problematic IDs → targeted
+    reload', run for real: a final table is committed with corrupted
+    prices (negated on key%97 — the simulated incident), the problem
+    keys are DISCOVERED by the quality probe (price ≤ 0), and only
+    those keys are re-read from the source — the id list broadcasts
+    into a left-semi join, so the source scan is pruned to the problem
+    rows — then upserted back.  The returned summary re-reads the
+    COMMITTED table: the oracle computes what a never-corrupted table
+    would hold, so hash equality proves exact healing, not just row
+    counts.
+
+    Scale: the id list is incident-sized (broadcast); the heal costs
+    one semi-joined source scan + one key-sized merge — never a
+    force_full_load of the 100 TB table."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    corrupted = src.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    tbl = ParquetTable(spark, staging_dir("reproc", sf_dir) + "/orders")
+    tbl.overwrite(corrupted)
+
+    # Discovery probe → problem-id frame (the runbook's temp table).
+    problem_ids = tbl.read().where(F.col("o_totalprice") <= 0).select("o_orderkey")
+    n_reproc = problem_ids.count()
+    reload = src.join(F.broadcast(problem_ids), "o_orderkey", "left_semi")
+    tbl.overwrite(upsert(tbl.read(), reload, keys=["o_orderkey"]))
+
+    return tbl.read().agg(
+        F.count("*").alias("n_rows"),
+        F.lit(n_reproc).cast("long").alias("n_reprocessed"),
+        money(F.sum("o_totalprice")).alias("total_revenue"),
+    )
+
+
+@query(
     "table_change_feed",
     ref="CDC read side (inverse of cdc_apply_changes) — change data feed reconstructed between two retained table generations",
     doc="I/U/D feed between generation 0 (base customers) and generation 1 (deletes on key%10, +100 balance on key%7, 100 inserts), replayable by apply_changes.",

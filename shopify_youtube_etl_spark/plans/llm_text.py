@@ -1397,6 +1397,99 @@ def duplicated_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repeated_span_removal",
+    ref="span-level dedup TRANSFORM (r4 verdict item #5) — MassiveText-style repeated-passage removal; duplicated_span_profile is its diagnostic twin",
+    doc="Per document: token count, tokens removed, and the cleaned text with cross-doc duplicated 8-token spans masked out (first-occurrence doc keeps them).",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w
+    FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+spans AS (
+    SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS span
+    FROM toks, UNNEST(range(1, len(w) - 6)) AS s(i)
+    WHERE len(w) >= 8
+),
+corpus AS (
+    SELECT span, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+    FROM spans GROUP BY span
+),
+covered AS (
+    SELECT DISTINCT spans.doc_id, i + o AS pos
+    FROM spans
+    JOIN corpus USING (span), UNNEST(range(0, 8)) AS t(o)
+    WHERE nd >= 2 AND spans.doc_id <> keeper
+),
+cov AS (SELECT doc_id, list(pos) AS ps FROM covered GROUP BY doc_id)
+SELECT toks.doc_id,
+       CAST(len(w) AS BIGINT)                 AS n_tokens,
+       CAST(coalesce(len(ps), 0) AS BIGINT)   AS n_removed,
+       coalesce(array_to_string(
+           [w[j] FOR j IN range(1, len(w) + 1)
+                 IF ps IS NULL OR NOT list_contains(ps, j)], ' '), '') AS cleaned_text
+FROM toks LEFT JOIN cov USING (doc_id)
+""",
+)
+def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM that acts on what ``duplicated_span_profile``
+    measures (MassiveText/Gopher repeated-passage removal): every
+    8-token span occurring in ≥2 distinct documents is masked out of
+    every doc EXCEPT the first occurrence (min doc_id keeps it), and
+    the surviving tokens are re-joined into cleaned text.  Unique text
+    passes through byte-identical (conservation), so the operator is
+    safe to run corpus-wide.
+
+    Scale shape — O(total tokens), nothing quadratic: span explosion
+    is map-side; the span census (count-distinct-docs + min keeper) is
+    ONE groupBy on the span; the census joins back on the same span
+    key (AQE coalesces the co-partitioned shuffle); covered token
+    positions collapse to a per-doc position set (bounded by doc
+    length); and the final mask is a higher-order filter over the
+    token array — per-row JVM work, no extra shuffle.  At 100 TB the
+    census join would project xxhash64(span) instead of the string to
+    shrink shuffle bytes, same trade documented on the profile
+    query."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    )
+    spans = toks.where(F.size("w") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 7),
+                lambda i: F.struct(
+                    i.alias("i"), F.concat_ws(" ", F.slice("w", i, 8)).alias("span")
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.i", "s.span")
+    census = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("keeper")
+    )
+    covered = (
+        spans.join(census, "span")
+        .where((F.col("nd") >= 2) & (F.col("doc_id") != F.col("keeper")))
+        .select("doc_id", F.explode(F.sequence("i", F.col("i") + 7)).alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("ps"))
+    )
+    kept = F.filter(
+        "w", lambda tok, idx: ~F.array_contains(F.col("ps"), idx + F.lit(1))
+    )
+    return toks.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("ps"), F.lit(0)).cast("long").alias("n_removed"),
+        F.when(F.col("ps").isNull(), F.concat_ws(" ", F.col("w")))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("cleaned_text"),
+    )
+
+
+@query(
     "unigram_logprob_score",
     ref="quality scoring (north star) — CCNet-style perplexity proxy: per-doc cross-entropy under the corpus unigram LM",
     doc="Per document: token count and mean negative log-probability of its tokens under the corpus unigram distribution (high = unusual token mix).",

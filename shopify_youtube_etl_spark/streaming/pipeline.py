@@ -150,6 +150,54 @@ class IncrementalPipeline:
             self.control.record_error("orders", notes=str(exc)[:500])
             raise
 
+    def reprocess(self, source_path: str, order_ids: list) -> dict:
+        """Targeted reload — the monitoring-guide.md:89-101 recovery
+        runbook ('create a temp table with problematic IDs … trigger a
+        targeted reload') as an engine method: re-ingest ONLY the
+        listed order_ids through the SAME normalize→stage→merge path a
+        normal run uses.  The id list becomes a broadcast left-semi
+        join against the raw source (no watermark filter — the broken
+        rows may predate it), so the fix costs one pruned scan plus
+        key-sized merges, never a force_full_load.
+
+        The watermark is NOT advanced: a reprocess of old rows must
+        not make the next incremental run skip newer data, so the
+        ledger row re-records the prior watermark (same +OVERLAP
+        symmetry as the empty-batch path) with status 'reprocess' —
+        the run is auditable in sync_control without perturbing
+        incremental progress."""
+        ids_df = self.spark.createDataFrame(
+            [(str(i),) for i in order_ids], "order_id string"
+        )
+        raw = (
+            read_raw_orders(self.spark, source_path)
+            .join(
+                F.broadcast(ids_df),
+                F.col("id").cast("string") == F.col("order_id"),
+                "left_semi",
+            )
+            .persist()
+        )
+        n = raw.count()
+        tables = normalize_orders(raw)
+        for name, df in tables.items():
+            self.stagings[name].append(df, auto_compact_at=8)
+        for name in FINAL_TABLE_SCHEMAS:
+            self.finals[name].merge_from(self.stagings[name], UNIQUE_KEYS[name])
+        raw.unpersist()
+        prev = self.control.last_sync_timestamp("orders")
+        wm = (prev if prev is not None else FALLBACK_START) + OVERLAP
+        if wm.tzinfo is None:
+            wm = wm.replace(tzinfo=dt.timezone.utc)
+        run_id = self.control.record_run(
+            "orders",
+            wm,
+            n,
+            "reprocess",
+            notes=f"targeted reload of {len(order_ids)} order_ids",
+        )
+        return {"status": "reprocess", "records_processed": n, "run_id": run_id}
+
     def verify_table_data(self) -> dict:
         """verify_table_data (:709-744): uniqueness per table + FK
         anti-join orphan counts; returns the reports as plain dicts."""

@@ -163,3 +163,41 @@ def test_youtube_idempotent_append(spark, tmp_path_factory):
     upsert_youtube_metrics(tbl, df)  # re-run must NOT duplicate (§3.3)
     assert tbl.read().count() == 10
     assert tbl.read().select("date").distinct().count() == 10
+
+
+def test_targeted_reprocess_heals_corruption_without_full_load(spark, batches, tmp_path_factory):
+    """monitoring-guide.md:89-101 recovery path (r4 verdict item #7):
+    corrupt one final-table row, reprocess ONLY that order_id, and the
+    row heals from the raw source — row count, the other rows, and the
+    incremental watermark all untouched."""
+    base = str(tmp_path_factory.mktemp("pipe_rp"))
+    pipe = IncrementalPipeline(spark, base)
+    pipe.execute(batches["b1"])
+    start_before = pipe.control.start_date("orders")
+
+    orders_tbl = pipe.finals["orders"]
+    before = orders_tbl.read()
+    victim = before.orderBy("order_id").first()["order_id"]
+    true_price = before.where(F.col("order_id") == victim).first()["total_price"]
+    orders_tbl.overwrite(
+        before.withColumn(
+            "total_price",
+            F.when(F.col("order_id") == victim, F.lit(-999.0)).otherwise(
+                F.col("total_price")
+            ),
+        )
+    )
+    assert orders_tbl.read().where(F.col("order_id") == victim).first()["total_price"] == -999.0
+
+    r = pipe.reprocess(batches["b1"], [victim])
+    assert r["status"] == "reprocess"
+    assert r["records_processed"] == 1  # the pruned scan touched ONE order
+
+    healed = pipe.finals["orders"].read()
+    assert healed.count() == before.count()
+    assert healed.where(F.col("order_id") == victim).first()["total_price"] == true_price
+    # Watermark not advanced: the next incremental run starts where it would have.
+    assert pipe.control.start_date("orders") == start_before
+    # The reprocess is auditable in the ledger.
+    statuses = [r["status"] for r in pipe.control.read().collect()]
+    assert "reprocess" in statuses
