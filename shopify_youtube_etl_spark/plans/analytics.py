@@ -2569,3 +2569,199 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    ref="TPC-H Q13 shape — left-join count then count-of-counts (the two-level distribution aggregate)",
+    doc="Distribution of customers by order count, INCLUDING zero-order customers via the left join.",
+    oracle="""
+WITH c_orders AS (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+""",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13's planner exercise: the LEFT join (zero-order customers must
+    appear with c_count 0 — an inner join silently drops them, the
+    classic Q13 bug) feeding a count-of-counts.  Plan: one shuffle on
+    c_custkey for the join+first agg (AQE coalesces the co-partitioned
+    pair), then a second tiny shuffle on the ~|distinct counts| keys.
+    count(o_orderkey) — not count(*) — so the null row of an orderless
+    customer counts 0, matching SQL semantics exactly."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    ref="TPC-H Q15 shape — windowed revenue view + scalar-max equality (ties kept)",
+    doc="Supplier(s) achieving the maximum lineitem revenue in 1996-Q1, with the revenue (rounded before the max compare on both engines).",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the revenue 'view' is one pushed-down date-slice scan +
+    groupBy on l_suppkey; the scalar max evaluates ONCE and broadcasts
+    back against the same (supplier-count-sized) frame — no second
+    fact scan, no window sort.  Revenue is rounded BEFORE the max
+    equality so both engines compare the same 2-dp value (float
+    residue can't elect different winners); ties all surface, as in
+    the spec."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    ref="TPC-H Q2 shape adapted to the available tables — argmin-per-group via min-join (the testdata has no partsupp; supplier part costs derive from lineitem unit-price history)",
+    doc="Cheapest supplier(s) per STANDARD-type part by observed unit price (min over lineitem history), ties kept.",
+    oracle="""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           min(round(l_extendedprice / l_quantity, 2)) AS unit_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, c.unit_cost AS min_unit_cost
+FROM cost c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+JOIN part ON p_partkey = c.l_partkey AND p_type = 'STANDARD'
+JOIN supplier ON s_suppkey = c.l_suppkey
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's essence — the correlated 'supplier with the minimum cost
+    for this part' subquery — rewritten as the scalable argmin-per-
+    group: ONE pass builds per-(part, supplier) unit costs, a second
+    part-keyed partial agg finds each part's minimum, and the equality
+    join back recovers the argmin rows (ties kept, like the spec's
+    ORDER BY over equal-cost suppliers).  The testdata has no partsupp
+    table, so observed lineitem unit prices stand in for ps_supplycost
+    — the adaptation is in the cost source, not the plan shape.  Both
+    aggs shuffle on keys the join reuses (AQE coalesces); part and
+    supplier dims broadcast."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                             "l_extendedprice", "l_quantity")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)).alias(
+            "unit_cost"
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost")).select(
+        F.col("l_partkey").alias("b_partkey"), "min_cost"
+    )
+    part = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_name")
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == F.col("b_partkey"))
+            & (cost.unit_cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), cost.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), cost.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.col("unit_cost").alias("min_unit_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    ref="TPC-H Q11 shape adapted to the available tables — grouped value vs a scalar fraction of the grand total (HAVING over a scalar subquery); partsupp value stands in as national lineitem trade value",
+    doc="Parts whose NATION_7-supplied trade value exceeds 0.075% of that nation's total, with the value.",
+    oracle="""
+WITH v AS (
+    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, round(val, 2) AS part_value
+FROM v
+WHERE val > 0.00075 * (SELECT sum(val) FROM v)
+""",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's planner exercise: a grouped aggregate filtered by a
+    SCALAR FRACTION of its own grand total — the total derives from
+    the already-reduced per-part frame (one extra partial agg), never
+    from a second fact scan, and broadcasts into the HAVING
+    comparison.  The unrounded values feed the comparison on both
+    engines (rounding only the output), so threshold membership is
+    decided identically.  Nation filter pushes through the broadcast
+    supplier dim into the fact scan side."""
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+        )
+    )
+    tot = v.agg(F.sum("val").alias("tv"))
+    return (
+        v.join(F.broadcast(tot))
+        .where(F.col("val") > 0.00075 * F.col("tv"))
+        .select(F.col("l_partkey").alias("p_partkey"), money(F.col("val")).alias("part_value"))
+    )

@@ -75,6 +75,10 @@ _DRIVER_PRIORITY = _CANARIES + [
     "ivf_train_centroids",
     "repeated_span_removal",
     "targeted_reprocess",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
     # Round-4 tail: added after the r04 window filled.
     "acctbal_rank_profile",
     "duplicated_span_profile",

@@ -431,6 +431,12 @@ SHUFFLE_BUDGET = {
     "tpch_q22_idle_rich_customers": 2,
     "unigram_logprob_score": 4,
     "latest_order_per_customer": 1,
+    # Round-5 additions.
+    "tpch_q13_customer_distribution": 2,  # custkey join+agg pair, count-of-counts
+    "tpch_q15_top_supplier": 3,  # revenue agg, scalar max, supplier attach
+    "tpch_q2_min_cost_supplier": 3,  # cost agg, per-part min, argmin join-back
+    "tpch_q11_important_parts": 3,  # per-part value, scalar total, HAVING
+    "repeated_span_removal": 3,  # span census, census join-back, per-doc mask set
 }
 
 
