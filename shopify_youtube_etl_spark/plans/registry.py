@@ -69,17 +69,12 @@ _CANARIES = [
 # ordering can't silently go stale again.
 _DRIVER_PRIORITY = _CANARIES + [
     # --- never externally verified (no CORRECTNESS_r01–r04 row) ---
-    # Round-5 additions first (new queries land here as they are built).
-    "media_header_decode",
-    "pq_train_codebooks",
-    "ivf_train_centroids",
-    "repeated_span_removal",
-    "targeted_reprocess",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    # Round-4 tail: added after the r04 window filled.
+    # Round-4 tail first: these 35 have waited a full round for an
+    # external record (r4 verdict item #1 — closing union coverage of
+    # the pre-round-5 registry is the priority); round-5 additions
+    # queue directly after, so with a ~50-slot window all 35 plus most
+    # of the new queries land this round and any overflow leads the
+    # next one.
     "acctbal_rank_profile",
     "duplicated_span_profile",
     "snapshot_time_travel",
@@ -115,6 +110,17 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_rich_customers",
+    # Round-5 additions (oracle-bearing first; the two rows-only
+    # training queries last — their external check is weaker anyway).
+    "media_header_decode",
+    "repeated_span_removal",
+    "targeted_reprocess",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "pq_train_codebooks",
+    "ivf_train_centroids",
     # --- once verified, round 4 only ---
     "reconcile_tables",
     "scd2_status_history",
