@@ -237,7 +237,13 @@ class ParquetTable:
         segs = [os.path.join(self.path, s) for s in self._manifest_segments(name)]
         return self._read_segments(segs)
 
-    def change_feed(self, from_seq: int, to_seq: int, keys: list[str]) -> DataFrame:
+    def change_feed(
+        self,
+        from_seq: int,
+        to_seq: int,
+        keys: list[str],
+        pre_images: bool = False,
+    ) -> DataFrame:
         """Change data feed between two retained generations — the READ
         side of CDC (``apply_changes`` is the write side): one
         key-partitioned full-outer join of the two snapshots classifies
@@ -246,6 +252,12 @@ class ParquetTable:
         compare).  Unchanged keys are dropped.  Emitted value columns
         are the post-image for I/U and the pre-image for D, plus an
         ``op`` column — directly replayable by ``apply_changes``.
+
+        ``pre_images=True`` additionally emits ``pre_<col>`` columns
+        (NULL for I) — Delta CDF's update_preimage, in columnar form.
+        Incremental view maintenance needs both images of a U row to
+        subtract the old contribution and add the new one (see
+        ``incremental_rollup_maintenance``).
 
         Scale: both sides scan only their manifest's segments; the diff
         is one shuffle on the key (both sides hash-partition the same
@@ -305,6 +317,14 @@ class ParquetTable:
                     .alias(c)
                     for c in value_cols
                 ],
+                *(
+                    [
+                        F.when(F.col("op") != "I", F.col(f"_o_{c}")).alias(f"pre_{c}")
+                        for c in value_cols
+                    ]
+                    if pre_images
+                    else []
+                ),
             )
         )
 
@@ -611,12 +631,28 @@ class ParquetTable:
         if auto_compact_at is not None and len(self.segments()) >= auto_compact_at:
             self.compact()
 
-    def compact(self) -> None:
-        """Rewrite the live segments as ONE segment (small-file
-        maintenance for append-heavy tables — many tiny segments mean
-        many tiny parquet footers and tasks at read time).  Safe against
+    def _segment_bytes(self, seg_path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(seg_path)
+            for f in files
+        )
+
+    def compact(self, max_segment_bytes: int | None = None) -> None:
+        """Rewrite live segments as ONE segment (small-file maintenance
+        for append-heavy tables — many tiny segments mean many tiny
+        parquet footers and tasks at read time).  Safe against
         concurrent readers like any commit: the old segments stay on
         disk for KEEP_GENERATIONS more commits.
+
+        ``max_segment_bytes``: size-tiered mode — fold only the live
+        segments SMALLER than this threshold, leaving already-large
+        segments untouched.  At 100 TB a full rewrite re-copies the
+        whole table to merge a handful of hourly micro-batches; the
+        tiered form rewrites O(small-segment bytes) instead, the same
+        reason LSM trees and Delta's OPTIMIZE bin-pack by file size.
+        With fewer than two small segments there is nothing to fold
+        and the call is a no-op.
 
         Concurrency: the (expensive) rewrite runs OUTSIDE the commit
         lock against a snapshot, then the commit folds against the
@@ -627,6 +663,12 @@ class ParquetTable:
         or an overwrite won), this compaction ABORTS and deletes its
         segment — re-merging would double-count rows."""
         snapshot = self.segments()
+        if max_segment_bytes is not None:
+            snapshot = [
+                s for s in snapshot if self._segment_bytes(s) < max_segment_bytes
+            ]
+            if len(snapshot) < 2:
+                return
         if not snapshot:
             return
         snap_names = {os.path.basename(s) for s in snapshot}

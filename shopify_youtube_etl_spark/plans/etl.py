@@ -723,6 +723,119 @@ def targeted_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_rollup_maintenance",
+    ref="incremental view maintenance — a pre-aggregated rollup updated from the table's change feed (Delta CDF update_preimage/postimage semantics), never recomputed from the fact table",
+    doc="Daily (n_orders, revenue) rollup maintained through a delete/update/insert wave by applying change-feed deltas; oracle recomputes the rollup from scratch on the post-change state.",
+    oracle="""
+WITH v1 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS price,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL 1 DAY
+                ELSE o_orderdate END  AS d
+    FROM orders WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_totalprice + 5.0,
+           o_orderdate + INTERVAL 2 DAY
+    FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT strftime(CAST(d AS TIMESTAMP), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT)                   AS n_orders,
+       round(sum(price), 2)                       AS revenue
+FROM v1
+GROUP BY 1
+""",
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, the 100 TB answer to 'keep the
+    dashboard rollup fresh': the daily rollup is built ONCE, a
+    delete/update/insert wave lands on the base table, and the rollup
+    is repaired by applying the CHANGE FEED between the two table
+    generations — −pre-image at its old day, +post-image at its new
+    day (updates contribute both, so a row moving across days is
+    handled) — never by rescanning the fact table.  Maintenance cost
+    is O(|changes|) plus a rollup-sized merge; a nightly full
+    recompute at 100 TB costs the whole table.  The oracle IS the full
+    recompute on the post-change state, so hash equality proves the
+    delta algebra exact (count and sum are self-maintainable
+    aggregates; min/max would need the base row census — the textbook
+    IVM caveat).  Uses change_feed(pre_images=True), the engine's
+    Delta-CDF-update_preimage equivalent."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    base = staging_dir("ivm", sf_dir)
+    orders_tbl = ParquetTable(spark, base + "/orders")
+    rollup_tbl = ParquetTable(spark, base + "/rollup")
+    v0 = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    orders_tbl.overwrite(v0)
+    day = lambda c: F.date_format(c, "yyyy-MM-dd")
+    rollup_tbl.overwrite(
+        v0.groupBy(day("o_orderdate").alias("day")).agg(
+            F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue")
+        )
+    )
+
+    upd = F.col("o_orderkey") % 7 == 0
+    kept = v0.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(upd, F.col("o_totalprice") + 100.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(upd, F.col("o_orderdate") + F.expr("INTERVAL 1 DAYS"))
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+    )
+    ins = v0.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")).alias("o_orderdate"),
+    )
+    orders_tbl.overwrite(kept.unionByName(ins))
+
+    seqs = orders_tbl.history()
+    feed = orders_tbl.change_feed(
+        seqs[-2], seqs[-1], keys=["o_orderkey"], pre_images=True
+    )
+    minus = feed.where(F.col("op").isin("D", "U")).select(
+        day("pre_o_orderdate").alias("day"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("pre_o_totalprice")).alias("dr"),
+    )
+    plus = feed.where(F.col("op").isin("I", "U")).select(
+        day("o_orderdate").alias("day"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("o_totalprice").alias("dr"),
+    )
+    deltas = (
+        minus.unionByName(plus)
+        .groupBy("day")
+        .agg(F.sum("dn").alias("dn"), F.sum("dr").alias("dr"))
+    )
+    merged = (
+        rollup_tbl.read()
+        .join(deltas, "day", "full_outer")
+        .select(
+            "day",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce("revenue", F.lit(0.0)) + F.coalesce("dr", F.lit(0.0))
+            ).alias("revenue"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    rollup_tbl.overwrite(merged)
+    return rollup_tbl.read().select(
+        "day",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        money(F.col("revenue")).alias("revenue"),
+    )
+
+
+@query(
     "table_change_feed",
     ref="CDC read side (inverse of cdc_apply_changes) — change data feed reconstructed between two retained table generations",
     doc="I/U/D feed between generation 0 (base customers) and generation 1 (deletes on key%10, +100 balance on key%7, 100 inserts), replayable by apply_changes.",

@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q15_top_supplier",
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_parts",
+    "incremental_rollup_maintenance",
     "pq_train_codebooks",
     "ivf_train_centroids",
     # --- once verified, round 4 only ---

@@ -615,6 +615,51 @@ def test_evolved_schema_survives_all_read_paths(spark, tmp_path):
     assert ins == {3: 1.5, 4: 1.5, 5: 1.5}
 
 
+def test_size_tiered_compaction_folds_only_small_segments(spark, tmp_path):
+    """compact(max_segment_bytes=N): the LSM/OPTIMIZE shape — micro-batch
+    segments below the threshold fold into one; the already-large
+    segment is NOT rewritten (its dir survives by name); data is
+    unchanged; a second call with nothing small enough is a no-op."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "tiered"))
+    big = spark.range(50_000).select(F.col("id").alias("k"))
+    tbl.overwrite(big.repartition(4))
+    big_seg = set(map(os.path.basename, tbl.segments()))
+    for lo in (0, 10, 20):  # three tiny appends
+        tbl.append(spark.range(50_000 + lo, 50_010 + lo).select(F.col("id").alias("k")))
+    assert len(tbl.segments()) == 4
+    threshold = tbl._segment_bytes(tbl.segments()[0]) // 2  # < big, > tiny
+    tbl.compact(max_segment_bytes=threshold)
+    live = set(map(os.path.basename, tbl.segments()))
+    assert big_seg <= live, "the large segment must not be rewritten"
+    assert len(live) == 2  # big + one folded segment
+    assert tbl.read().count() == 50_030
+    # Nothing small left below the threshold → no-op, same manifest.
+    gens = len(tbl.history())
+    tbl.compact(max_segment_bytes=1)
+    assert len(tbl.history()) == gens
+
+
+def test_change_feed_pre_images(spark, tmp_path):
+    """pre_images=True emits pre_<col> columns (Delta CDF's
+    update_preimage, columnar): populated for U and D, NULL for I —
+    what incremental view maintenance needs to subtract the old
+    contribution of an updated row."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "cfpre"))
+    tbl.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"))
+    tbl.overwrite(spark.createDataFrame([(1, 15.0), (3, 30.0)], "k long, v double"))
+    seqs = tbl.history()
+    feed = {r["k"]: r for r in tbl.change_feed(seqs[0], seqs[1], keys=["k"], pre_images=True).collect()}
+    assert feed[1]["op"] == "U" and feed[1]["v"] == 15.0 and feed[1]["pre_v"] == 10.0
+    assert feed[2]["op"] == "D" and feed[2]["v"] == 20.0 and feed[2]["pre_v"] == 20.0
+    assert feed[3]["op"] == "I" and feed[3]["v"] == 30.0 and feed[3]["pre_v"] is None
+    # Default stays image-only: no pre_ columns unless asked.
+    assert "pre_v" not in tbl.change_feed(seqs[0], seqs[1], keys=["k"]).columns
+
+
 def test_retention_policy_trims_history(spark, tmp_path):
     """r4 verdict item #8: a long-lived pipeline bounds its time-travel
     window with retain(max_generations | max_age) — manifests AND the
