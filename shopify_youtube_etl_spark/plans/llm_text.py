@@ -1817,3 +1817,86 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.regr_slope(ln_n, ln_r), 6).alias("zipf_alpha"),
         F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
     )
+
+
+@query(
+    "bm25_search_topk",
+    ref="text retrieval scorer (north star) — BM25 ranking over the inverted-index statistics (Okapi k1=1.2, b=0.75)",
+    doc="Top-10 documents for the fixed query {query, window, merge} by BM25 score (rounded before ranking so both engines elect identical winners).",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_D_WORDS}) AS token
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+dl AS (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks WHERE token IN ('query', 'window', 'merge')
+    GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))) AS s
+    FROM tf
+    JOIN df USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM scored
+ORDER BY round(s, 6) DESC, doc_id
+LIMIT 10
+""",
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the corpus — the retrieval scorer a training-data
+    pipeline uses for quality-by-query probes and RAG index sanity
+    checks.  Plan shape, built for 100 TB: ONE explode pass is reduced
+    immediately to (doc_id, token, tf) FOR THE QUERY TERMS ONLY (the
+    filter applies before the aggregation, so the corpus-sized shuffle
+    carries just matching postings — an inverted-index scan, not a
+    table scan); document lengths reduce from the same exploded frame;
+    the df/N/avgdl statistics frames are term-count- and one-row-sized
+    and broadcast into the scoring join.  Scores round to 6dp BEFORE
+    the top-k ordering so float residue can't elect different winners
+    across engines; ties break on doc_id.  k1=1.2, b=0.75 (the Okapi
+    defaults; tf·(k1+1) appears as tf·2.2)."""
+    terms = ["query", "window", "merge"]
+    toks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    # top-10 then a 10-row driver merge, never a global sort.
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)

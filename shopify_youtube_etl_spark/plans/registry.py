@@ -120,6 +120,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_parts",
     "incremental_rollup_maintenance",
+    "bm25_search_topk",
+    "fuzzy_blocked_join",
     "pq_train_codebooks",
     "ivf_train_centroids",
     # --- once verified, round 4 only ---
