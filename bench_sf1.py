@@ -47,16 +47,22 @@ HEAVY = [
     "tfidf_top_terms",
     "uniqueness_profile",
     "reconcile_tables",
+    # Round-5 new heavy operators, stress-checked at the same scale.
+    "repeated_span_removal",
+    "bm25_search_topk",
+    "incremental_rollup_maintenance",
+    "fuzzy_blocked_join",
 ]
 
-# Tables the HEAVY set reads; the rest are symlink-copied unscaled.
-SCALED = {"documents", "embeddings", "orders", "lineitem"}
+# Tables the HEAVY set reads; the rest are copied unscaled.
+SCALED = {"documents", "embeddings", "orders", "lineitem", "customer"}
 ALL_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 SHIFT = {"documents": "doc_id", "embeddings": "vec_id",
-         "orders": "o_orderkey", "lineitem": "l_orderkey"}
+         "orders": "o_orderkey", "lineitem": "l_orderkey",
+         "customer": "c_custkey"}
 OFFSET = 100_000_000
 
 
@@ -78,6 +84,14 @@ def build_sf1(spark) -> None:
                 # neardup queries on their intended workload instead of
                 # a degenerate 10-way exact-dup lattice.
                 c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" copytok{k}")))
+            if name == "customer":
+                # Distinct name prefix per copy, so fuzzy-join blocking
+                # keys stay ~10 names per block (linear growth) instead
+                # of 10x-duplicated names inflating every block 100x.
+                c = c.withColumn(
+                    "c_name",
+                    F.concat(F.lit(f"K{k}"), F.expr("substr(c_name, 3)")),
+                )
             parts.append(c)
         scaled = parts[0]
         for p in parts[1:]:

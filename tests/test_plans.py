@@ -452,6 +452,23 @@ def test_headline_shuffle_budget(spark, sf_dir, name):
     )
 
 
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """BM25's top-10 must compile to TakeOrderedAndProject (per-partition
+    heap + 10-row merge), never a global sort of the scored frame."""
+    plan = plan_of(spark, "bm25_search_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_fuzzy_blocked_join_is_hash_join_not_cartesian(spark, sf_dir):
+    """The blocking key must plan as an equi-join (hash/sort-merge or
+    broadcast); a CartesianProduct would mean the blocking predicate
+    degenerated to a post-filter over all pairs."""
+    plan = plan_of(spark, "fuzzy_blocked_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
 def test_q6_pushes_all_three_predicates(spark, sf_dir):
     """Q6's entire cost model is predicate pushdown: shipdate range,
     discount band, and quantity cap must ALL reach the lineitem scan."""
