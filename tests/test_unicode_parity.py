@@ -58,6 +58,9 @@ TEXT_QUERIES = [
     "hashed_linear_quality_score",
     "media_payload_dedup",
     "duplicated_span_profile",
+    # Round-5 text-family additions.
+    "repeated_span_removal",
+    "bm25_search_topk",
 ]
 
 
