@@ -1705,6 +1705,197 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _load_or_train_ivfpq(spark: SparkSession, sf_dir: str, centers):
+    """Residual PQ codebooks for IVF-PQ: Lloyd's per subspace over
+    (v − nearest center) on the bounded sample; persisted as their own
+    ParquetTable artifact (separate from the plain-PQ codebooks, which
+    quantize raw vectors)."""
+    import numpy as np
+
+    tbl = _ann_artifact_table(spark, sf_dir, "ivfpq")
+    if tbl.exists():
+        rows = tbl.read().collect()
+        if len(rows) == _PQ_M * _PQ_KSUB:
+            dsub = len(rows[0]["centroid_vec"])
+            cb = np.empty((_PQ_M, _PQ_KSUB, dsub), dtype=np.float64)
+            for r in rows:
+                cb[r["subspace"], r["centroid"]] = r["centroid_vec"]
+            return cb
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    train_rows = e.orderBy("vec_id").limit(2048).select("embedding").collect()
+    if not train_rows:
+        return None
+    C = np.asarray(centers, dtype=np.float64)
+    T = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
+    T = T / np.linalg.norm(T, axis=1, keepdims=True)
+    cells = ((T[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    R = T - C[cells]  # residuals — what the codebooks must explain
+    dsub = R.shape[1] // _PQ_M
+    codebooks = np.empty((_PQ_M, _PQ_KSUB, dsub), dtype=np.float64)
+    for m in range(_PQ_M):
+        X = R[:, m * dsub : (m + 1) * dsub]
+        Cm = X[np.linspace(0, len(X) - 1, _PQ_KSUB, dtype=int)].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(_PQ_KSUB):
+                pts = X[assign == k]
+                if len(pts):
+                    Cm[k] = pts.mean(axis=0)
+        codebooks[m] = Cm
+    _persist_pq(spark, tbl, codebooks)
+    return codebooks
+
+
+@query(
+    "ivfpq_ann_topk",
+    ref="similarity search scale path — IVF-PQ (coarse quantizer + residual product codes, the FAISS IndexIVFPQ composition), built on BOTH persisted train artifacts",
+    doc="nprobe=6 cell-pruned ADC scoring of residual PQ codes, shortlist re-ranked by exact cosine, top-5 per probe; rows-only (two-level quantizer training not oracle-portable); recall pinned in pytest.",
+    oracle=None,
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (FAISS IndexIVFPQ): the coarse
+    quantizer routes each vector to a cell and PQ codes its RESIDUAL
+    from the cell centroid — residuals have far less variance than raw
+    vectors, so the same 8×64 code budget quantizes them much more
+    accurately, and search touches only nprobe cells' codes instead of
+    the whole corpus.  score(v) ≈ ⟨p, c_cell⟩ + Σ_m adc[p, m, code_m]
+    — one per-cell base term plus the shared residual-ADC table.
+
+    Built on BOTH persisted artifacts: centroids from
+    ``ivf_train_centroids`` (or lazily trained), residual codebooks in
+    their own artifact table.  Shape: one mapInPandas encode pass
+    (cell + codes — at 100 TB this 9-byte-per-vector frame IS the
+    index, stored instead of the floats), a scan-side Arrow pass that
+    prunes to nprobe cells and keeps a partition-local shortlist, a
+    tiny global merge, and an exact-cosine re-rank of 64 rows/probe
+    (same refine discipline as pq_ann_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    M, KSUB = _PQ_M, _PQ_KSUB
+    NPROBE, SHORTLIST = 6, 64
+
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    probe_rows = (
+        e.where(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    )
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cosine double, rank int"
+        )
+    centers = _load_or_train_ivf(spark, sf_dir)
+    codebooks = _load_or_train_ivfpq(spark, sf_dir, centers)
+    C = np.asarray(centers, dtype=np.float64)
+    dsub = codebooks.shape[2]
+
+    probe_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    P = np.array([r["embedding"] for r in probe_rows], dtype=np.float64)
+    P = P / np.linalg.norm(P, axis=1, keepdims=True)
+    base = P @ C.T  # ⟨p, c_cell⟩ for every (probe, cell)
+    adc = np.einsum("pmd,mkd->pmk", P.reshape(len(P), M, dsub), codebooks)
+    # nprobe cells per probe: nearest centroids by L2 (equivalently
+    # max inner product for the scoring model used here).
+    probe_cells = np.argsort(-base, axis=1)[:, :NPROBE]
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cells = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            R = (V - C[cells]).reshape(len(V), M, dsub)
+            d2 = (
+                (R**2).sum(axis=2)[:, :, None]
+                - 2 * np.einsum("imd,mkd->imk", R, codebooks)
+                + (codebooks**2).sum(axis=2)[None, :, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cells.astype(np.int32),
+                    "codes": list(d2.argmin(axis=2).astype(np.int8)),
+                }
+            )
+
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, cell int, codes array<tinyint>"
+    )
+
+    def adc_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            for j, pid in enumerate(probe_ids):
+                mask = np.isin(cells, probe_cells[j]) & (ids != pid)
+                if not mask.any():
+                    continue
+                sub_ids, sub_cells, sub_codes = ids[mask], cells[mask], Cd[mask]
+                scores = np.round(
+                    base[j, sub_cells]
+                    + adc[j, np.arange(M)[None, :], sub_codes].sum(axis=1),
+                    6,
+                )
+                order = np.lexsort((sub_ids, -scores))[:SHORTLIST]
+                yield pd.DataFrame(
+                    {
+                        "probe_id": pid,
+                        "neighbor_id": sub_ids[order],
+                        "adc_score": scores[order],
+                    }
+                )
+
+    local = codes.mapInPandas(
+        adc_topk, "probe_id long, neighbor_id long, adc_score double"
+    )
+    from pyspark.sql.window import Window
+
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        local.withColumn("arank", F.row_number().over(wa))
+        .where(F.col("arank") <= SHORTLIST)
+        .select("probe_id", "neighbor_id")
+    )
+    cand_vecs = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+
+    def rerank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            pidx = {int(p): i for i, p in enumerate(probe_ids)}
+            rows = np.array([pidx[int(p)] for p in pdf["probe_id"]])
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "cosine": np.round((V * P[rows]).sum(axis=1), 6),
+                }
+            )
+
+    exact = cand_vecs.mapInPandas(
+        rerank, "probe_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 @query(
     "semantic_cluster_dedup",
     ref="SemDeDup (Abbas et al. 2023) — k-means-scoped semantic dedup: within-cluster cosine screening, greedy min-id keeper",

@@ -122,6 +122,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "incremental_rollup_maintenance",
     "bm25_search_topk",
     "fuzzy_blocked_join",
+    "ivfpq_ann_topk",
     "pq_train_codebooks",
     "ivf_train_centroids",
     # --- once verified, round 4 only ---
