@@ -1900,3 +1900,132 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orderBy+limit compiles to TakeOrderedAndProject — a per-partition
     # top-10 then a 10-row driver merge, never a global sort.
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
+
+
+@query(
+    "curation_funnel_report",
+    ref="end-to-end corpus curation funnel (north star) — the composed pipeline a training-data team actually runs: quality gate → exact dedup → MinHash near-dup components → decontamination, with per-stage retention",
+    doc="One row per curation stage (ingest, quality, exact_dedup, neardup, decontam) with surviving doc count and total tokens; rows-only (the MinHash stage is not oracle-portable); monotonicity and planted-dup removal pinned in pytest.",
+    oracle=None,
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed lineage — each stage
+    an operator this engine verifies individually (quality_scores,
+    dedup_exact, minhash_lsh_neardup + neardup_components,
+    anti_join_decontaminate), chained the way a production corpus
+    build chains them, with the funnel counts a data lead reads first.
+
+    Stage semantics (all deterministic):
+      ingest       non-benchmark docs (doc_id % 50 != 7 — the held-out
+                   slice plays the external benchmark) with text
+      quality      20 ≤ tokens and mean token length ≤ 12
+      exact_dedup  keep min doc_id per md5(text)
+      neardup      MinHash 32×8 candidates, exact-Jaccard ≥ 0.5
+                   verify, connected components, keep min-id per
+                   component
+      decontam     drop docs whose 3-shingle containment against the
+                   benchmark slice ≥ 0.2
+
+    Scale: every stage is the already-audited plan of its standalone
+    query — one shingle pass with candidate-pruned verification, one
+    digest shuffle, label propagation O(log diameter); the funnel adds
+    only per-stage counts (tiny aggs).  Counts are monotonically
+    non-increasing by construction."""
+    from shopify_youtube_etl_spark.functions.similarity import (
+        jaccard as _jaccard,
+        lsh_bands as _lsh_bands,
+        lsh_candidate_pairs as _lsh_pairs,
+        minhash_signature as _minhash,
+    )
+    from shopify_youtube_etl_spark.functions.text import (
+        shingles_from_words as _shingles,
+    )
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    bench = docs.where(F.col("doc_id") % 50 == 7)
+    corpus = docs.where(F.col("doc_id") % 50 != 7)
+
+    ws = words(F.col("text"))
+    quality = corpus.where(
+        (F.size(ws) >= 20)
+        & (
+            (F.length(F.regexp_replace("text", r"\s+", "")) / F.size(ws)) <= 12
+        )
+    )
+
+    exact = (
+        quality.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(quality, "doc_id")
+        .select("doc_id", "text")
+    )
+
+    shingled = exact.select("doc_id", ws.alias("ws")).where(
+        F.size("ws") >= 3
+    ).select("doc_id", _shingles("ws", 3).alias("sh"))
+    sigs = _minhash(shingled, "doc_id", "sh", num_hashes=32)
+    pairs = _lsh_pairs(
+        _lsh_bands(sigs, "doc_id", num_hashes=32, bands=8), "doc_id"
+    ).localCheckpoint(eager=True)
+
+    def cand_sh(id_col: str, out_id: str, out_sh: str):
+        ids = pairs.select(F.col(id_col).alias("doc_id")).distinct()
+        return (
+            exact.join(F.broadcast(ids), "doc_id")
+            .select("doc_id", ws.alias("w2"))
+            .select(F.col("doc_id").alias(out_id), _shingles("w2", 3).alias(out_sh))
+        )
+
+    verified = (
+        pairs.join(cand_sh("id_a", "id_a", "sa"), "id_a")
+        .join(cand_sh("id_b", "id_b", "sb"), "id_b")
+        .where(_jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labels = connected_components(verified, exact.select("doc_id"))
+    neardup = (
+        labels.where(F.col("node") == F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+        .join(exact, "doc_id")
+    )
+
+    bench_sh = (
+        bench.select("doc_id", ws.alias("bw"))
+        .where(F.size("bw") >= 3)
+        .select(F.explode(_shingles("bw", 3)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = neardup.select("doc_id", ws.alias("dw")).where(
+        F.size("dw") >= 3
+    ).select("doc_id", F.explode(_shingles("dw", 3)).alias("sh"))
+    contaminated = (
+        doc_sh.join(F.broadcast(bench_sh.withColumn("hit", F.lit(1))), "sh", "left")
+        .groupBy("doc_id")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")).alias("cont"))
+        .where(F.col("cont") >= 0.2)
+        .select("doc_id")
+    )
+    decontam = neardup.join(contaminated, "doc_id", "left_anti")
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(F.size(words(F.col("text")))), F.lit(0))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+
+    return (
+        stage(1, "ingest", corpus)
+        .unionByName(stage(2, "quality", quality))
+        .unionByName(stage(3, "exact_dedup", exact))
+        .unionByName(stage(4, "neardup", neardup))
+        .unionByName(stage(5, "decontam", decontam))
+    )

@@ -123,6 +123,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "bm25_search_topk",
     "fuzzy_blocked_join",
     "ivfpq_ann_topk",
+    "curation_funnel_report",
     "pq_train_codebooks",
     "ivf_train_centroids",
     # --- once verified, round 4 only ---

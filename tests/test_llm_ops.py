@@ -593,6 +593,40 @@ def test_ann_train_apply_split_persists_and_reuses(spark, sf_dir):
     assert len(sim._ann_artifact_table(spark, sf_dir, "pq").history()) >= 2
 
 
+def test_curation_funnel_monotone_and_removes_planted_dups(spark, sf_dir, tmp_path):
+    """The composed curation pipeline: stage counts are monotonically
+    non-increasing, an exact duplicate dies at exact_dedup, and a
+    near-duplicate (one appended token) dies at the MinHash stage."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    fn = all_queries()["curation_funnel_report"].fn
+    stages = {r["stage_name"]: r for r in fn(spark, sf_dir).collect()}
+    order = ["ingest", "quality", "exact_dedup", "neardup", "decontam"]
+    counts = [stages[s]["n_docs"] for s in order]
+    assert counts == sorted(counts, reverse=True), counts
+
+    base = load_table(spark, sf_dir, "documents").limit(100)
+    survivor = base.where((F.col("doc_id") % 50 != 7) & (F.size(F.split("text", r"\s+")) >= 20))
+    first = survivor.orderBy("doc_id").first()
+    exact_copy = spark.createDataFrame(
+        [(900001, first["text"], "en", "web", len(first["text"]))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    near_copy = spark.createDataFrame(
+        [(900002, first["text"] + " extraword", "en", "web", len(first["text"]) + 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base.unionByName(exact_copy).unionByName(near_copy).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    planted = {r["stage_name"]: r for r in fn(spark, str(tmp_path)).collect()}
+    # Both copies pass quality, the exact copy dies at exact_dedup
+    # (keeper = min doc_id, i.e. the original), the near copy at neardup.
+    assert planted["quality"]["n_docs"] - planted["exact_dedup"]["n_docs"] >= 1
+    assert planted["exact_dedup"]["n_docs"] - planted["neardup"]["n_docs"] >= 1
+
+
 def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     """IVF-PQ (residual codes, nprobe=6 of 16 cells) must recover a
     solid fraction of the true top-5 — measured 0.80 at sf0.01,
