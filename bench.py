@@ -77,6 +77,10 @@ HEADLINE = [
     # the Arrow binary path.
     "repeated_span_removal",
     "media_header_decode",
+    # Round-5 session-2 additions: the IVF-PQ composition and the
+    # composed curation funnel (the heaviest chained lineage).
+    "ivfpq_ann_topk",
+    "curation_funnel_report",
 ]
 
 

@@ -52,6 +52,8 @@ HEAVY = [
     "bm25_search_topk",
     "incremental_rollup_maintenance",
     "fuzzy_blocked_join",
+    "ivfpq_ann_topk",
+    "curation_funnel_report",
 ]
 
 # Tables the HEAVY set reads; the rest are copied unscaled.
