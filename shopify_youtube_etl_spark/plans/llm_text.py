@@ -1958,11 +1958,19 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # The exact-dedup survivors feed FIVE downstream consumers
+    # (shingling, two candidate prunes, the component join-back, the
+    # stage count); localCheckpoint materializes the subtree once on
+    # executor storage instead of re-running the digest shuffle per
+    # consumer — the same lineage-truncation move the MinHash query
+    # makes for its candidate frame, applied to the corpus frame a
+    # multi-stage pipeline legitimately reuses.
     exact = (
         quality.groupBy(F.md5("text").alias("digest"))
         .agg(F.min("doc_id").alias("doc_id"))
         .join(quality, "doc_id")
         .select("doc_id", "text")
+        .localCheckpoint(eager=True)
     )
 
     shingled = exact.select("doc_id", ws.alias("ws")).where(
