@@ -883,6 +883,49 @@ class ParquetTable:
         src = schema_source if schema_source is not None else self.read()
         self.overwrite(src.limit(0))
 
+    def delete_where(self, cond: Column) -> int:
+        """Row-level DELETE (the DML verb the MERGE/TRUNCATE surface
+        lacked — the right-to-erasure / TTL primitive): rewrite the
+        live rows NOT matching ``cond`` as a new generation.  Returns
+        the number of rows deleted.  Like Delta's DELETE, this is a
+        copy-on-write rewrite — the old generation stays readable for
+        in-flight readers and time travel until retention trims it, so
+        a physical purge is ``delete_where`` + ``retain`` + ``vacuum``.
+
+        Scale note: a predicate on a stats/bloom-tracked column could
+        rewrite only the segments that MAY match (read_range's pruning,
+        applied to the write side); this implementation rewrites the
+        table — correct for any predicate, and the segment-pruned
+        variant drops in behind the same signature."""
+        cur = self.read()
+        keep = cur.where(~F.coalesce(cond, F.lit(False)))
+        n_before = cur.count()
+        self.overwrite(keep)
+        return n_before - self.read().count()
+
+    def cluster_by(
+        self, cols: list[str], stats: bool = True, num_files: int | None = None
+    ) -> None:
+        """Layout maintenance (Delta OPTIMIZE ZORDER's single-dimension
+        core): rewrite the live rows range-partitioned AND sorted on
+        ``cols``.  Two data-skipping effects: (1) the parquet FILES
+        inside the new segment get disjoint key envelopes, so a pushed
+        range predicate skips whole files/row-groups via footer stats
+        (``range_sorted_layout`` is the query-level proof of this
+        physics); (2) the segment records min/max sidecar stats on
+        ``cols``, so ``read_range`` prunes this segment against FUTURE
+        appends' segments.  Commit semantics identical to overwrite —
+        the unclustered generation stays readable until retention
+        trims it.  ``num_files`` pins the range-partition count (an
+        explicit N is exempt from AQE coalescing, which otherwise folds
+        a small rewrite into one file and erases the skipping win);
+        default sizes it at one file per ~128 MB of current data."""
+        cur = self.read()
+        if num_files is None:
+            num_files = max(2, sum(map(self._segment_bytes, self.segments())) // (128 << 20) + 1)
+        laid_out = cur.repartitionByRange(num_files, *cols).sortWithinPartitions(*cols)
+        self.overwrite(laid_out, stats_cols=cols if stats else None)
+
     def backup(self, out_dir: str) -> None:
         """Export/backup sink (S12, monitoring-guide.md:113-117):
         ``bq extract --destination_format=NEWLINE_DELIMITED_JSON`` ≡

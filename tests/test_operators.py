@@ -615,6 +615,61 @@ def test_evolved_schema_survives_all_read_paths(spark, tmp_path):
     assert ins == {3: 1.5, 4: 1.5, 5: 1.5}
 
 
+def test_delete_where_removes_rows_copy_on_write(spark, tmp_path):
+    """Row-level DELETE: matching rows gone from the current read,
+    count returned, NULL predicate rows kept (SQL three-valued logic),
+    and the pre-delete generation still readable via time travel."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "del"))
+    tbl.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, v double"
+        )
+    )
+    n = tbl.delete_where(F.col("v") > 25.0)
+    assert n == 2
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 2]  # NULL kept
+    assert tbl.read_at(1).count() == 4  # erased rows purge via retain+vacuum
+    assert tbl.delete_where(F.col("v") > 1000.0) == 0
+
+
+def test_cluster_by_makes_file_envelopes_disjoint(spark, tmp_path):
+    """cluster_by: after the rewrite the segment's parquet files carry
+    disjoint key ranges (footer-stat skipping works) and the segment
+    sidecar records min/max for read_range pruning vs future appends."""
+    import pyarrow.parquet as pq
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "clu"))
+    # Shuffled keys: pre-cluster, every file spans ~the full key range.
+    df = spark.range(20_000).select(
+        (F.xxhash64("id") % 20_000).alias("salt"), F.col("id").alias("k")
+    ).orderBy("salt").drop("salt").repartition(8)
+    tbl.overwrite(df)
+    tbl.cluster_by(["k"], num_files=6)
+    seg = tbl.segments()[0]
+    envelopes = []
+    for root, _dirs, files in os.walk(seg):
+        for f in files:
+            if f.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(root, f))
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+                envelopes.append((min(mins), max(maxs)))
+    assert len(envelopes) >= 2
+    envelopes.sort()
+    for (_, hi), (lo2, _) in zip(envelopes, envelopes[1:]):
+        assert hi < lo2, f"overlapping file envelopes: {envelopes}"
+    st = tbl._segment_stats(seg)
+    assert st and st["k"]["min"] == 0 and st["k"]["max"] == 19_999
+    assert tbl.read().count() == 20_000
+
+
 def test_size_tiered_compaction_folds_only_small_segments(spark, tmp_path):
     """compact(max_segment_bytes=N): the LSM/OPTIMIZE shape — micro-batch
     segments below the threshold fold into one; the already-large
