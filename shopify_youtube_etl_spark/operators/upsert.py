@@ -926,6 +926,37 @@ class ParquetTable:
         laid_out = cur.repartitionByRange(num_files, *cols).sortWithinPartitions(*cols)
         self.overwrite(laid_out, stats_cols=cols if stats else None)
 
+    def cluster_by_zorder(
+        self,
+        x_col: str,
+        y_col: str,
+        bits: int = 16,
+        num_files: int | None = None,
+    ) -> None:
+        """Two-dimensional clustering rewrite (Delta OPTIMIZE ZORDER
+        BY (x, y)): rows are laid out by the Morton interleave of the
+        two columns, so every parquet file carries a NARROW min/max
+        envelope on BOTH dimensions and a pushed predicate on either
+        column skips most files — the property a 1-D ``cluster_by``
+        can only give its leading column.  The z-value is a pure-JVM
+        fold (``operators/scale.zorder_value``), computed for the
+        write and dropped from the stored schema; sidecar stats are
+        recorded for both columns.  Columns must be non-negative ints
+        fitting in ``bits`` bits (mask upstream otherwise — same
+        contract as the profile query)."""
+        from shopify_youtube_etl_spark.operators.scale import zorder_value
+
+        cur = self.read()
+        if num_files is None:
+            num_files = max(2, sum(map(self._segment_bytes, self.segments())) // (128 << 20) + 1)
+        laid_out = (
+            cur.withColumn("_z", zorder_value(x_col, y_col, bits=bits))
+            .repartitionByRange(num_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        self.overwrite(laid_out, stats_cols=[x_col, y_col])
+
     def backup(self, out_dir: str) -> None:
         """Export/backup sink (S12, monitoring-guide.md:113-117):
         ``bq extract --destination_format=NEWLINE_DELIMITED_JSON`` ≡

@@ -670,6 +670,50 @@ def test_cluster_by_makes_file_envelopes_disjoint(spark, tmp_path):
     assert tbl.read().count() == 20_000
 
 
+def test_cluster_by_zorder_localizes_both_dimensions(spark, tmp_path):
+    """cluster_by_zorder: after the Morton rewrite, each parquet file's
+    (x, y) bounding box covers a small fraction of the key plane — the
+    two-dimensional skipping property a 1-D sort can't give (its
+    trailing column spans the full range in every file)."""
+    import pyarrow.parquet as pq
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "zclu"))
+    side = 128
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    # Shuffle so the pre-cluster layout has no accidental locality.
+    tbl.overwrite(grid.orderBy(F.xxhash64("x", "y")).repartition(8))
+    tbl.cluster_by_zorder("x", "y", bits=8, num_files=8)
+    seg = tbl.segments()[0]
+    boxes = []
+    for root, _dirs, files in os.walk(seg):
+        for f in files:
+            if f.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(root, f))
+                xs, ys = [], []
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.row_group(rg).num_columns):
+                        col = md.row_group(rg).column(ci)
+                        name = col.path_in_schema
+                        (xs if name == "x" else ys).append(
+                            (col.statistics.min, col.statistics.max)
+                        )
+                bx = (min(a for a, _ in xs), max(b for _, b in xs))
+                by = (min(a for a, _ in ys), max(b for _, b in ys))
+                boxes.append((bx, by))
+    assert len(boxes) >= 4
+    area = sum((bx[1] - bx[0] + 1) * (by[1] - by[0] + 1) for bx, by in boxes)
+    # Mean file box must cover well under half the plane — z-locality
+    # in BOTH dimensions (a 1-D x-sort leaves every file's y box full).
+    assert area / len(boxes) < 0.5 * side * side, boxes
+    assert tbl.read().count() == side * side
+    st = tbl._segment_stats(seg)
+    assert st["x"]["max"] == side - 1 and st["y"]["max"] == side - 1
+
+
 def test_size_tiered_compaction_folds_only_small_segments(spark, tmp_path):
     """compact(max_segment_bytes=N): the LSM/OPTIMIZE shape — micro-batch
     segments below the threshold fold into one; the already-large
