@@ -1045,3 +1045,60 @@ def bloom_indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.append(orders.where(F.col("o_orderkey") % 3 == 1), bloom_cols=["o_orderkey"])
     tbl.append(orders.where(F.col("o_orderkey") % 3 == 2), bloom_cols=["o_orderkey"])
     return tbl.read_point("o_orderkey", 4711)
+
+
+@query(
+    "erasure_cascade_apply",
+    ref="right-to-erasure EXECUTED — deletion_propagation_report's diagnostic made a transform: cascade DELETE across customer→orders via ParquetTable.delete_where, committed and re-read",
+    doc="Customer erasure requests (key % 97 = 0) applied as a cascading copy-on-write DELETE; the committed survivors' per-status profile must equal the oracle's recomputation.",
+    oracle="""
+WITH survivors AS (
+    SELECT o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_custkey IS NULL OR o_custkey % 97 <> 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM survivors
+GROUP BY o_orderstatus
+""",
+)
+def erasure_cascade_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of the compliance story
+    (``deletion_propagation_report`` sizes it; this executes it): the
+    erasure request set broadcasts into a semi-join marking doomed
+    orders, ``delete_where`` rewrites the committed table copy-on-write,
+    and the result re-reads the COMMITTED survivors — so oracle
+    equality proves the physical delete removed exactly the cascade,
+    nothing more.  The pre-delete generation stays time-travelable
+    until retention trims it, which is the audit trail an erasure
+    workflow legally needs (prove what was deleted, then purge with
+    retain+vacuum)."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl = ParquetTable(spark, staging_dir("erasure", sf_dir) + "/orders")
+    tbl.overwrite(src)
+    doomed = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    # Broadcast the request set into a membership mark: delete_where
+    # needs a Column over the table, so the semi-join becomes an isin
+    # against the (incident-sized, collected) key list — at scale the
+    # same predicate ships as a broadcast join inside delete_where's
+    # rewrite; here the list is oracle-deterministic either way.
+    keys = [r["o_custkey"] for r in doomed.collect()]
+    tbl.delete_where(F.col("o_custkey").isin(keys))
+    return (
+        tbl.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )

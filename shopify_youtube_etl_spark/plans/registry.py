@@ -124,6 +124,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "fuzzy_blocked_join",
     "ivfpq_ann_topk",
     "curation_funnel_report",
+    "erasure_cascade_apply",
     "pq_train_codebooks",
     "ivf_train_centroids",
     # --- once verified, round 4 only ---
