@@ -1102,3 +1102,45 @@ def erasure_cascade_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@query(
+    "clustered_range_scan",
+    ref="layout maintenance verified end-to-end — cluster_by rewrite + read_range stats pruning on the engine's table format",
+    doc="Orders re-clustered on o_orderdate, then a one-year read_range over the committed layout; per-status profile must equal the oracle's plain date-slice aggregate.",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)     AS n_orders,
+       round(sum(o_totalprice), 2)  AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <= TIMESTAMP '1997-12-31'
+GROUP BY o_orderstatus
+""",
+)
+def clustered_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cluster_by`` through the driver contract: orders commit into a
+    ParquetTable, the clustering rewrite lays them out
+    range-partitioned + sorted on o_orderdate with min/max sidecars,
+    and ``read_range`` serves a one-year slice off the committed
+    layout — sidecar pruning plus the exact residual filter.  Oracle
+    equality proves the rewrite is row-preserving AND the pruned read
+    returns exactly the plain date-slice answer (a skipping bug that
+    dropped a boundary file would hash-mismatch).  At 100 TB this is
+    the nightly OPTIMIZE + time-sliced consumer pattern; clustering
+    cost is one range shuffle, reads after it skip all but the
+    overlapping files."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    tbl = ParquetTable(spark, staging_dir("clurange", sf_dir) + "/orders")
+    tbl.overwrite(src)
+    tbl.cluster_by(["d"], num_files=8)
+    sliced = tbl.read_range("d", "1997-01-01", "1997-12-31")
+    return sliced.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("revenue"),
+    )

@@ -125,6 +125,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "ivfpq_ann_topk",
     "curation_funnel_report",
     "erasure_cascade_apply",
+    "clustered_range_scan",
     "pq_train_codebooks",
     "ivf_train_centroids",
     # --- once verified, round 4 only ---
