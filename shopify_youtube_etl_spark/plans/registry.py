@@ -56,71 +56,21 @@ _CANARIES = [
 # Queries surfaced FIRST in ``all_queries()`` iteration order.
 #
 # The per-round correctness harness samples queries in registration order
-# with a bounded window (first ~50), so the exposed ordering is: canaries,
-# then round-5 additions plus the queries with NO external correctness
-# record anywhere in r01–r04, then once-verified queries (r04-only,
-# then r03-only), then the multiply-verified core via registration
-# order.  Union coverage across rounds then spans the whole registry
-# while every round still re-checks each table/type family.  Names
-# listed here must exist in the registry (enforced in ``all_queries``)
-# so a rename can't silently drop a query out of the priority window.
-# Re-sorted for round 5 against CORRECTNESS_r04.json (the r04 verdict's
-# top action); tests/test_plans.py globs CORRECTNESS_r*.json so the
-# ordering can't silently go stale again.
+# with a bounded window (observed: first ~50).  Union coverage across
+# rounds spans the whole registry only if never-verified queries lead and
+# already-verified queries rotate through by staleness.  Names listed
+# here must exist in the registry (enforced in ``all_queries``) so a
+# rename can't silently drop a query out of the priority window;
+# tests/test_plans.py globs CORRECTNESS_r*.json so the ordering can't
+# silently go stale.
+# Re-sorted for round 6 against CORRECTNESS_r05.json (r5 verdict #1):
+# canaries, then the never-verified tail, then every verified query
+# ordered by STALENESS (oldest external record first) so the driver's
+# bounded window always re-checks the rows most at risk of silent rot.
 _DRIVER_PRIORITY = _CANARIES + [
-    # --- never externally verified (no CORRECTNESS_r01–r04 row) ---
-    # Round-4 tail first: these 35 have waited a full round for an
-    # external record (r4 verdict item #1 — closing union coverage of
-    # the pre-round-5 registry is the priority); round-5 additions
-    # queue directly after, so with a ~50-slot window all 35 plus most
-    # of the new queries land this round and any overflow leads the
-    # next one.
-    "acctbal_rank_profile",
-    "duplicated_span_profile",
-    "snapshot_time_travel",
-    "pagestore_stream_ingest",
-    "expectation_gated_ingest",
-    "stateful_sessionize",
-    "unigram_logprob_score",
-    "bpe_train_merges",
-    "pq_ann_topk",
-    "interval_left_join_attribution",
-    "theta_audience_overlap",
-    "kll_daily_value_quantiles",
-    "recursive_nation_reach",
-    "pagestore_write_roundtrip",
-    "hashed_linear_quality_score",
-    "table_change_feed",
-    "two_level_window_hourly",
-    "media_payload_dedup",
-    "dynamic_partition_overwrite",
-    "bpe_encode_stats",
-    "semantic_cluster_dedup",
-    "segment_skipping_scan",
-    "pagestore_stream_sink_roundtrip",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_revenue",
-    "zipf_alpha_fit",
-    "range_sorted_layout",
-    "observed_pipeline_metrics",
-    "bloom_indexed_point_lookup",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_rich_customers",
-    # Round-5 additions (oracle-bearing first; the two rows-only
-    # training queries last — their external check is weaker anyway).
-    "media_header_decode",
-    "repeated_span_removal",
-    "targeted_reprocess",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    "incremental_rollup_maintenance",
-    "bm25_search_topk",
+    # --- never externally verified (no CORRECTNESS_r01-r05 row):
+    # the 7 round-5-tail queries that landed after the r05 window
+    # filled -- verifying these completes 196/196 union coverage.
     "fuzzy_blocked_join",
     "ivfpq_ann_topk",
     "curation_funnel_report",
@@ -128,52 +78,56 @@ _DRIVER_PRIORITY = _CANARIES + [
     "clustered_range_scan",
     "pq_train_codebooks",
     "ivf_train_centroids",
-    # --- once verified, round 4 only ---
-    "reconcile_tables",
-    "scd2_status_history",
-    "temperature_resample_weights",
-    "leakage_safe_split",
-    "zorder_locality_profile",
-    "orc_roundtrip_ingest",
-    "bloom_prefilter_join",
-    "pagerank_nation_trade",
-    "weighted_sample_per_group",
-    "approx_quantiles_profile",
-    "gap_fill_daily_revenue",
-    "cohort_retention",
-    "event_transition_matrix",
-    "regr_price_by_size",
-    "ntile_value_quartiles",
-    "unpivot_part_metrics",
-    "iqr_outlier_profile",
-    "value_histogram",
-    "triangle_count_copurchase",
-    "bigram_pmi_top",
-    "key_skew_profile",
-    "hll_daily_users_rollup",
-    "adaptive_join_revenue",
-    "bpe_sequence_packing",
-    "quality_quantile_filter",
-    "cross_source_dup_matrix",
-    "containment_pairs",
-    "tpch_q3_shipping_priority",
-    "tpch_q18_large_orders",
-    "daily_anomaly_mad",
-    "int8_ann_topk",
-    "embedding_norm_profile",
-    "source_token_kl",
-    "deletion_propagation_report",
-    "segment_price_quantiles",
-    "schema_evolution_union",
-    "partition_pruned_ingest",
-    "incremental_dedup_report",
-    "tpch_q5_local_supplier_volume",
-    "cdc_apply_changes",
-    "scd2_pointintime_join",
-    "expectations_report",
-    "tpch_q10_returned_items",
-    "exists_late_shipment_priority",
-    # --- once verified, round 3 only ---
+    # --- stalest verified: last external record in round 1 ---
+    "tumbling_window_15m",
+    # --- stalest verified: last external record in round 2 ---
+    "filter_conjunction",
+    "scalar_functions",
+    "distinct_projection",
+    "duplicate_inspection",
+    "events_daily_rollup",
+    "status_priority_rollup",
+    "approx_distinct_profile",
+    "customers_without_orders",
+    "orders_without_lineitems",
+    "star_join_revenue_by_nation",
+    "latest_event",
+    "topk_orders",
+    "latest_order_per_customer",
+    "keep_first_dedup",
+    "union_append",
+    "cube_status_priority",
+    "grouping_sets_revenue",
+    "running_revenue_by_day",
+    "day_over_day_delta",
+    "ranked_customers_per_segment",
+    "pivot_status_counts",
+    "percentile_order_value",
+    "asof_click_attribution",
+    "range_join_value_bands",
+    "union_distinct_active_keys",
+    "intersect_repeat_buyers",
+    "except_churned_buyers",
+    "below_avg_quantity_revenue",
+    "order_count_distribution",
+    "sql_nation_rank",
+    "moving_average_7d",
+    "edit_distance_pairs",
+    "datetime_functions",
+    "array_functions",
+    "json_extraction",
+    "stats_profile",
+    "posexplode_tokens",
+    "semi_join_urgent_customers",
+    "nested_explode_roundtrip",
+    "explode_outer_guard",
+    "struct_extract_roundtrip",
+    "json_roundtrip_ingest",
+    "upsert_idempotency",
+    "verify_uniqueness",
+    "verify_fk_integrity",
+    "incremental_rollup_merge",
+    # --- stalest verified: last external record in round 3 ---
     "run_ledger_daily_summary",
     "sliding_window_30m_15m",
     "session_window_30m",
@@ -222,6 +176,96 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q1_pricing_summary",
     "order_value_extremes_per_segment",
     "except_all_multiset_diff",
+    # --- stalest verified: last external record in round 4 ---
+    "reconcile_tables",
+    "scd2_status_history",
+    "temperature_resample_weights",
+    "leakage_safe_split",
+    "zorder_locality_profile",
+    "orc_roundtrip_ingest",
+    "bloom_prefilter_join",
+    "pagerank_nation_trade",
+    "weighted_sample_per_group",
+    "approx_quantiles_profile",
+    "gap_fill_daily_revenue",
+    "cohort_retention",
+    "event_transition_matrix",
+    "regr_price_by_size",
+    "ntile_value_quartiles",
+    "unpivot_part_metrics",
+    "iqr_outlier_profile",
+    "value_histogram",
+    "triangle_count_copurchase",
+    "bigram_pmi_top",
+    "key_skew_profile",
+    "hll_daily_users_rollup",
+    "adaptive_join_revenue",
+    "bpe_sequence_packing",
+    "quality_quantile_filter",
+    "cross_source_dup_matrix",
+    "containment_pairs",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "daily_anomaly_mad",
+    "int8_ann_topk",
+    "embedding_norm_profile",
+    "source_token_kl",
+    "deletion_propagation_report",
+    "segment_price_quantiles",
+    "schema_evolution_union",
+    "partition_pruned_ingest",
+    "incremental_dedup_report",
+    "tpch_q5_local_supplier_volume",
+    "cdc_apply_changes",
+    "scd2_pointintime_join",
+    "expectations_report",
+    "tpch_q10_returned_items",
+    "exists_late_shipment_priority",
+    # --- stalest verified: last external record in round 5 ---
+    "acctbal_rank_profile",
+    "duplicated_span_profile",
+    "snapshot_time_travel",
+    "pagestore_stream_ingest",
+    "expectation_gated_ingest",
+    "stateful_sessionize",
+    "unigram_logprob_score",
+    "bpe_train_merges",
+    "pq_ann_topk",
+    "interval_left_join_attribution",
+    "theta_audience_overlap",
+    "kll_daily_value_quantiles",
+    "recursive_nation_reach",
+    "pagestore_write_roundtrip",
+    "hashed_linear_quality_score",
+    "table_change_feed",
+    "two_level_window_hourly",
+    "media_payload_dedup",
+    "dynamic_partition_overwrite",
+    "bpe_encode_stats",
+    "semantic_cluster_dedup",
+    "segment_skipping_scan",
+    "pagestore_stream_sink_roundtrip",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
+    "zipf_alpha_fit",
+    "range_sorted_layout",
+    "observed_pipeline_metrics",
+    "bloom_indexed_point_lookup",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_rich_customers",
+    "media_header_decode",
+    "repeated_span_removal",
+    "targeted_reprocess",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "incremental_rollup_maintenance",
+    "bm25_search_topk",
 ]
 
 
