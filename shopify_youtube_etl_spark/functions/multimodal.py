@@ -41,54 +41,87 @@ def decode_image(payload: bytes) -> dict:
     verdict item #3: full-pixel decode libs aren't in this container,
     but width/height/mode live in the first bytes of every mainstream
     container).  Supports PNG (IHDR), GIF (logical screen descriptor),
-    BMP (BITMAPINFOHEADER) and JPEG (SOF segment scan); raises
-    ValueError on anything else so a bad blob fails loudly instead of
-    producing fabricated metadata.  Swap in PIL here for pixel-level
-    work and nothing upstream changes."""
+    BMP (BITMAPINFOHEADER) and JPEG (SOFn segment scan); raises
+    ValueError on anything else — including TRUNCATED headers of a
+    recognized container (ADVICE r5: a 20-byte PNG must not escape as
+    struct.error) — so a bad blob fails loudly instead of producing
+    fabricated metadata.  Swap in PIL here for pixel-level work and
+    nothing upstream changes."""
     import struct
 
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
-        w, h = struct.unpack(">II", payload[16:24])
-        bit_depth, color_type = payload[24], payload[25]
-        return {
-            "format": "png",
-            "width": w,
-            "height": h,
-            "mode": _PNG_MODES.get(color_type, f"ct{color_type}"),
-        }
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = struct.unpack("<HH", payload[6:10])
-        return {"format": "gif", "width": w, "height": h, "mode": "P"}
-    if payload[:2] == b"BM" and len(payload) >= 30:
-        # BITMAPINFOHEADER at offset 14; height may be negative
-        # (top-down DIB) — dimensions are the absolute values.
-        w, h = struct.unpack("<ii", payload[18:26])
-        bits = struct.unpack("<H", payload[28:30])[0]
-        return {
-            "format": "bmp",
-            "width": abs(w),
-            "height": abs(h),
-            "mode": _BMP_MODES.get(bits, f"{bits}bpp"),
-        }
-    if payload[:2] == b"\xff\xd8":
-        # JPEG: walk the marker segments to the first SOF0/1/2.
-        i = 2
-        while i + 10 <= len(payload):
-            if payload[i] != 0xFF:
-                break
-            marker = payload[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2):
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                ncomp = payload[i + 9]
-                return {
-                    "format": "jpeg",
-                    "width": w,
-                    "height": h,
-                    "mode": _JPEG_MODES.get(ncomp, f"{ncomp}comp"),
-                }
-            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
-            i += 2 + seg_len
-        raise ValueError("JPEG payload has no SOF segment")
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(payload) < 26 or payload[12:16] != b"IHDR":
+                raise ValueError("truncated or malformed PNG header")
+            w, h = struct.unpack(">II", payload[16:24])
+            color_type = payload[25]
+            return {
+                "format": "png",
+                "width": w,
+                "height": h,
+                "mode": _PNG_MODES.get(color_type, f"ct{color_type}"),
+            }
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            if len(payload) < 10:
+                raise ValueError("truncated GIF logical screen descriptor")
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {"format": "gif", "width": w, "height": h, "mode": "P"}
+        if payload[:2] == b"BM":
+            if len(payload) < 30:
+                raise ValueError("truncated BMP header")
+            # BITMAPINFOHEADER at offset 14; height may be negative
+            # (top-down DIB) — dimensions are the absolute values.
+            w, h = struct.unpack("<ii", payload[18:26])
+            bits = struct.unpack("<H", payload[28:30])[0]
+            return {
+                "format": "bmp",
+                "width": abs(w),
+                "height": abs(h),
+                "mode": _BMP_MODES.get(bits, f"{bits}bpp"),
+            }
+        if payload[:2] == b"\xff\xd8":
+            # JPEG: walk the marker segments to the first frame header.
+            # Any SOFn carries the dimensions — baseline/progressive/
+            # lossless/arithmetic alike (0xC0–0xCF minus DHT 0xC4,
+            # JPG-reserved 0xC8, DAC 0xCC).  0xFF fill bytes are legal
+            # padding before any marker and are skipped, not fatal.
+            sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+            i = 2
+            while i + 4 <= len(payload):
+                if payload[i] != 0xFF:
+                    break
+                while i < len(payload) and payload[i] == 0xFF:
+                    i += 1  # fill bytes: 0xFF may repeat before the marker id
+                if i >= len(payload):
+                    break
+                marker = payload[i]
+                i += 1
+                if marker == 0xD9:
+                    break  # EOI with no frame header seen
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    continue  # standalone markers carry no length
+                if i + 2 > len(payload):
+                    break
+                seg_len = struct.unpack(">H", payload[i : i + 2])[0]
+                if seg_len < 2:  # length includes itself; <2 can't advance
+                    raise ValueError("malformed JPEG segment length")
+                if marker in sof:
+                    if seg_len < 8 or i + 8 > len(payload):
+                        raise ValueError("truncated JPEG SOF segment")
+                    h, w = struct.unpack(">HH", payload[i + 3 : i + 7])
+                    ncomp = payload[i + 7]
+                    return {
+                        "format": "jpeg",
+                        "width": w,
+                        "height": h,
+                        "mode": _JPEG_MODES.get(ncomp, f"{ncomp}comp"),
+                    }
+                i += seg_len
+            raise ValueError("JPEG payload has no SOF segment")
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error / IndexError on hostile bytes
+        raise ValueError(f"malformed media header: {exc}") from exc
     raise ValueError(
         f"unrecognized media container (first bytes: {payload[:8]!r}); "
         "use extract_media_features(fake=True) for synthetic payloads"

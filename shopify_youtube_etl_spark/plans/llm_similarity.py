@@ -1438,15 +1438,24 @@ def _load_or_train_pq(spark: SparkSession, sf_dir: str):
     return cb
 
 
-def _persist_pq(spark: SparkSession, tbl, codebooks) -> DataFrame:
-    rows = [
-        (m, k, [float(x) for x in codebooks[m, k]])
-        for m in range(_PQ_M)
-        for k in range(_PQ_KSUB)
-    ]
-    df = spark.createDataFrame(
-        rows, "subspace int, centroid int, centroid_vec array<double>"
-    )
+def _persist_pq(spark: SparkSession, tbl, codebooks, centers_fp: str | None = None) -> DataFrame:
+    """Persist codebooks; ``centers_fp`` (IVF-PQ only) binds the rows to
+    the coarse-quantizer generation they explain."""
+    if centers_fp is None:
+        rows = [
+            (m, k, [float(x) for x in codebooks[m, k]])
+            for m in range(_PQ_M)
+            for k in range(_PQ_KSUB)
+        ]
+        schema = "subspace int, centroid int, centroid_vec array<double>"
+    else:
+        rows = [
+            (m, k, [float(x) for x in codebooks[m, k]], centers_fp)
+            for m in range(_PQ_M)
+            for k in range(_PQ_KSUB)
+        ]
+        schema = "subspace int, centroid int, centroid_vec array<double>, centers_fp string"
+    df = spark.createDataFrame(rows, schema)
     tbl.overwrite(df)
     return df
 
@@ -1705,17 +1714,39 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centers_fingerprint(centers) -> str:
+    """Stable digest of a coarse-quantizer centroid set (rounded so
+    float formatting can't flip it) — stored inside the IVF-PQ artifact
+    to bind residual codebooks to the centroids they were trained
+    against (ADVICE r5: retraining IVF centroids must invalidate the
+    residual codebooks, else recall silently degrades)."""
+    import hashlib
+
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+    return hashlib.md5(np.round(C, 9).tobytes()).hexdigest()
+
+
 def _load_or_train_ivfpq(spark: SparkSession, sf_dir: str, centers):
     """Residual PQ codebooks for IVF-PQ: Lloyd's per subspace over
     (v − nearest center) on the bounded sample; persisted as their own
     ParquetTable artifact (separate from the plain-PQ codebooks, which
-    quantize raw vectors)."""
+    quantize raw vectors).  The artifact records a fingerprint of the
+    centroid set it was trained against; a mismatch (the centroids were
+    retrained since) triggers a retrain instead of silently pairing new
+    cells with stale residual codes."""
     import numpy as np
 
     tbl = _ann_artifact_table(spark, sf_dir, "ivfpq")
+    want_fp = _centers_fingerprint(centers)
     if tbl.exists():
         rows = tbl.read().collect()
-        if len(rows) == _PQ_M * _PQ_KSUB:
+        if (
+            len(rows) == _PQ_M * _PQ_KSUB
+            and "centers_fp" in rows[0].asDict()
+            and rows[0]["centers_fp"] == want_fp
+        ):
             dsub = len(rows[0]["centroid_vec"])
             cb = np.empty((_PQ_M, _PQ_KSUB, dsub), dtype=np.float64)
             for r in rows:
@@ -1743,7 +1774,7 @@ def _load_or_train_ivfpq(spark: SparkSession, sf_dir: str, centers):
                 if len(pts):
                     Cm[k] = pts.mean(axis=0)
         codebooks[m] = Cm
-    _persist_pq(spark, tbl, codebooks)
+    _persist_pq(spark, tbl, codebooks, centers_fp=want_fp)
     return codebooks
 
 

@@ -209,6 +209,48 @@ def test_real_decode_parses_planted_fixtures():
         decode_image(b"\xff\xd8\xff\xd9" + b"\x00" * 16)
 
 
+def test_decode_image_hostile_and_exotic_headers():
+    """ADVICE r5: truncated headers of a RECOGNIZED container must raise
+    ValueError (not struct.error/IndexError); the JPEG walker must skip
+    legal 0xFF fill bytes and accept the full SOFn family, not just
+    SOF0/1/2."""
+    import struct
+
+    # Truncated magic-matched headers: every container, every error is
+    # a ValueError per the documented contract.
+    for blob in (
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 12,  # 20-byte PNG (the ADVICE case)
+        b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR\x00",  # IHDR cut mid-dims
+        b"GIF89a\x40",  # 7-byte GIF
+        b"BM" + b"\x00" * 10,  # BMP cut before BITMAPINFOHEADER
+        b"\xff\xd8\xff",  # JPEG cut mid-marker
+        b"\xff\xd8\xff\xc0\x00\x04\x08",  # SOF cut mid-payload
+        b"\xff\xd8\xff\xe0\x00\x00",  # zero segment length (hostile)
+    ):
+        with pytest.raises(ValueError):
+            decode_image(blob)
+    # 0xFF fill bytes before a marker are legal padding, and SOF3
+    # (lossless), SOF5-7, SOF9-11 all carry the frame dimensions.
+    def jpeg_with(sof_marker: int, fills: bytes = b"") -> bytes:
+        sof = struct.pack(">BBHBHHB", 0xFF, sof_marker, 8 + 3, 8, 77, 99, 1)
+        return b"\xff\xd8" + fills + sof + b"\xff\xd9"
+
+    for m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        got = decode_image(jpeg_with(m))
+        assert (got["width"], got["height"], got["mode"]) == (99, 77, "L"), hex(m)
+    padded = decode_image(jpeg_with(0xC0, fills=b"\xff\xff\xff"))
+    assert (padded["width"], padded["height"]) == (99, 77)
+    # An APPn segment before the SOF still walks correctly.
+    app0 = struct.pack(">BBH", 0xFF, 0xE0, 6) + b"JFIF"
+    blob = b"\xff\xd8" + app0 + struct.pack(
+        ">BBHBHHB", 0xFF, 0xC2, 11, 8, 480, 640, 3
+    ) + b"\xff\xd9"
+    got = decode_image(blob)
+    assert (got["format"], got["width"], got["height"], got["mode"]) == (
+        "jpeg", 640, 480, "RGB",
+    )
+
+
 def test_simhash_hamming_small_for_planted_dups(spark, docs_with_planted_dups):
     from shopify_youtube_etl_spark.functions.similarity import hamming64, simhash64
 
@@ -730,3 +772,32 @@ def test_semantic_cluster_dedup_drops_planted_copies(spark, sf_dir, tmp_path):
         # its original (min id of the pair) must be in the same cluster and kept
         orig = by_id[vid - 1_000_000]
         assert orig["cluster"] == r["cluster"]
+
+
+def test_ivfpq_codebooks_bound_to_centroid_generation(spark, sf_dir):
+    """ADVICE r5: the residual PQ artifact stores a fingerprint of the
+    IVF centroid set it was trained against — re-running with the SAME
+    centroids loads the stored model (no new generation), while a
+    retrained/perturbed centroid set forces a codebook retrain instead
+    of silently pairing new cells with stale residual codes."""
+    import numpy as np
+
+    from shopify_youtube_etl_spark.plans import llm_similarity as sim
+
+    centers = sim._fit_ivf_centroids(spark, sf_dir)
+    assert centers is not None
+    cb1 = sim._load_or_train_ivfpq(spark, sf_dir, centers)
+    tbl = sim._ann_artifact_table(spark, sf_dir, "ivfpq")
+    h1 = len(tbl.history())
+    assert tbl.read().collect()[0]["centers_fp"] == sim._centers_fingerprint(centers)
+    # Same centroid generation: pure load, bit-identical, no rewrite.
+    cb2 = sim._load_or_train_ivfpq(spark, sf_dir, centers)
+    assert len(tbl.history()) == h1
+    assert (cb1 == cb2).all()
+    # A centroid retrain (here: perturbed copy) must invalidate.
+    shifted = np.asarray(centers, dtype=np.float64) + 0.01
+    sim._load_or_train_ivfpq(spark, sf_dir, shifted)
+    assert len(tbl.history()) == h1 + 1
+    assert tbl.read().collect()[0]["centers_fp"] == sim._centers_fingerprint(shifted)
+    # Restore the true-generation artifact for downstream tests.
+    sim._load_or_train_ivfpq(spark, sf_dir, centers)
