@@ -86,25 +86,38 @@ def bucketed_join(
     return left.join(right, left[left_key] == right[right_key])
 
 
-def zorder_value(x_col: str, y_col: str, bits: int = 16) -> "F.Column":
-    """Morton (Z-order) interleave of two non-negative integer columns
-    — the multi-dimensional clustering key Delta's OPTIMIZE ZORDER BY
-    computes.  Bit b of ``x`` lands at position 2b, bit b of ``y`` at
-    2b+1, so rows close in BOTH dimensions get close z-values; writing
-    with ``repartitionByRange(z).sortWithinPartitions(z)`` then gives
-    every parquet file a narrow min/max envelope on BOTH columns and
-    the reader prunes on either predicate.
+def zorder_value(*cols: str, bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of N ≥ 2 non-negative integer
+    columns — the multi-dimensional clustering key Delta's OPTIMIZE
+    ZORDER BY computes.  Bit b of dimension j lands at position
+    N·b + j, so rows close in EVERY dimension get close z-values;
+    writing with ``repartitionByRange(z).sortWithinPartitions(z)``
+    then gives every parquet file a narrow min/max envelope on ALL
+    columns and the reader prunes on any predicate.  (For N=2 this is
+    the classic 2b / 2b+1 interleave, bit-compatible with the previous
+    two-arg signature.)
 
     Pure JVM higher-order expression (one fold over ``bits`` positions,
     no UDF, no shuffle); column args are names/SQL expressions, same
     convention as functions/text.py.  Inputs must fit in ``bits`` bits
     — mask beforehand (``F.col(c) % (1 << bits)``) or the interleave
-    silently aliases distant values."""
+    silently aliases distant values.  N·bits must fit a BIGINT
+    (≤ 63)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_value needs at least two columns")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} dims × {bits} bits = {n * bits} interleaved bits "
+            "overflows BIGINT (max 63); lower bits or drop a dimension"
+        )
+    terms = " + ".join(
+        f"shiftleft(CAST(shiftright({c}, b) & 1 AS BIGINT), {n}*b+{j})"
+        for j, c in enumerate(cols)
+    )
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),"
-        f" (acc, b) -> acc"
-        f" + shiftleft(CAST(shiftright({x_col}, b) & 1 AS BIGINT), 2*b)"
-        f" + shiftleft(CAST(shiftright({y_col}, b) & 1 AS BIGINT), 2*b+1))"
+        f" (acc, b) -> acc + {terms})"
     )
 
 

