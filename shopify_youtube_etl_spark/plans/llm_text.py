@@ -1358,14 +1358,16 @@ def duplicated_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise-unique pages; this is the operator that finds it.
 
     Scale shape: span explosion is map-side (transform over a
-    sequence — no shuffle); the corpus count is one groupBy on the
-    span string (Spark shuffles on its hash, so the full string
-    never needs pre-hashing for correctness — at 100 TB you'd
-    project xxhash64(span) instead of the string to shrink shuffle
-    bytes, trading the hash-collision epsilon); the count-back join
-    re-shuffles on the same key so AQE coalesces, and the per-source
-    rollup is a partial-agg over ~|sources| groups.  Nothing is
-    quadratic — cost is O(total tokens)."""
+    sequence — no shuffle), and the span string is hashed to a
+    64-bit xxhash64 BEFORE it ever reaches an Exchange: the census
+    groupBy and the count-back join both move 8-byte keys instead of
+    ~50-byte strings (~6× less shuffle I/O on the corpus-sized
+    stage, the dominant cost at 100 TB), trading the 2^-64-per-pair
+    collision epsilon — the same trade every MinHash/SimHash stage
+    in this family already makes.  The join re-shuffles on the same
+    key so AQE coalesces, and the per-source rollup is a partial-agg
+    over ~|sources| groups.  Nothing is quadratic — cost is O(total
+    tokens)."""
     toks = (
         t(spark, sf_dir, "documents")
         .select("doc_id", "source", F.split(F.col("text"), " ").alias("w"))
@@ -1377,14 +1379,14 @@ def duplicated_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("w") - 7),
-                lambda i: F.concat_ws(" ", F.slice("w", i, 8)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i, 8))),
             )
-        ).alias("span"),
+        ).alias("sh"),
     )
-    corpus = spans.groupBy("span").agg(F.countDistinct("doc_id").alias("nd"))
+    corpus = spans.groupBy("sh").agg(F.countDistinct("doc_id").alias("nd"))
     dup_flag = F.when(F.col("nd") > 1, 1).otherwise(0)
     return (
-        spans.join(corpus, "span")
+        spans.join(corpus, "sh")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -1441,15 +1443,15 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe to run corpus-wide.
 
     Scale shape — O(total tokens), nothing quadratic: span explosion
-    is map-side; the span census (count-distinct-docs + min keeper) is
-    ONE groupBy on the span; the census joins back on the same span
-    key (AQE coalesces the co-partitioned shuffle); covered token
+    is map-side and the span string is reduced to xxhash64 BEFORE the
+    Exchange, so the census (count-distinct-docs + min keeper) and its
+    join-back both shuffle 8-byte keys instead of ~50-byte strings
+    (AQE coalesces the co-partitioned shuffle); covered token
     positions collapse to a per-doc position set (bounded by doc
     length); and the final mask is a higher-order filter over the
-    token array — per-row JVM work, no extra shuffle.  At 100 TB the
-    census join would project xxhash64(span) instead of the string to
-    shrink shuffle bytes, same trade documented on the profile
-    query."""
+    token array — per-row JVM work, no extra shuffle.  The collision
+    epsilon (2^-64 per span pair) is the documented trade, identical
+    to the MinHash family's."""
     toks = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
@@ -1461,16 +1463,17 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(1), F.size("w") - 7),
                 lambda i: F.struct(
-                    i.alias("i"), F.concat_ws(" ", F.slice("w", i, 8)).alias("span")
+                    i.alias("i"),
+                    F.xxhash64(F.concat_ws(" ", F.slice("w", i, 8))).alias("sh"),
                 ),
             )
         ).alias("s"),
-    ).select("doc_id", "s.i", "s.span")
-    census = spans.groupBy("span").agg(
+    ).select("doc_id", "s.i", "s.sh")
+    census = spans.groupBy("sh").agg(
         F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("keeper")
     )
     covered = (
-        spans.join(census, "span")
+        spans.join(census, "sh")
         .where((F.col("nd") >= 2) & (F.col("doc_id") != F.col("keeper")))
         .select("doc_id", F.explode(F.sequence("i", F.col("i") + 7)).alias("pos"))
         .groupBy("doc_id")
