@@ -81,6 +81,15 @@ HEADLINE = [
     # composed curation funnel (the heaviest chained lineage).
     "ivfpq_ann_topk",
     "curation_funnel_report",
+    # Round-6 additions: the steady-state INCREMENTAL paths (full
+    # recompute above is the cold build; these are what actually runs
+    # per batch at 100 TB — first rep builds the persisted state,
+    # best-of-N reflects the warm incremental cost) and the genuine
+    # partsupp-dependent TPC-H shapes.
+    "incremental_curation_funnel",
+    "ivf_incremental_assign",
+    "tpch_q2_real",
+    "tpch_q20_surplus_suppliers",
 ]
 
 

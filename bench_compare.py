@@ -35,6 +35,20 @@ MIN_SECONDS = 0.2  # ignore regressions inside scheduling jitter
 # (plan/overhead difference, with the diff named).  Evidence measured
 # round 4 on an otherwise idle session, 5 reps per query at sf0.1.
 DISPOSITIONS = {
+    "curation_funnel_report": (
+        "inherent, with the production path now registered (r5 verdict "
+        "#6): the ~4.5s IS the composed five-stage pipeline — quality "
+        "scan, digest shuffle, 32-hash MinHash + banding, candidate-"
+        "pruned Jaccard verify, label propagation, containment probe — "
+        "each stage individually audited/dispositioned under its "
+        "standalone query, survivors localCheckpointed once for five "
+        "consumers, 2.02x at 10x data (BENCH_SF1_r05). The COLD build "
+        "is not the steady-state cost: incremental_curation_funnel "
+        "(round 6) re-curates an appended batch against persisted "
+        "digest/band/label/postings state and is the per-ingest path "
+        "at 100 TB; hash-equality with this full recompute is pinned "
+        "in tests/test_llm_ops.py."
+    ),
     "ann_cosine_topk": (
         "host-variance: r04 6-rep profile at identical code gives "
         "0.660-0.835s steady state (min 0.660s vs r02's 0.587s — within "

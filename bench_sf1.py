@@ -12,7 +12,7 @@ A query is flagged ``superlinear`` when its sf1 min exceeds ~12× its
 sf0.1 min (10× data + scheduling slack); every flag needs a written
 disposition in the artifact before the round closes.
 
-Usage: python bench_sf1.py  → writes BENCH_SF1_r05.json and prints it.
+Usage: python bench_sf1.py  → writes BENCH_SF1_r06.json and prints it.
 """
 
 from __future__ import annotations
@@ -54,6 +54,12 @@ HEAVY = [
     "fuzzy_blocked_join",
     "ivfpq_ann_topk",
     "curation_funnel_report",
+    # Round-6: the incremental steady-state paths (state build amortized
+    # by REPS; best-of-N is the warm incremental cost) and the genuine
+    # partsupp Q9 (two fact-grain tables joined on a composite key).
+    "incremental_curation_funnel",
+    "ivf_incremental_assign",
+    "tpch_q9_product_profit",
 ]
 
 # Tables the HEAVY set reads; the rest are copied unscaled.
@@ -141,7 +147,7 @@ def main() -> None:
         "queries": results,
         "dispositions": {},
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r05.json"), "w") as fh:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r06.json"), "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps(artifact))
 

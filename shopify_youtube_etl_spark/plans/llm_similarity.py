@@ -739,13 +739,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "probe_id long, neighbor_id long, cosine double, rank int"
         )
+    return _ivf_search(e, centers)
+
+
+def _ivf_dists(centers) -> "F.Column":
+    """array<double> of squared distances from column ``v`` to each
+    centroid (pure-JVM zip_with/aggregate fold, broadcast-literal
+    centers — the shared cell-assignment expression for IVF search and
+    incremental index maintenance)."""
 
     def sqdist_to(center: list[float]):
         c = F.array(*[F.lit(x) for x in center])
         diff = F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b))
         return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 
-    dists = F.array(*[sqdist_to(c) for c in centers])
+    return F.array(*[sqdist_to(c) for c in centers])
+
+
+def _ivf_search(e: DataFrame, centers) -> DataFrame:
+    """IVF nprobe search against an EXPLICIT centroid set — factored
+    out of ``ann_ivf_topk`` so incremental-index recall can be measured
+    against base-trained centroids (r5 verdict #5) without retraining."""
+    dists = _ivf_dists(centers)
     # cell assignment = argmin; probe cells = 3 nearest centroids.
     corpus = e.withColumn(
         "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -2008,4 +2023,152 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy("cluster").applyInPandas(
         dedup_cluster, "vec_id long, cluster int, keep boolean, dup_cosine double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance (r5 verdict item #5): on embeddings
+# append, assign the new vectors to the EXISTING IVF cells — no retrain —
+# and report per-cell staleness so an operator knows when a retrain is
+# actually due.  Recall of search over the incrementally-extended index
+# is pinned in pytest against the exact brute-force oracle query.
+# ---------------------------------------------------------------------------
+
+_IVF_APPEND_SPLIT = 400  # vec_id < SPLIT = index-time base; >= SPLIT = appended
+
+
+def _load_or_train_ivf_base(spark: SparkSession, sf_dir: str):
+    """Base-corpus coarse quantizer + per-cell base statistics,
+    persisted as the ``ivfbase`` artifact: (cell, centroid_vec, n_base,
+    mean_sqdist_base).  Fit ONLY on vec_id < _IVF_APPEND_SPLIT — the
+    append slice must never leak into training, or the no-retrain
+    guarantee is untestable.  Returns (centers, stats_df) or (None,
+    None) on an empty base."""
+    tbl = _ann_artifact_table(spark, sf_dir, "ivfbase")
+    if tbl.exists():
+        rows = tbl.read().orderBy("cell").collect()
+        if len(rows) == _IVF_K:
+            return [list(r["centroid_vec"]) for r in rows], tbl.read()
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull() & (F.col("vec_id") < _IVF_APPEND_SPLIT))
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    ml_df = base.select(array_to_vector("v").alias("features"))
+    if not ml_df.head(1):
+        return None, None
+    model = KMeans(k=_IVF_K, seed=42, maxIter=10).fit(ml_df)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    dists = _ivf_dists(centers)
+    stats = (
+        base.select(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cell"),
+            F.array_min(dists).alias("d"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_base"),
+            F.avg("d").alias("mean_sqdist_base"),
+        )
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cell int, centroid_vec array<double>",
+    )
+    # A cell can own zero base vectors (k-means keeps the centroid);
+    # coalesce so the artifact always has exactly _IVF_K rows.
+    tbl.overwrite(
+        cdf.join(stats, "cell", "left").select(
+            "cell",
+            "centroid_vec",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("mean_sqdist_base", F.lit(0.0)).alias("mean_sqdist_base"),
+        )
+    )
+    return centers, tbl.read()
+
+
+@query(
+    "ivf_incremental_assign",
+    ref="incremental ANN index maintenance (r5 verdict #5) — append-time cell assignment against the persisted base quantizer, with per-cell staleness",
+    doc="Per IVF cell: base count, appended count, growth ratio, and quantization drift (appended mean squared distance / base mean) — the retrain-due signal; rows-only (k-means not oracle-portable); no-silent-retrain and recall pinned in pytest.",
+    oracle=None,
+)
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance verb a production vector store runs on every
+    embedding append: new vectors are assigned to the EXISTING cells
+    (map-side argmin against broadcast-literal centroids — no shuffle
+    until the tiny per-cell rollup, no retrain, same cost shape as
+    ingesting into Faiss's IVF add()), and the report quantifies how
+    stale the quantizer has become:
+
+      growth_ratio   n_new / n_base per cell — skewed growth means the
+                     data distribution moved and some cells are turning
+                     into scan hot-spots.
+      drift_ratio    mean squared quantization error of NEW members ÷
+                     the base mean — rising drift means the centroids
+                     no longer describe the incoming data and recall
+                     will sag (the retrain trigger; the recall floor
+                     itself is pinned in tests/test_llm_ops.py via
+                     ``_ivf_search`` over base-trained centroids).
+
+    The base quantizer comes from the persisted ``ivfbase`` artifact
+    and is NEVER refit here (poison-pinned in pytest): retraining is
+    ``ivf_train_centroids``'s job, on the operator's schedule, and the
+    IVF-PQ fingerprint binding makes a retrain invalidate dependent
+    residual codebooks instead of silently degrading."""
+    centers, base_stats = _load_or_train_ivf_base(spark, sf_dir)
+    if centers is None:
+        return spark.createDataFrame(
+            [],
+            "cell int, n_base long, n_new long, growth_ratio double, "
+            "mean_sqdist_base double, mean_sqdist_new double, drift_ratio double",
+        )
+    appended = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull() & (F.col("vec_id") >= _IVF_APPEND_SPLIT))
+        .select(as_double_array("embedding").alias("v"))
+    )
+    dists = _ivf_dists(centers)
+    new_stats = (
+        appended.select(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cell"),
+            F.array_min(dists).alias("d"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_new"),
+            F.avg("d").alias("mean_sqdist_new"),
+        )
+    )
+    return (
+        base_stats.join(new_stats, "cell", "left")
+        .select(
+            "cell",
+            "n_base",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)) / F.greatest("n_base", F.lit(1)), 4
+            ).alias("growth_ratio"),
+            F.round("mean_sqdist_base", 6).alias("mean_sqdist_base"),
+            F.round(F.coalesce("mean_sqdist_new", F.lit(0.0)), 6).alias(
+                "mean_sqdist_new"
+            ),
+            F.round(
+                F.when(
+                    F.col("mean_sqdist_base") > 0,
+                    F.coalesce("mean_sqdist_new", F.lit(0.0))
+                    / F.col("mean_sqdist_base"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("drift_ratio"),
+        )
+        .orderBy("cell")
     )

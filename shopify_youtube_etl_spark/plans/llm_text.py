@@ -2040,3 +2040,403 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "neardup", neardup))
         .unionByName(stage(5, "decontam", decontam))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation funnel (r5 verdict item #4): the funnel re-run on
+# an appended batch against PERSISTED history state — digest set, LSH
+# bands, verified edges, component labels, shingle postings — instead of
+# re-curating the corpus.  The IVM proof: its 5 stage rows hash-equal
+# the full-recompute funnel on the same final corpus (pinned in pytest).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SPLIT = 400  # doc_id < SPLIT = curated history; >= SPLIT = new batch
+
+
+def _funnel_state(spark: SparkSession, sf_dir: str) -> dict:
+    """The funnel's persisted state store — one ParquetTable per
+    structure a production incremental curator keeps warm between
+    batches, keyed by corpus dir (same convention as the ANN artifact
+    tables)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"sye_funnel_{key}")
+    return {
+        k: ParquetTable(spark, f"{base}_{k}")
+        for k in (
+            "meta",      # per-stage (stage_name, n_docs, total_tokens) for ingest/quality
+            "digests",   # exact-dedup digest set of history quality survivors
+            "toks",      # (doc_id, n_tokens) per history exact survivor
+            "bands",     # (doc_id, band_id, band_hash) LSH index of history survivors
+            "edges",     # verified near-dup edges within history
+            "labels",    # (node, label) history component labels
+            "bench_sh",  # distinct benchmark shingle hashes seen so far
+            "postings",  # (doc_id, sh_hash, k) inverted index of survivor shingles
+            "cstat",     # (doc_id, n_sh, hits) contamination stats vs history bench
+        )
+    }
+
+
+def _funnel_quality(corpus: DataFrame) -> DataFrame:
+    ws = words(F.col("text"))
+    return corpus.where(
+        (F.size(ws) >= 20)
+        & ((F.length(F.regexp_replace("text", r"\s+", "")) / F.size(ws)) <= 12)
+    )
+
+
+def _funnel_stage_row(n: int, name: str, df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.lit(n).alias("stage"),
+        F.lit(name).alias("stage_name"),
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.size(words(F.col("text")))), F.lit(0))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+
+
+def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict) -> None:
+    """One-time history curation: runs the funnel's quality → exact →
+    LSH → components → decontam stages over the history slice and
+    persists every reusable structure.  Deliberately the same
+    primitives as ``curation_funnel_report`` so batch-time equality is
+    a property of the STATE design, not of duplicated constants."""
+    from shopify_youtube_etl_spark.functions.similarity import (
+        jaccard as _jaccard,
+        lsh_bands as _lsh_bands,
+        lsh_candidate_pairs as _lsh_pairs,
+        minhash_signature as _minhash,
+    )
+    from shopify_youtube_etl_spark.functions.text import (
+        shingles_from_words as _shingles,
+    )
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .where(F.col("doc_id") < _FUNNEL_SPLIT)
+        .select("doc_id", "text")
+    )
+    bench = docs.where(F.col("doc_id") % 50 == 7)
+    corpus = docs.where(F.col("doc_id") % 50 != 7)
+    quality = _funnel_quality(corpus)
+    ws = words(F.col("text"))
+
+    exact = (
+        quality.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(quality, "doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+    st["meta"].overwrite(
+        _funnel_stage_row(1, "ingest", corpus).unionByName(
+            _funnel_stage_row(2, "quality", quality)
+        )
+    )
+    st["digests"].overwrite(quality.select(F.md5("text").alias("digest")).distinct())
+    st["toks"].overwrite(
+        exact.select("doc_id", F.size(ws).cast("long").alias("n_tokens"))
+    )
+
+    shingled = (
+        exact.select("doc_id", ws.alias("wa"))
+        .where(F.size("wa") >= 3)
+        .select("doc_id", _shingles("wa", 3).alias("sh"))
+    )
+    bands = _lsh_bands(
+        _minhash(shingled, "doc_id", "sh", num_hashes=32), "doc_id",
+        num_hashes=32, bands=8,
+    )
+    st["bands"].overwrite(bands)
+    pairs = _lsh_pairs(st["bands"].read(), "doc_id").localCheckpoint(eager=True)
+
+    def cand_sh(id_col: str, out_id: str, out_sh: str):
+        ids = pairs.select(F.col(id_col).alias("doc_id")).distinct()
+        return (
+            exact.join(F.broadcast(ids), "doc_id")
+            .select("doc_id", ws.alias("w2"))
+            .select(F.col("doc_id").alias(out_id), _shingles("w2", 3).alias(out_sh))
+        )
+
+    verified = (
+        pairs.join(cand_sh("id_a", "id_a", "sa"), "id_a")
+        .join(cand_sh("id_b", "id_b", "sb"), "id_b")
+        .where(_jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    st["edges"].overwrite(verified)
+    st["labels"].overwrite(
+        connected_components(st["edges"].read(), exact.select("doc_id"))
+    )
+
+    bench_sh = (
+        bench.select(ws.alias("bw"))
+        .where(F.size("bw") >= 3)
+        .select(F.explode(_shingles("bw", 3)).alias("s"))
+        .select(F.xxhash64("s").alias("sh_hash"))
+        .distinct()
+    )
+    st["bench_sh"].overwrite(bench_sh)
+    postings = (
+        exact.select("doc_id", ws.alias("dw"))
+        .where(F.size("dw") >= 3)
+        .select("doc_id", F.explode(_shingles("dw", 3)).alias("s"))
+        .groupBy("doc_id", F.xxhash64("s").alias("sh_hash"))
+        .agg(F.count("*").alias("k"))
+    )
+    st["postings"].overwrite(postings)
+    st["cstat"].overwrite(
+        st["postings"]
+        .read()
+        .join(
+            F.broadcast(st["bench_sh"].read().withColumn("hit", F.lit(1))),
+            "sh_hash",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_sh"),
+            F.sum(F.when(F.col("hit").isNotNull(), F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+
+
+@query(
+    "incremental_curation_funnel",
+    ref="incremental view maintenance of the curation funnel (r5 verdict #4) — batch-time curation against persisted history state; hash-equality with the full recompute pinned in pytest",
+    doc="The curation funnel's 5 stage rows computed INCREMENTALLY: new docs (doc_id >= 400) checked against the persisted historical digest set, LSH band index, component labels, and shingle postings; rows-only (MinHash state not oracle-portable), full-recompute equality proven in tests.",
+    oracle=None,
+)
+def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state corpus curation: ``curation_funnel_report`` is the
+    cold build; THIS is what runs per ingestion batch at 100 TB —
+    corpus-sized work touches ONLY the batch and its candidate
+    neighborhoods, never the curated history:
+
+      exact     batch digests anti-join the persisted digest SET
+                (16-byte keys, the incremental_dedup_report pattern).
+      neardup   batch MinHash bands probe the persisted band INDEX;
+                candidate pairs are regenerated only inside buckets a
+                batch doc touches; verified new edges merge into the
+                persisted component labels by the label-collapse trick
+                (map endpoints through old labels, run components on
+                the collapsed graph — O(new edges), min-label
+                invariant preserved, so a batch doc BRIDGING two
+                historical components demotes the higher representative
+                exactly as a full recompute would).
+      decontam  new benchmark shingles (Δ only) probe the persisted
+                inverted POSTINGS index to re-score affected historical
+                survivors; batch docs score against the full bench set.
+
+    Equality with the full recompute is exact, not approximate — the
+    pytest pin compares collected rows.  One documented edge: the LSH
+    hot-bucket cap (256) could diverge if a bucket crosses the cap
+    only in the union view; at that point the bucket's band parameters
+    are mis-tuned for the slice and both paths are in the documented
+    degraded mode."""
+    from shopify_youtube_etl_spark.functions.similarity import (
+        jaccard as _jaccard,
+        lsh_bands as _lsh_bands,
+        lsh_candidate_pairs as _lsh_pairs,
+        minhash_signature as _minhash,
+    )
+    from shopify_youtube_etl_spark.functions.text import (
+        shingles_from_words as _shingles,
+    )
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    st = _funnel_state(spark, sf_dir)
+    if not st["labels"].exists():
+        _build_funnel_state(spark, sf_dir, st)
+
+    ws = words(F.col("text"))
+    docs_b = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .where(F.col("doc_id") >= _FUNNEL_SPLIT)
+        .select("doc_id", "text")
+    )
+    bench_b = docs_b.where(F.col("doc_id") % 50 == 7)
+    corpus_b = docs_b.where(F.col("doc_id") % 50 != 7)
+    quality_b = _funnel_quality(corpus_b)
+
+    # --- exact dedup: history wins every digest it has seen (history
+    # ids precede batch ids, so min-per-digest over the union ≡ this
+    # anti-join + min-within-batch).
+    exact_b = (
+        quality_b.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(st["digests"].read(), "digest", "left_anti")
+        .join(quality_b, "doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    toks_b = exact_b.select("doc_id", F.size(ws).cast("long").alias("n_tokens"))
+    toks_all = st["toks"].read().unionByName(toks_b)
+
+    # --- near-dup: probe the persisted band index with batch bands;
+    # regenerate candidates only inside TOUCHED buckets (contents there
+    # are identical to the full run's, so capped-bucket behavior is
+    # identical too); everything else is already in the edge store.
+    shingled_b = (
+        exact_b.select("doc_id", ws.alias("wa"))
+        .where(F.size("wa") >= 3)
+        .select("doc_id", _shingles("wa", 3).alias("sh"))
+    )
+    bands_b = _lsh_bands(
+        _minhash(shingled_b, "doc_id", "sh", num_hashes=32), "doc_id",
+        num_hashes=32, bands=8,
+    )
+    union_bands = st["bands"].read().unionByName(bands_b)
+    touched = union_bands.join(
+        F.broadcast(bands_b.select("band_id", "band_hash").distinct()),
+        ["band_id", "band_hash"],
+        "left_semi",
+    )
+    new_pairs = _lsh_pairs(touched, "doc_id")
+    texts = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def cand_sh(id_col: str, out_id: str, out_sh: str):
+        ids = new_pairs.select(F.col(id_col).alias("doc_id")).distinct()
+        return (
+            texts.join(F.broadcast(ids), "doc_id")
+            .select("doc_id", ws.alias("w2"))
+            .select(F.col("doc_id").alias(out_id), _shingles("w2", 3).alias(out_sh))
+        )
+
+    verified_new = (
+        new_pairs.join(cand_sh("id_a", "id_a", "sa"), "id_a")
+        .join(cand_sh("id_b", "id_b", "sb"), "id_b")
+        .where(_jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    # Label-collapse: map each new edge endpoint through the persisted
+    # labels (batch/unknown nodes map to themselves), drop edges that
+    # collapse to self-loops, and run components over the label graph —
+    # nodes are old component representatives + new batch survivors.
+    histlab = st["labels"].read()  # (node, label)
+    lab_a = histlab.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lab_b = histlab.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    collapsed = (
+        verified_new.join(F.broadcast(lab_a), "src", "left")
+        .join(F.broadcast(lab_b), "dst", "left")
+        .select(
+            F.coalesce("la", F.col("src")).alias("src"),
+            F.coalesce("lb", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    nodes = (
+        histlab.select(F.col("label").alias("doc_id"))
+        .distinct()
+        .unionByName(exact_b.select("doc_id"))
+    )
+    newlab = connected_components(collapsed, nodes)  # (node=old label, label)
+    # Final representatives: a node survives iff its (collapsed) final
+    # label is itself — old reps can be DEMOTED by a bridging batch doc.
+    reps = (
+        newlab.where(F.col("node") == F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    # --- decontam IVM: Δ = benchmark shingles never seen before; only
+    # postings rows matching Δ re-score history docs.
+    bench_sh_b = (
+        bench_b.select(ws.alias("bw"))
+        .where(F.size("bw") >= 3)
+        .select(F.explode(_shingles("bw", 3)).alias("s"))
+        .select(F.xxhash64("s").alias("sh_hash"))
+        .distinct()
+    )
+    delta_bench = bench_sh_b.join(st["bench_sh"].read(), "sh_hash", "left_anti")
+    delta_hits = (
+        st["postings"]
+        .read()
+        .join(F.broadcast(delta_bench), "sh_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("k").cast("long").alias("dh"))
+    )
+    cstat_h = (
+        st["cstat"].read()
+        .join(delta_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            (F.col("hits") + F.coalesce("dh", F.lit(0))).alias("hits"),
+        )
+    )
+    full_bench = st["bench_sh"].read().unionByName(delta_bench)
+    cstat_b = (
+        exact_b.select("doc_id", ws.alias("dw"))
+        .where(F.size("dw") >= 3)
+        .select("doc_id", F.explode(_shingles("dw", 3)).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("sh_hash"))
+        .join(F.broadcast(full_bench.withColumn("hit", F.lit(1))), "sh_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sh"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    contaminated = (
+        cstat_h.unionByName(cstat_b)
+        .where((F.col("n_sh") > 0) & (F.col("hits") / F.col("n_sh") >= 0.2))
+        .select("doc_id")
+    )
+    decontam_ids = reps.join(contaminated, "doc_id", "left_anti")
+
+    # --- stage rows: history meta + batch deltas; survivor stages
+    # aggregate over the maintained (doc_id, n_tokens) view.
+    meta = st["meta"].read()
+
+    def hist_plus_batch(n: int, name: str, batch_df: DataFrame) -> DataFrame:
+        h = meta.where(F.col("stage_name") == name).select("n_docs", "total_tokens")
+        b = batch_df.agg(
+            F.count("*").alias("bn"),
+            F.coalesce(F.sum(F.size(words(F.col("text")))), F.lit(0))
+            .cast("long")
+            .alias("bt"),
+        )
+        return h.join(b).select(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            (F.col("n_docs") + F.col("bn")).alias("n_docs"),
+            (F.col("total_tokens") + F.col("bt")).cast("long").alias("total_tokens"),
+        )
+
+    def survivor_stage(n: int, name: str, ids: DataFrame) -> DataFrame:
+        return (
+            ids.join(toks_all, "doc_id")
+            .agg(
+                F.lit(n).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
+            )
+        )
+
+    return (
+        hist_plus_batch(1, "ingest", corpus_b)
+        .unionByName(hist_plus_batch(2, "quality", quality_b))
+        .unionByName(survivor_stage(3, "exact_dedup", toks_all.select("doc_id")))
+        .unionByName(survivor_stage(4, "neardup", reps))
+        .unionByName(survivor_stage(5, "decontam", decontam_ids))
+    )

@@ -78,6 +78,16 @@ _DRIVER_PRIORITY = _CANARIES + [
     "clustered_range_scan",
     "pq_train_codebooks",
     "ivf_train_centroids",
+    # --- never externally verified: round-6 additions (genuine
+    # partsupp-dependent TPC-H shapes over the synthesized partsupp) --
+    "tpch_q2_real",
+    "tpch_q11_real",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_surplus_suppliers",
+    "tpch_q9_product_profit",
+    "incremental_curation_funnel",
+    "ivf_incremental_assign",
+    "zorder_multidim_scan",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

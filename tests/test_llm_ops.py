@@ -788,16 +788,175 @@ def test_ivfpq_codebooks_bound_to_centroid_generation(spark, sf_dir):
     assert centers is not None
     cb1 = sim._load_or_train_ivfpq(spark, sf_dir, centers)
     tbl = sim._ann_artifact_table(spark, sf_dir, "ivfpq")
-    h1 = len(tbl.history())
+    # Latest generation id, not history length: retention caps the
+    # generation list, so on a warm artifact dir an overwrite adds one
+    # AND vacuums one — length is not a rewrite detector, the id is.
+    g1 = tbl.history()[-1]
     assert tbl.read().collect()[0]["centers_fp"] == sim._centers_fingerprint(centers)
     # Same centroid generation: pure load, bit-identical, no rewrite.
     cb2 = sim._load_or_train_ivfpq(spark, sf_dir, centers)
-    assert len(tbl.history()) == h1
+    assert tbl.history()[-1] == g1
     assert (cb1 == cb2).all()
     # A centroid retrain (here: perturbed copy) must invalidate.
     shifted = np.asarray(centers, dtype=np.float64) + 0.01
     sim._load_or_train_ivfpq(spark, sf_dir, shifted)
-    assert len(tbl.history()) == h1 + 1
+    assert tbl.history()[-1] > g1
     assert tbl.read().collect()[0]["centers_fp"] == sim._centers_fingerprint(shifted)
     # Restore the true-generation artifact for downstream tests.
     sim._load_or_train_ivfpq(spark, sf_dir, centers)
+
+
+def test_incremental_funnel_equals_full_recompute(spark, sf_dir):
+    """IVM proof on the real corpus: the incremental funnel's 5 stage
+    rows equal the full recompute's bit-for-bit."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    full = {r["stage_name"]: (r["n_docs"], r["total_tokens"])
+            for r in qs["curation_funnel_report"].fn(spark, sf_dir).collect()}
+    inc = {r["stage_name"]: (r["n_docs"], r["total_tokens"])
+           for r in qs["incremental_curation_funnel"].fn(spark, sf_dir).collect()}
+    assert full == inc
+
+
+def test_incremental_funnel_demotes_bridged_representative(spark, tmp_path):
+    """The hard IVM cases, planted: (1) a batch near-dup CHAIN bridges
+    two historical components, so the higher historical representative
+    must be DEMOTED exactly as a full recompute would; (2) a batch doc
+    exactly duplicating a historical doc is dropped by the digest-set
+    probe; (3) within-batch exact dups keep the min id; (4) a NEW
+    benchmark doc arriving in the batch flips a historical survivor to
+    contaminated via the Δ-postings rescore."""
+    from shopify_youtube_etl_spark.plans import llm_text as lt
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    # 40-word docs: a single-word mutation changes 3 of 38 shingles
+    # (J = 0.85 -> per-pair LSH miss probability ~0.3%), while B's five
+    # mutations put J(A,B) = 23/53 = 0.43 < 0.5 (distinct components).
+    A = ("tok%02d " * 40).strip() % tuple(range(40))  # history, id 10
+    def mut(*pos):
+        w = A.split()
+        for p in pos:
+            w[p] = f"alt{p}"
+        return " ".join(w)
+    B = mut(3, 9, 15, 21, 27)                        # history, id 60
+    chain = [mut(3), mut(3, 9), mut(3, 9, 15), mut(3, 9, 15, 21)]
+    H2 = ("uniq%02d " * 40).strip() % tuple(range(40))   # history, id 20
+    H3 = ("vic%02d " * 40).strip() % tuple(range(40))    # history, id 30
+    # New benchmark doc (id 457, %50==7, >=400) quoting 20 of H3's words.
+    bench_new = " ".join(H3.split()[:20]) + " " + ("pad%02d " * 10).strip() % tuple(range(10))
+    dup_batch1 = ("bat%02d " * 40).strip() % tuple(range(40))
+    rows = [
+        (10, A), (20, H2), (30, H3), (60, B),            # history corpus
+        (410, chain[0]), (415, chain[1]),                # the bridge chain:
+        (440, chain[2]), (465, chain[3]),                # A~410~415~440~465~B
+        (420, H2),                                       # exact dup of history
+        (430, dup_batch1), (480, dup_batch1),            # within-batch dup
+        (457, bench_new),                                # NEW benchmark doc
+    ]
+    d = tmp_path / "sf_funnel"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    qs = all_queries()
+    full = sorted(
+        (r["stage"], r["stage_name"], r["n_docs"], r["total_tokens"])
+        for r in qs["curation_funnel_report"].fn(spark, str(d)).collect()
+    )
+    inc = sorted(
+        (r["stage"], r["stage_name"], r["n_docs"], r["total_tokens"])
+        for r in qs["incremental_curation_funnel"].fn(spark, str(d)).collect()
+    )
+    assert full == inc
+    # The planted structure actually fired (not vacuous equality):
+    by = {name: (n, tok) for _, name, n, tok in inc}
+    # ingest: 11 corpus docs (457 is bench); quality passes all.
+    assert by["ingest"][0] == 11
+    # exact: 420 (hist dup) and 480 (batch dup) dropped -> 9.
+    assert by["exact_dedup"][0] == 9
+    # neardup: {10,410,415,440,465,60} ONE component (rep 10 — the
+    # historical rep 60 DEMOTED by the batch chain), plus 20, 30, 430.
+    assert by["neardup"][0] == 4
+    # decontam: H3 (id 30) flipped by the NEW bench doc -> 3.
+    assert by["decontam"][0] == 3
+    # And the demotion/flip shaped the SURVIVOR SET, not just counts:
+    st = lt._funnel_state(spark, str(d))
+    hist_reps = {r["node"] for r in st["labels"].read().collect()
+                 if r["node"] == r["label"]}
+    assert 60 in hist_reps, "precondition: B was its own rep in history"
+
+
+def test_ivf_incremental_assign_no_silent_retrain_and_recall(spark, sf_dir):
+    """r5 verdict #5: (1) the staleness report is sane (every appended
+    vector assigned to exactly one existing cell, k rows, base counts
+    match the split); (2) search over the incrementally-extended index
+    — base-trained centroids, appended vectors merely assigned — holds
+    the same recall floor as the retrained IVF query; (3) POISON pin:
+    perturbing the persisted base quantizer changes the report (the
+    artifact is genuinely read) and is NOT silently retrained away."""
+    from pyspark.sql import functions as F2
+
+    from shopify_youtube_etl_spark.plans import llm_similarity as sim
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    rep = specs["ivf_incremental_assign"].fn(spark, sf_dir).collect()
+    assert len(rep) == sim._IVF_K
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F2.col("embedding").isNotNull()
+    )
+    n_base = emb.where(F2.col("vec_id") < sim._IVF_APPEND_SPLIT).count()
+    n_new = emb.where(F2.col("vec_id") >= sim._IVF_APPEND_SPLIT).count()
+    assert sum(r["n_base"] for r in rep) == n_base
+    assert sum(r["n_new"] for r in rep) == n_new
+    assert all(r["drift_ratio"] >= 0 for r in rep)
+
+    # Recall of search over base-trained centroids + incremental
+    # assignment, vs the exact brute force — same floor as the
+    # retrained quantizer's pin (test_ivf_recall_vs_brute_force).
+    centers, _ = sim._load_or_train_ivf_base(spark, sf_dir)
+    from shopify_youtube_etl_spark.functions.similarity import as_double_array
+
+    e = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in sim._ivf_search(e, centers).collect()
+    }
+    truth = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in specs["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"incremental-index recall@5 {recall:.2%}"
+
+    # Poison: shift every centroid far away; the report must reflect the
+    # poisoned quantizer (drift explodes) and the artifact must survive
+    # the query unchanged (no silent retrain).
+    tbl = sim._ann_artifact_table(spark, sf_dir, "ivfbase")
+    poisoned = tbl.read().select(
+        "cell",
+        F2.transform("centroid_vec", lambda x: x + F2.lit(1000.0)).alias(
+            "centroid_vec"
+        ),
+        "n_base",
+        "mean_sqdist_base",
+    )
+    tbl.overwrite(poisoned)
+    gens = len(tbl.history())
+    rep2 = specs["ivf_incremental_assign"].fn(spark, sf_dir).collect()
+    assert len(tbl.history()) == gens, "query silently rewrote the quantizer"
+    # All appended vectors now quantize at enormous distance: the
+    # poisoned centers were demonstrably USED, not refit.
+    assert sum(r["mean_sqdist_new"] for r in rep2) > 1_000_000
+    # Restore the true artifact for any downstream test.
+    tbl.overwrite(
+        tbl.read().select(
+            "cell",
+            F2.transform("centroid_vec", lambda x: x - F2.lit(1000.0)).alias(
+                "centroid_vec"
+            ),
+            "n_base",
+            "mean_sqdist_base",
+        )
+    )

@@ -437,6 +437,12 @@ SHUFFLE_BUDGET = {
     "tpch_q2_min_cost_supplier": 3,  # cost agg, per-part min, argmin join-back
     "tpch_q11_important_parts": 3,  # per-part value, scalar total, HAVING
     "repeated_span_removal": 3,  # span census, census join-back, per-doc mask set
+    # Round-6 additions: genuine partsupp-dependent TPC-H shapes.
+    "tpch_q2_real": 1,  # per-part min agg; argmin join-back + dims broadcast
+    "tpch_q11_real": 3,  # per-part value, scalar total, HAVING attach
+    "tpch_q16_supplier_counts": 2,  # distinct-supplier expand-agg pair
+    "tpch_q20_surplus_suppliers": 2,  # shipped agg, availqty join
+    "tpch_q9_product_profit": 1,  # orderkey attach; dims + partsupp broadcast at test SF
 }
 
 
