@@ -39,16 +39,25 @@ def connected_components(
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint()
     )
-    # Label every node AND every edge endpoint (ADVICE r2): the
-    # neighbor-min inner join drops edges whose endpoint is absent from
-    # the label set, so a mismatched edges/nodes input would silently
-    # mislabel instead of converging over the whole graph.
-    all_nodes = (
+    # Only edge ENDPOINTS ride the iterative loop: in a dedup graph the
+    # overwhelming majority of nodes are isolated (no near-dup edge),
+    # their label is trivially their own id, and dragging them through
+    # O(log diameter) rounds of join+compress multiplies every
+    # iteration's shuffle by |nodes|/|endpoints| for nothing — at 100 TB
+    # that ratio is commonly 100:1+.  Isolated nodes are attached once,
+    # label = id, after convergence.  Endpoints absent from ``nodes``
+    # are still labeled (ADVICE r2): the neighbor-min inner join would
+    # otherwise silently drop their edges instead of converging.
+    endpoints = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    isolated = (
         nodes.select(F.col(node_col).alias("node"))
-        .unionByName(sym.select(F.col("src").alias("node")))
         .distinct()
+        .join(endpoints, "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
     )
-    labels = all_nodes.select("node", F.col("node").alias("label"))
+    if endpoints.isEmpty():
+        return isolated
+    labels = endpoints.select("node", F.col("node").alias("label"))
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -87,7 +96,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
         )
-    return labels
+    return labels.unionByName(isolated)
 
 
 def pagerank(

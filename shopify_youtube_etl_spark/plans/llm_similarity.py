@@ -2034,17 +2034,32 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is pinned in pytest against the exact brute-force oracle query.
 # ---------------------------------------------------------------------------
 
-_IVF_APPEND_SPLIT = 400  # vec_id < SPLIT = index-time base; >= SPLIT = appended
+def _ivf_append_split(spark: SparkSession, sf_dir: str) -> int:
+    """Index-time/append boundary: vec_id < split is the indexed base,
+    the top 20% of the id range is 'appended since the last retrain'.
+    A FRACTION, not a constant — the append slice must stay
+    batch-proportional as the corpus scales, or the maintenance query
+    degenerates into re-indexing the corpus (the exact failure mode it
+    exists to avoid).  Deterministic given the data (one max() agg);
+    at the 500-row test SFs this lands on the historical 400."""
+    mx = (
+        t(spark, sf_dir, "embeddings")
+        .agg(F.max("vec_id").alias("m"))
+        .first()["m"]
+    )
+    return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 
-def _load_or_train_ivf_base(spark: SparkSession, sf_dir: str):
+def _load_or_train_ivf_base(spark: SparkSession, sf_dir: str, split: int):
     """Base-corpus coarse quantizer + per-cell base statistics,
     persisted as the ``ivfbase`` artifact: (cell, centroid_vec, n_base,
-    mean_sqdist_base).  Fit ONLY on vec_id < _IVF_APPEND_SPLIT — the
-    append slice must never leak into training, or the no-retrain
-    guarantee is untestable.  Returns (centers, stats_df) or (None,
+    mean_sqdist_base).  Fit ONLY on vec_id < split — the append slice
+    must never leak into training, or the no-retrain guarantee is
+    untestable.  The artifact is keyed by the split, so a moved
+    boundary rebuilds instead of silently pairing old base stats with
+    a different append slice.  Returns (centers, stats_df) or (None,
     None) on an empty base."""
-    tbl = _ann_artifact_table(spark, sf_dir, "ivfbase")
+    tbl = _ann_artifact_table(spark, sf_dir, f"ivfbase{split}")
     if tbl.exists():
         rows = tbl.read().orderBy("cell").collect()
         if len(rows) == _IVF_K:
@@ -2054,7 +2069,7 @@ def _load_or_train_ivf_base(spark: SparkSession, sf_dir: str):
 
     base = (
         t(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull() & (F.col("vec_id") < _IVF_APPEND_SPLIT))
+        .where(F.col("embedding").isNotNull() & (F.col("vec_id") < split))
         .select("vec_id", as_double_array("embedding").alias("v"))
     )
     ml_df = base.select(array_to_vector("v").alias("features"))
@@ -2122,7 +2137,8 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_train_centroids``'s job, on the operator's schedule, and the
     IVF-PQ fingerprint binding makes a retrain invalidate dependent
     residual codebooks instead of silently degrading."""
-    centers, base_stats = _load_or_train_ivf_base(spark, sf_dir)
+    split = _ivf_append_split(spark, sf_dir)
+    centers, base_stats = _load_or_train_ivf_base(spark, sf_dir, split)
     if centers is None:
         return spark.createDataFrame(
             [],
@@ -2131,7 +2147,7 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     appended = (
         t(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull() & (F.col("vec_id") >= _IVF_APPEND_SPLIT))
+        .where(F.col("embedding").isNotNull() & (F.col("vec_id") >= split))
         .select(as_double_array("embedding").alias("v"))
     )
     dists = _ivf_dists(centers)

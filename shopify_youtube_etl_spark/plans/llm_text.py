@@ -2050,21 +2050,39 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the full-recompute funnel on the same final corpus (pinned in pytest).
 # ---------------------------------------------------------------------------
 
-_FUNNEL_SPLIT = 400  # doc_id < SPLIT = curated history; >= SPLIT = new batch
+def _funnel_split(spark: SparkSession, sf_dir: str) -> int:
+    """History/batch boundary: doc_id below the split is curated
+    history, the top 20% of the id range is the newly-ingested batch.
+    A FRACTION of the corpus, not a constant — the whole point of the
+    incremental path is that per-batch work stays batch-proportional,
+    so the tested batch must stay batch-sized as the corpus scales
+    (a fixed id pins history to a constant and silently turns the
+    "batch" into 90%+ of the data at larger SFs, benchmarking a
+    re-curation instead of an increment).  Deterministic given the
+    data (one max() agg); at the 500-doc test SFs this lands on the
+    historical 400."""
+    mx = (
+        t(spark, sf_dir, "documents")
+        .agg(F.max("doc_id").alias("m"))
+        .first()["m"]
+    )
+    return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 
-def _funnel_state(spark: SparkSession, sf_dir: str) -> dict:
+def _funnel_state(spark: SparkSession, sf_dir: str, split: int) -> dict:
     """The funnel's persisted state store — one ParquetTable per
     structure a production incremental curator keeps warm between
-    batches, keyed by corpus dir (same convention as the ANN artifact
-    tables)."""
+    batches, keyed by (corpus dir, split) — same convention as the ANN
+    artifact tables, with the split in the key so a moved boundary
+    rebuilds instead of pairing old history state with a different
+    batch slice."""
     import hashlib
     import os
     import tempfile
 
     from shopify_youtube_etl_spark.operators.upsert import ParquetTable
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = hashlib.md5(f"{sf_dir}|{split}".encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"sye_funnel_{key}")
     return {
         k: ParquetTable(spark, f"{base}_{k}")
@@ -2101,7 +2119,7 @@ def _funnel_stage_row(n: int, name: str, df: DataFrame) -> DataFrame:
     )
 
 
-def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict) -> None:
+def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) -> None:
     """One-time history curation: runs the funnel's quality → exact →
     LSH → components → decontam stages over the history slice and
     persists every reusable structure.  Deliberately the same
@@ -2121,7 +2139,7 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict) -> None:
     docs = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .where(F.col("doc_id") < _FUNNEL_SPLIT)
+        .where(F.col("doc_id") < split)
         .select("doc_id", "text")
     )
     bench = docs.where(F.col("doc_id") % 50 == 7)
@@ -2215,7 +2233,7 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict) -> None:
 @query(
     "incremental_curation_funnel",
     ref="incremental view maintenance of the curation funnel (r5 verdict #4) — batch-time curation against persisted history state; hash-equality with the full recompute pinned in pytest",
-    doc="The curation funnel's 5 stage rows computed INCREMENTALLY: new docs (doc_id >= 400) checked against the persisted historical digest set, LSH band index, component labels, and shingle postings; rows-only (MinHash state not oracle-portable), full-recompute equality proven in tests.",
+    doc="The curation funnel's 5 stage rows computed INCREMENTALLY: new docs (the top 20% of the id range) checked against the persisted historical digest set, LSH band index, component labels, and shingle postings; rows-only (MinHash state not oracle-portable), full-recompute equality proven in tests.",
     oracle=None,
 )
 def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2256,15 +2274,16 @@ def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from shopify_youtube_etl_spark.operators.components import connected_components
 
-    st = _funnel_state(spark, sf_dir)
+    split = _funnel_split(spark, sf_dir)
+    st = _funnel_state(spark, sf_dir, split)
     if not st["labels"].exists():
-        _build_funnel_state(spark, sf_dir, st)
+        _build_funnel_state(spark, sf_dir, st, split)
 
     ws = words(F.col("text"))
     docs_b = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .where(F.col("doc_id") >= _FUNNEL_SPLIT)
+        .where(F.col("doc_id") >= split)
         .select("doc_id", "text")
     )
     bench_b = docs_b.where(F.col("doc_id") % 50 == 7)
@@ -2304,7 +2323,10 @@ def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["band_id", "band_hash"],
         "left_semi",
     )
-    new_pairs = _lsh_pairs(touched, "doc_id")
+    # Checkpointed for the same reason the full funnel checkpoints its
+    # pairs frame: three consumers (both cand_sh sides + the verify
+    # join) would otherwise each replay the band-probe subtree.
+    new_pairs = _lsh_pairs(touched, "doc_id").localCheckpoint(eager=True)
     texts = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())

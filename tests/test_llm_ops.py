@@ -881,7 +881,7 @@ def test_incremental_funnel_demotes_bridged_representative(spark, tmp_path):
     # decontam: H3 (id 30) flipped by the NEW bench doc -> 3.
     assert by["decontam"][0] == 3
     # And the demotion/flip shaped the SURVIVOR SET, not just counts:
-    st = lt._funnel_state(spark, str(d))
+    st = lt._funnel_state(spark, str(d), lt._funnel_split(spark, str(d)))
     hist_reps = {r["node"] for r in st["labels"].read().collect()
                  if r["node"] == r["label"]}
     assert 60 in hist_reps, "precondition: B was its own rep in history"
@@ -906,8 +906,9 @@ def test_ivf_incremental_assign_no_silent_retrain_and_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
         F2.col("embedding").isNotNull()
     )
-    n_base = emb.where(F2.col("vec_id") < sim._IVF_APPEND_SPLIT).count()
-    n_new = emb.where(F2.col("vec_id") >= sim._IVF_APPEND_SPLIT).count()
+    split = sim._ivf_append_split(spark, sf_dir)
+    n_base = emb.where(F2.col("vec_id") < split).count()
+    n_new = emb.where(F2.col("vec_id") >= split).count()
     assert sum(r["n_base"] for r in rep) == n_base
     assert sum(r["n_new"] for r in rep) == n_new
     assert all(r["drift_ratio"] >= 0 for r in rep)
@@ -915,7 +916,7 @@ def test_ivf_incremental_assign_no_silent_retrain_and_recall(spark, sf_dir):
     # Recall of search over base-trained centroids + incremental
     # assignment, vs the exact brute force — same floor as the
     # retrained quantizer's pin (test_ivf_recall_vs_brute_force).
-    centers, _ = sim._load_or_train_ivf_base(spark, sf_dir)
+    centers, _ = sim._load_or_train_ivf_base(spark, sf_dir, split)
     from shopify_youtube_etl_spark.functions.similarity import as_double_array
 
     e = emb.select("vec_id", as_double_array("embedding").alias("v"))
@@ -933,7 +934,7 @@ def test_ivf_incremental_assign_no_silent_retrain_and_recall(spark, sf_dir):
     # Poison: shift every centroid far away; the report must reflect the
     # poisoned quantizer (drift explodes) and the artifact must survive
     # the query unchanged (no silent retrain).
-    tbl = sim._ann_artifact_table(spark, sf_dir, "ivfbase")
+    tbl = sim._ann_artifact_table(spark, sf_dir, f"ivfbase{split}")
     poisoned = tbl.read().select(
         "cell",
         F2.transform("centroid_vec", lambda x: x + F2.lit(1000.0)).alias(
