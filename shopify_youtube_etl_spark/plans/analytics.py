@@ -3236,3 +3236,106 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_profit")
         )
     )
+
+
+@query(
+    "tpch_q4_priority_census",
+    ref="TPC-H Q4 shape — quarter-sliced order census gated by a decorrelated EXISTS over the fact table",
+    doc="Orders placed in 1996-Q3 with at least one late lineitem (shipped >90 days after the order date), counted per order priority; late-commit columns absent from the testdata, so lateness is ship-lag-based (the EXISTS-decorrelation shape is the point).",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_priority_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's planner feature: a correlated EXISTS against the fact table
+    that must decorrelate into a LEFT SEMI join — never a per-row
+    subquery.  The correlation predicate references BOTH sides
+    (l_shipdate > o_orderdate + 90d), so the semi join carries it as a
+    join condition rather than a pushable filter; the quarter slice
+    prunes orders before the join, and at 100 TB both sides shuffle on
+    orderkey once (or not at all when bucketed — the layout
+    ``bucketed_join_no_shuffle`` proves).  EXISTS semantics mean the
+    fact side needs NO pre-aggregation: semi join short-circuits on
+    first match, the census groupBy runs on the already-small filtered
+    orders.  Reference parity: the spec's l_commitdate < l_receiptdate
+    lateness is untestable here (columns absent); ship-lag lateness
+    keeps the predicate fact-side and ~30% selective."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q12_late_lines_by_class",
+    ref="TPC-H Q12 shape — fact-dim join feeding a two-way conditional aggregate over a category slice",
+    doc="1997-shipped lineitems in return classes R/A that shipped >90 days late, split per class into high-priority (1-URGENT/2-HIGH) and low-priority order counts; l_shipmode absent from the testdata, so l_returnflag plays the category (the dual-CASE census shape is the point).",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('R', 'A')
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+""",
+)
+def tpch_q12_late_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shape: every single-side predicate (category IN-list, ship
+    year) pushes into the lineitem SCAN — only the survivors join to
+    orders — while the cross-side lateness predicate rides the join
+    condition; the final census is ONE pass of two conditional sums,
+    never two filtered joins.  At 100 TB the orderkey join is the sole
+    fact-sized shuffle (both sides bucket on orderkey in the engine's
+    layout); the dual CASE keeps high/low priority in the same
+    aggregation buffer.  Reference parity: l_shipmode and the
+    commit/receipt dates are absent from the testdata, so l_returnflag
+    is the category axis and lateness is ship-lag-based — the operator
+    composition (pushed slice + join-condition predicate + dual
+    conditional agg) is exactly the spec's."""
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )

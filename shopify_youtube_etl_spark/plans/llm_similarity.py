@@ -2188,3 +2188,57 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "embedding_decontamination",
+    ref="semantic benchmark decontamination — the embedding-space twin of the n-gram benchmark_contamination probe: eval-set similarity that paraphrasing hides from shingles still shows up in embedding cosine",
+    doc="Every corpus vector's max cosine against the benchmark slice (vec_id % 50 == 7), with a contaminated flag at 0.35; exact brute force over a broadcast benchmark set.",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+b AS (SELECT v FROM e WHERE vec_id % 50 = 7),
+c AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 7)
+SELECT c.vec_id,
+       round(max(list_cosine_similarity(c.v, b.v)), 6) AS max_bench_cos,
+       max(list_cosine_similarity(c.v, b.v)) >= 0.35   AS contaminated
+FROM c, b
+GROUP BY c.vec_id
+""",
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag training vectors too close in
+    embedding space to any benchmark/eval vector.  The n-gram probe
+    (``benchmark_contamination``) catches verbatim leakage; THIS
+    catches paraphrased leakage — the kind that actually poisons evals.
+
+    Scale shape: the benchmark side is an eval suite — thousands of
+    vectors, not corpus-scale — so it BROADCASTS and the corpus makes
+    exactly one pass (BroadcastNestedLoopJoin, the same documented
+    bounded-probe pattern as the exact-ANN baselines); the per-vector
+    max folds map-side into the vec_id partial agg.  At a benchmark set
+    too large to broadcast, the LSH-bucketed twin
+    (``embedding_lsh_neardup``'s banding) is the path — registered
+    alongside, same discipline as the MinHash families.  Cosines
+    accumulate at double precision (cast BEFORE the fold) so the
+    DuckDB oracle's arithmetic is bit-identical; the 0.35 threshold
+    sits at this corpus's p95 so the flag stays discriminative."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    bench = e.where(F.col("vec_id") % 50 == 7).select(F.col("v").alias("bv"))
+    corpus = e.where(F.col("vec_id") % 50 != 7)
+    cos = cosine(F.col("v"), F.col("bv"))
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.max("cos"), 6).alias("max_bench_cos"),
+            (F.max("cos") >= 0.35).alias("contaminated"),
+        )
+    )

@@ -88,6 +88,10 @@ _DRIVER_PRIORITY = _CANARIES + [
     "incremental_curation_funnel",
     "ivf_incremental_assign",
     "zorder_multidim_scan",
+    "tpch_q4_priority_census",
+    "tpch_q12_late_lines_by_class",
+    "embedding_decontamination",
+    "column_profile_orders",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

@@ -778,3 +778,95 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "column_profile_orders",
+    ref="ANALYZE-style whole-table column profiling — the statistics pass a warehouse runs before choosing layouts, the generalization of uniqueness_profile's key audit to every column",
+    doc="Per orders column: null count, exact distinct count, and min/max rendered to canonical strings (timestamps as yyyy-MM-dd HH:mm:ss, doubles 2dp).",
+    oracle="""
+SELECT 'o_orderkey' AS column_name,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT)   AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR)             AS min_val,
+       CAST(max(o_orderkey) AS VARCHAR)             AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(round(min(o_totalprice), 2) AS VARCHAR),
+       CAST(round(max(o_totalprice), 2) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+""",
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column statistics in ONE scan: every column's null
+    count, exact distinct count, and min/max computed in a single
+    multi-aggregate pass — Catalyst's Expand operator replicates each
+    row once per distinct-counted column (6× map-side width, zero
+    extra scans), exactly how ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    ALL COLUMNS executes.  The row-per-column shape comes from
+    stacking the one aggregate row AFTER aggregation (a 1-row unpivot,
+    driver-free) — never from six scans like the naive UNION ALL the
+    oracle spells out for DuckDB's benefit.  At 100 TB this is the
+    layout-planning pass: n_distinct picks Z-order/bucket candidates
+    (cluster_by), null rates pick NOT NULL enforcement, min/max seed
+    the segment-stat sidecars ``read_range`` prunes with.  Min/max
+    render to canonical strings per type (timestamps second-precision,
+    doubles 2dp) so one schema carries every column."""
+    o = t(spark, sf_dir, "orders")
+
+    def stats(c: str, fmt):
+        return [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__null"),
+            F.countDistinct(c).cast("long").alias(f"{c}__dist"),
+            fmt(F.min(c)).alias(f"{c}__min"),
+            fmt(F.max(c)).alias(f"{c}__max"),
+        ]
+
+    as_str = lambda x: x.cast("string")
+    as_money = lambda x: F.round(x, 2).cast("string")
+    as_ts = lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+    agg = o.agg(
+        *stats("o_orderkey", as_str),
+        *stats("o_custkey", as_str),
+        *stats("o_orderstatus", as_str),
+        *stats("o_totalprice", as_money),
+        *stats("o_orderdate", as_ts),
+        *stats("o_orderpriority", as_str),
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in (
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

@@ -443,6 +443,10 @@ SHUFFLE_BUDGET = {
     "tpch_q16_supplier_counts": 2,  # distinct-supplier expand-agg pair
     "tpch_q20_surplus_suppliers": 2,  # shipped agg, availqty join
     "tpch_q9_product_profit": 1,  # orderkey attach; dims + partsupp broadcast at test SF
+    "tpch_q4_priority_census": 2,  # semi join on orderkey + priority census
+    "tpch_q12_late_lines_by_class": 2,  # orderkey join + dual conditional agg
+    "embedding_decontamination": 2,  # bench broadcast NL probe + vec_id agg pair
+    "column_profile_orders": 2,  # one Expand scan + the multi-distinct agg pair
 }
 
 
