@@ -2069,7 +2069,7 @@ def _funnel_split(spark: SparkSession, sf_dir: str) -> int:
     return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 
-def _funnel_state(spark: SparkSession, sf_dir: str, split: int) -> dict:
+def _funnel_state(spark: SparkSession, sf_dir: str, split: int | str) -> dict:
     """The funnel's persisted state store — one ParquetTable per
     structure a production incremental curator keeps warm between
     batches, keyed by (corpus dir, split) — same convention as the ANN
@@ -2263,6 +2263,20 @@ def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     only in the union view; at that point the bucket's band parameters
     are mis-tuned for the slice and both paths are in the documented
     degraded mode."""
+    split = _funnel_split(spark, sf_dir)
+    st = _funnel_state(spark, sf_dir, split)
+    if not st["labels"].exists():
+        _build_funnel_state(spark, sf_dir, st, split)
+    return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st, split, None))
+
+
+def _funnel_batch(
+    spark: SparkSession, sf_dir: str, st: dict, lo: int, hi: int | None
+) -> dict:
+    """One ingestion batch (lo ≤ doc_id < hi) curated against the
+    persisted state ``st`` — the computation shared by the
+    single-batch report, the two-batch chain, and the state advance.
+    Returns every maintained frame; nothing is written here."""
     from shopify_youtube_etl_spark.functions.similarity import (
         jaccard as _jaccard,
         lsh_bands as _lsh_bands,
@@ -2274,18 +2288,15 @@ def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from shopify_youtube_etl_spark.operators.components import connected_components
 
-    split = _funnel_split(spark, sf_dir)
-    st = _funnel_state(spark, sf_dir, split)
-    if not st["labels"].exists():
-        _build_funnel_state(spark, sf_dir, st, split)
-
     ws = words(F.col("text"))
     docs_b = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .where(F.col("doc_id") >= split)
+        .where(F.col("doc_id") >= lo)
         .select("doc_id", "text")
     )
+    if hi is not None:
+        docs_b = docs_b.where(F.col("doc_id") < hi)
     bench_b = docs_b.where(F.col("doc_id") % 50 == 7)
     corpus_b = docs_b.where(F.col("doc_id") % 50 != 7)
     quality_b = _funnel_quality(corpus_b)
@@ -2404,16 +2415,21 @@ def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     full_bench = st["bench_sh"].read().unionByName(delta_bench)
-    cstat_b = (
+    postings_b = (
         exact_b.select("doc_id", ws.alias("dw"))
         .where(F.size("dw") >= 3)
         .select("doc_id", F.explode(_shingles("dw", 3)).alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("sh_hash"))
-        .join(F.broadcast(full_bench.withColumn("hit", F.lit(1))), "sh_hash", "left")
+        .groupBy("doc_id", F.xxhash64("s").alias("sh_hash"))
+        .agg(F.count("*").alias("k"))
+    )
+    cstat_b = (
+        postings_b.join(
+            F.broadcast(full_bench.withColumn("hit", F.lit(1))), "sh_hash", "left"
+        )
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_sh"),
-            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            F.sum("k").cast("long").alias("n_sh"),
+            F.sum(F.when(F.col("hit").isNotNull(), F.col("k")).otherwise(0))
             .cast("long")
             .alias("hits"),
         )
@@ -2424,10 +2440,35 @@ def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     decontam_ids = reps.join(contaminated, "doc_id", "left_anti")
+    return {
+        "st": st,
+        "corpus_b": corpus_b,
+        "quality_b": quality_b,
+        "exact_b": exact_b,
+        "toks_b": toks_b,
+        "toks_all": toks_all,
+        "bands_b": bands_b,
+        "union_bands": union_bands,
+        "verified_new": verified_new,
+        "histlab": histlab,
+        "newlab": newlab,
+        "reps": reps,
+        "delta_bench": delta_bench,
+        "full_bench": full_bench,
+        "postings_b": postings_b,
+        "cstat_h": cstat_h,
+        "cstat_b": cstat_b,
+        "decontam_ids": decontam_ids,
+    }
 
-    # --- stage rows: history meta + batch deltas; survivor stages
-    # aggregate over the maintained (doc_id, n_tokens) view.
-    meta = st["meta"].read()
+
+def _funnel_stage_rows(fr: dict) -> DataFrame:
+    """The funnel's 5 stage rows from a batch's maintained frames:
+    ingest/quality add batch deltas to the persisted history meta;
+    survivor stages aggregate over the maintained (doc_id, n_tokens)
+    view."""
+    meta = fr["st"]["meta"].read()
+    toks_all = fr["toks_all"]
 
     def hist_plus_batch(n: int, name: str, batch_df: DataFrame) -> DataFrame:
         h = meta.where(F.col("stage_name") == name).select("n_docs", "total_tokens")
@@ -2456,9 +2497,90 @@ def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        hist_plus_batch(1, "ingest", corpus_b)
-        .unionByName(hist_plus_batch(2, "quality", quality_b))
+        hist_plus_batch(1, "ingest", fr["corpus_b"])
+        .unionByName(hist_plus_batch(2, "quality", fr["quality_b"]))
         .unionByName(survivor_stage(3, "exact_dedup", toks_all.select("doc_id")))
-        .unionByName(survivor_stage(4, "neardup", reps))
-        .unionByName(survivor_stage(5, "decontam", decontam_ids))
+        .unionByName(survivor_stage(4, "neardup", fr["reps"]))
+        .unionByName(survivor_stage(5, "decontam", fr["decontam_ids"]))
     )
+
+
+def _advance_funnel_state(dst: dict, fr: dict) -> None:
+    """COMMIT a curated batch into the state store — what a production
+    curator does after every report, so the next batch curates against
+    history-plus-this-batch instead of re-deriving it.  Every structure
+    is the exact frame a from-scratch ``_build_funnel_state`` over the
+    union slice would produce (pinned by the two-batch equality test):
+
+      labels   every historical node re-labeled through the collapsed
+               component mapping (bridging demotions PERSIST), batch
+               survivors labeled alongside.
+      meta     ingest/quality counters advanced by the batch deltas.
+      the rest set-union merges (digests, bands, postings) or the
+               already-maintained views (toks, cstat, bench shingles).
+    """
+    st = fr["st"]
+    meta2 = (
+        _funnel_stage_rows(fr)
+        .where(F.col("stage").isin(1, 2))
+        .select("stage", "stage_name", "n_docs", "total_tokens")
+    )
+    dst["meta"].overwrite(meta2)
+    dst["digests"].overwrite(
+        st["digests"].read().unionByName(
+            fr["exact_b"].select(F.md5("text").alias("digest"))
+        )
+    )
+    dst["toks"].overwrite(fr["toks_all"])
+    dst["bands"].overwrite(fr["union_bands"])
+    dst["edges"].overwrite(st["edges"].read().unionByName(fr["verified_new"]))
+    # Re-label history through the collapsed mapping; attach batch nodes.
+    relabel = fr["newlab"].select(
+        F.col("node").alias("label"), F.col("label").alias("flabel")
+    )
+    hist2 = (
+        fr["histlab"]
+        .join(F.broadcast(relabel), "label")
+        .select("node", F.col("flabel").alias("label"))
+    )
+    batch2 = fr["newlab"].join(
+        fr["exact_b"].select(F.col("doc_id").alias("node")), "node", "left_semi"
+    )
+    dst["labels"].overwrite(hist2.unionByName(batch2.select("node", "label")))
+    dst["bench_sh"].overwrite(fr["full_bench"])
+    dst["postings"].overwrite(st["postings"].read().unionByName(fr["postings_b"]))
+    dst["cstat"].overwrite(fr["cstat_h"].unionByName(fr["cstat_b"]))
+
+
+@query(
+    "incremental_funnel_two_batch",
+    ref="multi-batch IVM of the curation funnel — batch N is curated against state ADVANCED through batch N-1, never against a from-scratch rebuild; chained-state equality with the full recompute pinned in pytest",
+    doc="The funnel's 5 stage rows after TWO chained incremental batches: history built at 60% of the id range, state advanced through [60%, 80%), and the final batch [80%, max] curated against the advanced state; rows-only (MinHash state not oracle-portable).",
+    oracle=None,
+)
+def incremental_funnel_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes incremental curation trustworthy in
+    production: state advanced through batch N is a valid history for
+    batch N+1 — errors don't compound across commits.  The single-batch
+    query proves one increment equals the full recompute; THIS proves
+    the CHAIN does: build(60%) → advance through [60%,80%) →
+    incremental [80%,max] must be bit-equal to both the full recompute
+    and the single-batch path (pinned in pytest).  Every advanced
+    structure is exactly what a from-scratch build over the union
+    slice produces — including label DEMOTIONS when a batch-1 doc
+    bridges two historical components, which must persist into
+    batch 2's collapse.  Advance steps are idempotent ParquetTable
+    overwrites keyed by their slice boundaries, so a re-run (or a
+    crashed-and-retried commit) converges instead of double-counting."""
+    s2 = _funnel_split(spark, sf_dir)
+    mx = (
+        t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("m")).first()["m"]
+    )
+    s1 = int((mx + 1) * 3 // 5) if mx is not None else 0
+    st_a = _funnel_state(spark, sf_dir, s1)
+    if not st_a["labels"].exists():
+        _build_funnel_state(spark, sf_dir, st_a, s1)
+    st_b = _funnel_state(spark, sf_dir, f"adv{s1}-{s2}")
+    if not st_b["labels"].exists():
+        _advance_funnel_state(st_b, _funnel_batch(spark, sf_dir, st_a, s1, s2))
+    return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st_b, s2, None))

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q12_late_lines_by_class",
     "embedding_decontamination",
     "column_profile_orders",
+    "incremental_funnel_two_batch",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

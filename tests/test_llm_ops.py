@@ -819,6 +819,86 @@ def test_incremental_funnel_equals_full_recompute(spark, sf_dir):
     assert full == inc
 
 
+def test_two_batch_funnel_equals_full_recompute(spark, sf_dir):
+    """Chained-state IVM proof on the real corpus: history built at
+    60%, state ADVANCED through [60%, 80%), final batch curated against
+    the advanced state — the 5 stage rows must equal both the full
+    recompute and the single-batch incremental bit-for-bit (advance
+    introduces no drift)."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    full = {r["stage_name"]: (r["n_docs"], r["total_tokens"])
+            for r in qs["curation_funnel_report"].fn(spark, sf_dir).collect()}
+    two = {r["stage_name"]: (r["n_docs"], r["total_tokens"])
+           for r in qs["incremental_funnel_two_batch"].fn(spark, sf_dir).collect()}
+    assert full == two
+
+
+def test_two_batch_funnel_demotion_spans_the_advance(spark, tmp_path):
+    """The hard chained case, planted: a near-dup chain whose links
+    arrive in DIFFERENT batches (s1=288, s2=384 for max id 480: 410/415
+    land in batch 1, 440/465 in batch 2).  Batch 1's advance commits a
+    partial merge (A's component absorbs 410,415); batch 2's links must
+    then bridge THROUGH the advanced labels to demote B's historical
+    representative — exactly as the full recompute over everything
+    would.  Also crossed into batch 2: an exact dup of a HISTORY doc
+    (the advanced digest set must still drop it) and a NEW benchmark
+    doc whose Δ-shingles re-score a historical survivor."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    # Reuse the single-batch planted corpus: with max id 480,
+    # s1 = 481*3//5 = 288 and s2 = 481*4//5 = 384, so history =
+    # {10,20,30,60}, batch 1 = ∅ (no ids in [288,384)), batch 2 = the
+    # rest — degenerate.  Shift the chain so batch 1 is non-empty:
+    A = ("tok%02d " * 40).strip() % tuple(range(40))        # history, id 10
+
+    def mut(*pos):
+        w = A.split()
+        for p in pos:
+            w[p] = f"alt{p}"
+        return " ".join(w)
+
+    B = mut(3, 9, 15, 21, 27)                               # history, id 60
+    chain = [mut(3), mut(3, 9), mut(3, 9, 15), mut(3, 9, 15, 21)]
+    H2 = ("uniq%02d " * 40).strip() % tuple(range(40))      # history, id 20
+    H3 = ("vic%02d " * 40).strip() % tuple(range(40))       # history, id 30
+    bench_new = (
+        " ".join(H3.split()[:20]) + " " + ("pad%02d " * 10).strip() % tuple(range(10))
+    )
+    dup_b2 = ("bat%02d " * 40).strip() % tuple(range(40))
+    rows = [
+        (10, A), (20, H2), (30, H3), (60, B),     # history (< 288)
+        (300, chain[0]), (315, chain[1]),         # batch 1 [288, 384): half the bridge
+        (440, chain[2]), (465, chain[3]),         # batch 2 [384, 480]: the other half
+        (420, H2),                                # batch-2 exact dup of history
+        (430, dup_b2), (478, dup_b2),             # within-batch-2 dup
+        (457, bench_new),                         # batch-2 NEW benchmark doc (%50==7)
+    ]
+    d = tmp_path / "sf_funnel2"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    qs = all_queries()
+    full = sorted(
+        (r["stage"], r["stage_name"], r["n_docs"], r["total_tokens"])
+        for r in qs["curation_funnel_report"].fn(spark, str(d)).collect()
+    )
+    two = sorted(
+        (r["stage"], r["stage_name"], r["n_docs"], r["total_tokens"])
+        for r in qs["incremental_funnel_two_batch"].fn(spark, str(d)).collect()
+    )
+    assert full == two
+    by = {name: (n, tok) for _, name, n, tok in two}
+    assert by["ingest"][0] == 11          # 457 is bench, not corpus
+    assert by["exact_dedup"][0] == 9      # 420 and 478 dropped
+    # {10,300,315,440,465,60} ONE component via the cross-batch bridge
+    # (B's rep 60 demoted THROUGH the advanced state), plus 20, 30, 430.
+    assert by["neardup"][0] == 4
+    assert by["decontam"][0] == 3         # H3 flipped by the batch-2 bench doc
+
+
 def test_incremental_funnel_demotes_bridged_representative(spark, tmp_path):
     """The hard IVM cases, planted: (1) a batch near-dup CHAIN bridges
     two historical components, so the higher historical representative
