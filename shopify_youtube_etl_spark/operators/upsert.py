@@ -656,6 +656,51 @@ class ParquetTable:
         )
         return stats_cols, bloom_cols
 
+    def file_audit(self, small_file_bytes: int = 32 << 20) -> DataFrame:
+        """Physical-layout observability (Delta's DESCRIBE DETAIL /
+        the report OPTIMIZE reads before deciding what to bin-pack):
+        one row per LIVE segment — file count, rows, bytes, average
+        file size, and whether the segment is a compaction candidate
+        (every file under ``small_file_bytes``).
+
+        Metadata-scale by construction: the manifest names the
+        segments, the filesystem names the files, and row counts come
+        from parquet FOOTERS (pyarrow), so the audit cost is
+        O(number of files) — no data pages are read and no Spark job
+        runs.  That is the same discipline as the min/max sidecars:
+        table maintenance must be decidable without scanning the
+        table.  The returned frame is a regular DataFrame so the
+        decision queries (which tables need compact(), trend of small-
+        file ratio) compose with everything else."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for idx, seg in enumerate(self.segments()):
+            files = [
+                os.path.join(seg, f)
+                for f in sorted(os.listdir(seg))
+                if f.endswith(".parquet")
+            ]
+            sizes = [os.path.getsize(f) for f in files]
+            n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            total = sum(sizes)
+            rows.append(
+                (
+                    idx,
+                    os.path.basename(seg),
+                    len(files),
+                    int(n_rows),
+                    int(total),
+                    int(total // len(files)) if files else 0,
+                    bool(files) and max(sizes) < small_file_bytes,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "segment_idx int, segment string, n_files long, n_rows long, "
+            "total_bytes long, avg_file_bytes long, compact_candidate boolean",
+        )
+
     def compact(self, max_segment_bytes: int | None = None) -> None:
         """Rewrite live segments as ONE segment (small-file maintenance
         for append-heavy tables — many tiny segments mean many tiny

@@ -1196,3 +1196,75 @@ def zorder_multidim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money(F.sum("o_totalprice")).alias("revenue"),
     )
+
+
+@query(
+    "table_file_audit",
+    ref="physical-layout observability — the DESCRIBE DETAIL report OPTIMIZE reads before deciding what to bin-pack; the decision face of ParquetTable.compact",
+    doc="Orders committed as one large (62.5%) overwrite plus three 12.5% appends, audited per segment (rows from parquet footers, bytes, compaction candidacy); the audit picks the tiering threshold, a size-tiered compact folds the small tail, and footer counts must reproduce the oracle's plain per-slice GROUP BY.",
+    oracle="""
+SELECT CAST(CASE WHEN o_custkey % 8 < 5 THEN 0 ELSE o_custkey % 8 END AS BIGINT) AS slice,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY CASE WHEN o_custkey % 8 < 5 THEN 0 ELSE o_custkey % 8 END
+""",
+)
+def table_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance must be decidable without scanning the table: this
+    commits orders as one large segment plus three small appends (the
+    hourly micro-batch pattern), runs ``file_audit`` — parquet-footer
+    row counts, O(files) driver work, zero Spark jobs — and uses its
+    ``compact_candidate`` verdict to drive a size-tiered ``compact``,
+    then audits again.  The returned frame maps each ORIGINAL slice's
+    row count to the audit's footer-derived counts: slice 0 stays its
+    own (large, untouched) segment, slices 1–3 fold into one compacted
+    segment, and footer sums must equal the oracle's plain GROUP BY —
+    proving the audit counts rows without reading them and the tiered
+    rewrite preserved them.  At 100 TB this is the nightly OPTIMIZE
+    planner: audit every table, compact only where the small-file
+    verdict fires, O(small bytes) rewritten."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    src = t(spark, sf_dir, "orders")
+    tbl = ParquetTable(spark, staging_dir("audit", sf_dir) + "/orders")
+    tbl.overwrite(src.where(F.col("o_custkey") % 8 < 5))      # the 62.5% base
+    for slice_id in (5, 6, 7):                                 # 12.5% micro-batches
+        tbl.append(src.where(F.col("o_custkey") % 8 == slice_id))
+    audit_before = tbl.file_audit()
+    # The audit DECIDES the tiering: fold everything smaller than the
+    # largest live segment (bytes come from the audit, so the policy is
+    # size-relative and works at every SF — a fixed threshold would
+    # misclassify at small test scales).
+    thr = max(r["total_bytes"] for r in audit_before.collect())
+    tbl.compact(max_segment_bytes=thr)
+    audit_after = tbl.file_audit()
+    # Map footer counts back to the deterministic slices: the large
+    # segment is slice 0; the compacted remainder carries slices 5-7.
+    big = audit_after.orderBy(F.col("total_bytes").desc()).limit(1)
+    rest = audit_after.join(big.select("segment"), "segment", "left_anti")
+    slice0 = big.select(
+        F.lit(0).cast("long").alias("slice"), F.col("n_rows").alias("n_rows")
+    )
+    # Slices 5-7 from the ORIGINAL frame, gated on the footer total:
+    # the compacted segment's footer sum must equal the source slices'
+    # sum or every row reports -1 (the audit lied / the rewrite lost
+    # rows) and the oracle fails loudly.
+    per_slice = (
+        src.where(F.col("o_custkey") % 8 >= 5)
+        .groupBy((F.col("o_custkey") % 8).cast("long").alias("slice"))
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    total_rest = rest.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("t"))
+    total_src = per_slice.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("s"))
+    checked = (
+        per_slice.join(F.broadcast(total_rest))
+        .join(F.broadcast(total_src))
+        .select(
+            "slice",
+            F.when(F.col("t") == F.col("s"), F.col("n_rows"))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("n_rows"),
+        )
+    )
+    return slice0.unionByName(checked)

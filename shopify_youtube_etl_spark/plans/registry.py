@@ -93,6 +93,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "embedding_decontamination",
     "column_profile_orders",
     "incremental_funnel_two_batch",
+    "two_stage_distinct_daily_users",
+    "table_file_audit",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

@@ -870,3 +870,36 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+@query(
+    "two_stage_distinct_daily_users",
+    ref="skew-resistant exact COUNT(DISTINCT) — the two-stage rewrite (pre-aggregate the pair grain, count the reduced frame) that replaces the single-key distinct shuffle at 100 TB; result-identical twin of the direct countDistinct",
+    doc="Distinct event users per day via groupBy(day, user) then count per day — exactly the direct COUNT(DISTINCT user) answer.",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d')          AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY strftime(ts, '%Y-%m-%d')
+""",
+)
+def two_stage_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT key) GROUP BY g executed as TWO ordinary
+    aggregations: groupBy(g, key) — which map-side-combines and spreads
+    a hot group's keys across ALL partitions of the (g, key) shuffle —
+    then groupBy(g) count on the already-distinct frame.  The direct
+    form hash-partitions on g alone, so one viral day lands every one
+    of its users on a single reducer: the classic straggler that kills
+    exact-distinct dashboards at 100 TB.  Here both stages stay
+    whole-stage-codegen HashAggregates and the second input is
+    |distinct pairs|, not |events|.  This is the same pre-reduce
+    discipline as ``hll_daily_users_rollup``'s sketch path, but EXACT —
+    register both, pick by error budget.  Result-identical to the
+    direct ``events_daily_rollup``-style countDistinct by construction
+    (the oracle is the direct form)."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    pairs = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("user_id")
+    ).agg(F.lit(1).alias("_one"))
+    return pairs.groupBy("day").agg(F.count("*").cast("long").alias("n_users"))

@@ -1047,3 +1047,36 @@ def test_cluster_by_zorder_string_dimension(spark, tmp_path):
         tbl2.cluster_by_zorder("name", "v", bits=12)  # string dim bits cap
     with pytest.raises(ValueError):
         tbl2.cluster_by_zorder("name")  # N ≥ 2
+
+
+def test_file_audit_reads_footers_not_data(spark, tmp_path):
+    """file_audit: per-segment file/row/byte stats from parquet footers
+    (no Spark job), the small-file verdict flags exactly the segments
+    every one of whose files is under the threshold, and a size-tiered
+    compact driven by the audit clears the flags while preserving the
+    footer row totals."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "t"))
+    tbl.overwrite(spark.range(0, 10000).selectExpr("id", "id * 2 AS v"))
+    tbl.append(spark.range(10000, 10010).selectExpr("id", "id * 2 AS v"))
+    tbl.append(spark.range(10010, 10025).selectExpr("id", "id * 2 AS v"))
+
+    audit = {r["segment_idx"]: r for r in tbl.file_audit().collect()}
+    assert len(audit) == 3
+    assert sum(r["n_rows"] for r in audit.values()) == 10025
+    assert all(r["n_files"] >= 1 and r["total_bytes"] > 0 for r in audit.values())
+    # Default 32 MiB threshold: everything here is tiny -> all flagged.
+    assert all(r["compact_candidate"] for r in audit.values())
+    # A 1-byte threshold: nothing can be under it -> nothing flagged.
+    assert not any(
+        r["compact_candidate"] for r in tbl.file_audit(small_file_bytes=1).collect()
+    )
+
+    # Audit-driven tiering: fold everything smaller than the largest.
+    thr = max(r["total_bytes"] for r in audit.values())
+    tbl.compact(max_segment_bytes=thr)
+    after = tbl.file_audit().collect()
+    assert len(after) == 2  # big segment + one folded tail
+    assert sum(r["n_rows"] for r in after) == 10025
+    assert tbl.read().count() == 10025

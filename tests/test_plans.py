@@ -447,6 +447,7 @@ SHUFFLE_BUDGET = {
     "tpch_q12_late_lines_by_class": 2,  # orderkey join + dual conditional agg
     "embedding_decontamination": 2,  # bench broadcast NL probe + vec_id agg pair
     "column_profile_orders": 2,  # one Expand scan + the multi-distinct agg pair
+    "two_stage_distinct_daily_users": 2,  # (day,user) pair shuffle + day count
 }
 
 
