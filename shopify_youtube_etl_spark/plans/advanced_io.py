@@ -659,3 +659,63 @@ def range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("o_totalprice")).alias("total_price"),
         )
     )
+
+
+@query(
+    "pagestore_pruned_ingest",
+    ref="S2 on the S1 scale path — the incremental predicate pushed INTO the Python DataSource (Spark 4.1 pushFilters): landing-time min/max sidecars prune whole pages at planning, claimed conjuncts filter rows source-side",
+    doc="Documents landed as doc_id-clustered NDJSON pages with min/max sidecars; the cursor predicate (doc_id below the 80% split) is claimed by pushFilters, pruning the high pages at planning and leaving NO Filter node in the plan; per-language profile of the slice.",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id < CAST((SELECT (max(doc_id) + 1) * 4 / 5 FROM documents) AS BIGINT)
+GROUP BY lang
+""",
+)
+def pagestore_pruned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental fetch predicate (S2,
+    shopify_etl.py:289 `updated_at_min`) re-expressed where it belongs
+    at scale: INSIDE the source.  Pages land clustered by the cursor
+    column with a min/max sidecar per page (the page-store twin of
+    parquet row-group stats); ``pushFilters`` claims the cursor
+    conjunct, so planning SKIPS every page whose envelope refutes it —
+    zero bytes of those pages are read, the exact mechanism by which an
+    incremental run over a 100 TB landing zone touches only the new
+    pages.  Claimed rows also filter source-side, so nothing
+    non-matching crosses into the JVM, and the optimized plan carries
+    NO Filter node (plan-gated in tests).  The pushdown reader is
+    option-gated (see PageStoreDataSource.reader) and the session conf
+    is set here at runtime — the driver's plain session works without
+    ceremony."""
+    from shopify_youtube_etl_spark.sources.pagestore import (
+        PageStoreDataSource,
+        write_page_store,
+    )
+
+    mx = t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    split = int((mx + 1) * 4 // 5) if mx is not None else 0
+    rows = [
+        r.asDict()
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")  # cursor-clustered pages -> tight envelopes
+        .collect()
+    ]
+    out_dir = _staging_dir("pagestore_pruned", sf_dir)
+    write_page_store(rows, out_dir, page_size=250, stats_cols=["doc_id"])
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PageStoreDataSource)
+    docs = (
+        spark.read.format("pagestore")
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .option("path", out_dir)
+        .option("pushdown", "true")
+        .load()
+        .where(F.col("doc_id") < split)
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

@@ -95,6 +95,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "incremental_funnel_two_batch",
     "two_stage_distinct_daily_users",
     "table_file_audit",
+    "pagestore_pruned_ingest",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

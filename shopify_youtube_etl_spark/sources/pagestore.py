@@ -30,10 +30,26 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+)
 
 
 class PagePartition(InputPartition):
@@ -53,29 +69,174 @@ def _parse_page(path: str, field_names: list[str]) -> Iterator[tuple]:
             yield tuple(row.get(name) for name in field_names)
 
 
+#: JSON-native field types whose Python values compare consistently with
+#: the literal Spark hands us in a Filter — the only types the reader
+#: claims natively.  Timestamps are excluded on purpose: Spark passes
+#: datetime literals while NDJSON stores strings, and a silent
+#: str-vs-datetime comparison would drop rows (those filters stay
+#: Spark-side).
+_NATIVE_FILTER_TYPES = (
+    StringType,
+    IntegerType,
+    LongType,
+    DoubleType,
+    FloatType,
+    BooleanType,
+)
+
+_RANGE_FILTERS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+
+
+def _row_pred(f: Filter):
+    """Python-side evaluator for one pushed filter (SQL semantics: any
+    comparison against NULL is false).  A TypeError (malformed landed
+    value for the declared schema) keeps the row — such a row fails
+    Arrow conversion downstream anyway, and the reader must never make
+    data silently disappear on its own judgement."""
+    name = f.attribute[0]
+    if isinstance(f, IsNotNull):
+        return lambda row: row.get(name) is not None
+
+    def check(row, f=f, name=name):
+        v = row.get(name)
+        if v is None:
+            return False
+        try:
+            if isinstance(f, EqualTo):
+                return v == f.value
+            if isinstance(f, GreaterThan):
+                return v > f.value
+            if isinstance(f, GreaterThanOrEqual):
+                return v >= f.value
+            if isinstance(f, LessThan):
+                return v < f.value
+            if isinstance(f, LessThanOrEqual):
+                return v <= f.value
+            if isinstance(f, In):
+                return v in f.value
+        except TypeError:
+            return True
+        return True
+
+    return check
+
+
+def _stats_path(page_path: str) -> str:
+    return page_path + ".stats.json"
+
+
+def _page_provably_empty(stats: dict, filters: list[Filter]) -> bool:
+    """True iff the page's [min, max] envelope refutes ANY pushed
+    filter — the same skip logic as the ParquetTable min/max sidecars,
+    at page granularity.  Unknown columns or type mismatches never
+    skip (pruning must be conservative)."""
+    mins, maxs = stats.get("min", {}), stats.get("max", {})
+    for f in filters:
+        if isinstance(f, IsNotNull):
+            continue
+        name = f.attribute[0]
+        lo, hi = mins.get(name), maxs.get(name)
+        if lo is None or hi is None:
+            continue
+        try:
+            if isinstance(f, EqualTo) and not (lo <= f.value <= hi):
+                return True
+            if isinstance(f, GreaterThan) and hi <= f.value:
+                return True
+            if isinstance(f, GreaterThanOrEqual) and hi < f.value:
+                return True
+            if isinstance(f, LessThan) and lo >= f.value:
+                return True
+            if isinstance(f, LessThanOrEqual) and lo > f.value:
+                return True
+            if isinstance(f, In) and not any(lo <= v <= hi for v in f.value):
+                return True
+        except TypeError:
+            continue
+    return False
+
+
 class PageStoreReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self.dir = options["path"]
         self.schema = schema
+        self.pushed: list[Filter] = []
 
     def partitions(self) -> Sequence[PagePartition]:
         # One partition per landed page file — sorted for determinism.
         # A store with no landed pages (empty source, or a distributed
         # land where no executor partition had rows) may not even have
-        # the directory yet.
+        # the directory yet.  Pages whose stats sidecar refutes a pushed
+        # filter are skipped at planning time.
         if not os.path.isdir(self.dir):
             return []
         files = sorted(
             f for f in os.listdir(self.dir) if f.startswith("page-") and f.endswith(".ndjson")
         )
-        return [PagePartition(os.path.join(self.dir, f)) for f in files]
+        parts = []
+        for f in files:
+            path = os.path.join(self.dir, f)
+            if self.pushed:
+                try:
+                    with open(_stats_path(path), encoding="utf-8") as fh:
+                        if _page_provably_empty(json.load(fh), self.pushed):
+                            continue
+                except (FileNotFoundError, json.JSONDecodeError):
+                    pass  # no/torn sidecar -> cannot prune, read the page
+            parts.append(PagePartition(path))
+        return parts
 
     def read(self, partition: PagePartition | None) -> Iterator[tuple]:
         if partition is None:
             # Spark substitutes a single None partition when partitions()
             # returns [] — an empty store yields an empty scan, not a crash.
             return
-        yield from _parse_page(partition.path, [f.name for f in self.schema.fields])
+        names = [f.name for f in self.schema.fields]
+        if not self.pushed:
+            yield from _parse_page(partition.path, names)
+            return
+        preds = [_row_pred(f) for f in self.pushed]
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                row = json.loads(line)
+                if all(p(row) for p in preds):
+                    yield tuple(row.get(name) for name in names)
+
+
+class PageStorePushdownReader(PageStoreReader):
+    """Filter-pushdown variant (Spark 4.1 DataSourceReader.pushFilters),
+    selected by ``.option("pushdown", "true")`` — see the gate note in
+    ``PageStoreDataSource.reader``."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Claim the conjuncts this source can evaluate natively (flat
+        attribute, JSON-comparable type): claimed filters both PRUNE
+        whole pages via the landing-time min/max sidecars (planning
+        time, zero data read — the page-store twin of parquet
+        row-group stats) and filter rows inside ``read`` so non-
+        matching rows never cross into the JVM.  Everything else —
+        timestamps, nested paths, unknown shapes — is returned for
+        Spark to evaluate post-scan.  This is the S2 contract
+        (incremental predicate pushed to the source) on the
+        partition-per-page scale path."""
+        kept = []
+        names = {
+            f.name for f in self.schema.fields
+            if isinstance(f.dataType, _NATIVE_FILTER_TYPES)
+        }
+        for f in filters:
+            if (
+                isinstance(f, _RANGE_FILTERS + (In, IsNotNull))
+                and len(f.attribute) == 1
+                and f.attribute[0] in names
+            ):
+                self.pushed.append(f)
+            else:
+                kept.append(f)
+        return kept
 
 
 class PageStoreStreamReader(DataSourceStreamReader):
@@ -140,6 +301,15 @@ class PageStoreDataSource(DataSource):
         return "pagestore"
 
     def reader(self, schema: StructType) -> PageStoreReader:
+        # The pushdown reader is OPTION-GATED: Spark asserts (hard
+        # error) when a reader merely IMPLEMENTS pushFilters while
+        # spark.sql.python.filterPushdown.enabled is false, and that
+        # conf defaults false — an always-pushdown reader would break
+        # every plain read in a session that never asked for pruning.
+        # Callers opting in set BOTH .option("pushdown", "true") and
+        # the session conf (see pagestore_pruned_ingest).
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return PageStorePushdownReader(self.options, schema)
         return PageStoreReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> PageStoreStreamReader:
@@ -152,8 +322,37 @@ class PageStoreDataSource(DataSource):
         return PageStoreStreamWriter(self.options)
 
 
+def _write_page_stats(page_path: str, page: list[dict], stats_cols) -> None:
+    """Per-page min/max sidecar (``<page>.stats.json``) over the given
+    columns, non-null values only — what ``PageStoreReader.partitions``
+    prunes against.  Written tmp-then-rename so a concurrent reader
+    never sees a torn sidecar (a missing one merely disables pruning
+    for that page)."""
+    mins: dict = {}
+    maxs: dict = {}
+    for row in page:
+        for c in stats_cols:
+            v = row.get(c)
+            if v is None or (isinstance(v, float) and v != v):  # null / NaN
+                continue
+            if hasattr(v, "item"):  # numpy scalar (pandas landing path)
+                v = v.item()
+            if c not in mins or v < mins[c]:
+                mins[c] = v
+            if c not in maxs or v > maxs[c]:
+                maxs[c] = v
+    tmp = page_path + ".stats.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"min": mins, "max": maxs}, fh, default=str)
+    os.replace(tmp, _stats_path(page_path))
+
+
 def write_page_store(
-    rows: list[dict], out_dir: str, page_size: int = 250, start_page: int = 0
+    rows: list[dict],
+    out_dir: str,
+    page_size: int = 250,
+    start_page: int = 0,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Land rows as page files (the reference's 250-row pages, S1
     :274; driver-side by nature — the fetch IS driver-side).  Returns
@@ -177,11 +376,15 @@ def write_page_store(
         with open(path, "w", encoding="utf-8") as fh:
             for row in page:
                 fh.write(json.dumps(row, default=str) + "\n")
+        if stats_cols:
+            _write_page_stats(path, page, stats_cols)
         n_pages += 1
     return n_pages
 
 
-def land_pages_distributed(df, out_dir: str, page_size: int = 250):
+def land_pages_distributed(
+    df, out_dir: str, page_size: int = 250, stats_cols: list[str] | None = None
+):
     """Executor-side page landing: each partition writes its own
     ``page-<partition>-<k>.ndjson`` files from Arrow batches — the
     driver never sees a row (VERDICT r1 item #6's scale path).
@@ -225,6 +428,13 @@ def land_pages_distributed(df, out_dir: str, page_size: int = 250):
                 tmp = f"{path}.attempt-{attempt}.tmp"
                 chunk.to_json(tmp, orient="records", lines=True, date_format="iso")
                 os.rename(tmp, path)
+                if stats_cols:
+                    # Same envelope the driver-side landing writes; the
+                    # executor computes it from its own chunk (tmp-then-
+                    # rename inside, so retries are as safe as the page).
+                    _write_page_stats(
+                        path, chunk.to_dict(orient="records"), stats_cols
+                    )
                 k += 1
                 yield pd.DataFrame({"page_path": [path], "n_rows": [len(chunk)]})
 

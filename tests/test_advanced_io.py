@@ -148,3 +148,83 @@ def test_range_sorted_layout_files_are_disjoint(spark, sf_dir):
     envelopes.sort()
     for (lo1, hi1), (lo2, hi2) in zip(envelopes, envelopes[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_pagestore_pushdown_gate_and_page_pruning(spark, tmp_path):
+    """The pushdown reader is opt-in (a reader that merely implements
+    pushFilters hard-errors under the default-false session conf, so
+    the plain path must never get one); once opted in, the min/max
+    sidecars prune refuted pages at planning and claimed filters apply
+    source-side with SQL null semantics."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        IsNotNull,
+    )
+    from pyspark.sql.types import StructType
+
+    from shopify_youtube_etl_spark.sources.pagestore import (
+        PageStoreDataSource,
+        PageStorePushdownReader,
+        PageStoreReader,
+        write_page_store,
+    )
+
+    d = str(tmp_path / "pages")
+    rows = [{"doc_id": i, "lang": f"l{i % 3}"} for i in range(1000)]
+    rows[500]["doc_id"] = None  # null lands mid-store
+    write_page_store(rows, d, page_size=100, stats_cols=["doc_id"])
+
+    # Gate: no option -> base reader (safe under pushdown-disabled conf).
+    src = PageStoreDataSource(options={"path": d})
+    schema = StructType.fromDDL("doc_id BIGINT, lang STRING")
+    assert type(src.reader(schema)) is PageStoreReader
+    src2 = PageStoreDataSource(options={"path": d, "pushdown": "true"})
+    assert type(src2.reader(schema)) is PageStorePushdownReader
+
+    # Page pruning: doc_id >= 750 refutes pages 0-6 of 10 by sidecar.
+    r = PageStorePushdownReader({"path": d}, schema)
+    assert list(r.pushFilters([GreaterThanOrEqual(("doc_id",), 750)])) == []
+    assert len(r.partitions()) == 3
+
+    # Nested/unsupported attributes are NOT claimed.
+    r2 = PageStorePushdownReader({"path": d}, schema)
+    nested = EqualTo(("a", "b"), 1)
+    assert list(r2.pushFilters([nested])) == [nested]
+
+    # Row filtering: null doc_id fails a comparison (SQL semantics)
+    # but passes nothing silently — IsNotNull claims it explicitly.
+    r3 = PageStorePushdownReader({"path": d}, schema)
+    r3.pushFilters([GreaterThan(("doc_id",), 498), IsNotNull(("doc_id",))])
+    got = [
+        row
+        for part in r3.partitions()
+        for row in r3.read(part)
+    ]
+    ids = {t[0] for t in got}
+    assert None not in ids
+    assert ids == set(range(499, 1000)) - {500}
+
+
+def test_pagestore_pruned_query_plan_and_parity(spark, sf_dir):
+    """End-to-end: the pruned-ingest query's optimized plan carries NO
+    Filter node (the predicate was fully claimed by the source), and
+    its result equals the plain unpushed pagestore read with the same
+    predicate applied Spark-side."""
+    qs = all_queries()
+    df = qs["pagestore_pruned_ingest"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan.split("Aggregate")[-1], plan
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    split = int((mx + 1) * 4 // 5)
+    want = {
+        (r["lang"], r["n_docs"], r["total_chars"])
+        for r in docs.where(F.col("doc_id") < split)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .collect()
+    }
+    got = {(r["lang"], r["n_docs"], r["total_chars"]) for r in df.collect()}
+    assert got == want
