@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "two_stage_distinct_daily_users",
     "table_file_audit",
     "pagestore_pruned_ingest",
+    "approx_top_terms_sketch",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

@@ -364,3 +364,45 @@ def kll_daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.5)"), 4).alias("p50"),
         F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.95)"), 4).alias("p95"),
     ).orderBy("month")
+
+
+@query(
+    "approx_top_terms_sketch",
+    ref="scale machinery — frequent-items sketch (approx_top_k), the streaming-mergeable heavy-hitter pass that replaces the exact token census at 100 TB; sketch twin of the exact tfidf/token censuses",
+    doc="Approximate top-20 document tokens (>= 4 chars) via approx_top_k over one explode pass; rows-only (sketch counts are approximate) — the exact-agreement pin lives in pytest.",
+    # No DuckDB oracle: approx_top_k's sketch internals (item order on
+    # ties, approximate counts past capacity) aren't portable.  Driver
+    # does the rows-only check; tests/test_scale.py pins the sketch's
+    # top-10 against the exact frequency census (every true top-10 token
+    # present, counts exact at this cardinality).
+)
+def approx_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection as a SKETCH aggregate: one explode pass
+    feeds approx_top_k (Datasketches frequent-items), which keeps a
+    bounded ~maxItemsTracked state per partial aggregate and merges
+    associatively — the same pre-aggregation discipline as the HLL/
+    theta/KLL family, pointed at 'which tokens dominate the corpus'.
+    The exact census (``token_stats``/``tfidf_top_terms``) shuffles
+    every distinct token; this shuffles ONE bounded sketch per map
+    partition, the difference between O(vocabulary) and O(k) transfer
+    at 100 TB — and the sketch answers drift monitoring (did a crawl
+    batch flood the corpus with boilerplate?) without a vocabulary
+    table.  Output exploded to (rank, token, approx_count) rows,
+    rank-ordered for hash-stable rows-only checking."""
+    from shopify_youtube_etl_spark.functions.text import words
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(words(F.col("text"))).alias("tok"))
+        .where(F.length("tok") >= 4)
+    )
+    sk = toks.agg(F.expr("approx_top_k(tok, 20, 10000)").alias("top"))
+    return (
+        sk.select(F.posexplode("top").alias("rank", "s"))
+        .select(
+            (F.col("rank") + 1).cast("int").alias("rank"),
+            F.col("s.item").alias("token"),
+            F.col("s.count").cast("long").alias("approx_count"),
+        )
+    )

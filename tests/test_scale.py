@@ -280,3 +280,33 @@ def test_kll_monthly_quantiles_within_rank_error(spark, sf_dir):
                 F.percentile("value", min(1.0, q + 0.02)).alias("hi"),
             ).first()
             assert lo - 1e-9 <= est <= hi + 1e-9, (r["month"], q, est, lo, hi)
+
+
+def test_approx_top_terms_agrees_with_exact_census(spark, sf_dir):
+    """The frequent-items sketch must surface the true heavy hitters:
+    every token in the EXACT top-10 (ties broken by count only) appears
+    in the sketch's top-20, and at this vocabulary size (well inside
+    maxItemsTracked) the sketch counts are exact."""
+    from pyspark.sql import functions as F
+
+    from shopify_youtube_etl_spark.functions.text import words
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    got = {
+        r["token"]: r["approx_count"]
+        for r in all_queries()["approx_top_terms_sketch"].fn(spark, sf_dir).collect()
+    }
+    exact = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(words(F.col("text"))).alias("tok"))
+        .where(F.length("tok") >= 4)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc())
+        .limit(10)
+        .collect()
+    )
+    for r in exact:
+        assert r["tok"] in got, f"true heavy hitter {r['tok']} missing"
+        assert got[r["tok"]] == r["n"], (r["tok"], got[r["tok"]], r["n"])
