@@ -150,3 +150,78 @@ def json_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"), money(F.sum("o_totalprice")).alias("total_price"))
     )
+
+
+@query(
+    "variant_json_analytics",
+    ref="S8/F9 generalization — Spark 4 VARIANT: schema-on-read over HETEROGENEOUS JSON (the semi-structured path from_json's fixed schema cannot express)",
+    doc="Heterogeneous NDJSON (optional keys, per-row field types) → parse_json VARIANT → typed path extraction (variant_get / try_variant_get) → per-status profile; oracle computes the same predicates directly on the flat columns.",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT)     AS n_orders,
+       round(sum(o_totalprice), 2)  AS total_price,
+       CAST(count(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 END) AS BIGINT)
+                                    AS n_urgent,
+       CAST(count(CASE WHEN o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL
+                       THEN 1 END) AS BIGINT)
+                                    AS n_flex_numeric
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def variant_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-drift half of the JSON family: ``json_roundtrip_ingest``
+    proves the FIXED-schema contract (S8), this query proves the
+    no-schema one.  Each order renders as a JSON document whose shape
+    varies row to row — ``pri`` present only for urgent orders
+    (``to_json`` drops null fields), ``flex`` a *string* on every third
+    key and a *number* otherwise — then ``parse_json`` ingests it as a
+    VARIANT column with no declared schema at all.  Typed reads come
+    back out by path: ``variant_get`` for paths the pipeline requires
+    (nested ``$.amounts.price``), ``try_variant_get`` for optional keys
+    (absent → NULL, counted as presence) and for type-dispatch (the
+    string-typed ``flex`` rows fail the ``double`` read → NULL — the
+    per-row type census a fixed schema cannot express).
+
+    Scale shape: VARIANT is a binary columnar encoding, so the parse
+    happens once at ingest and every extraction is a JVM-side path read
+    inside whole-stage codegen — no Python, no re-tokenizing, and the
+    grouped aggregate shuffles only the five extracted columns, never
+    the documents.  At 100 TB this is the crawl-metadata sidecar path:
+    one lenient ingest, typed pruned reads forever after."""
+    o = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").startswith("1")
+    base = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("o_totalprice").alias("price")).alias("amounts"),
+            F.when(urgent, F.col("o_orderpriority")).alias("pri"),
+        ).alias("s"),
+    )
+    # Two serializations with DIFFERENT types for `flex`, chosen per row:
+    # genuine cross-row type heterogeneity, not a stringly-typed column.
+    js = base.select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.to_json(F.struct(F.col("s.*"), F.concat(F.lit("s-"), F.col("s.status")).alias("flex"))),
+        )
+        .otherwise(
+            F.to_json(F.struct(F.col("s.*"), (F.col("s.amounts.price") / 100.0).alias("flex")))
+        )
+        .alias("line")
+    )
+    v = js.select(F.parse_json("line").alias("v"))
+    extracted = v.select(
+        F.variant_get("v", "$.status", "string").alias("status"),
+        F.variant_get("v", "$.amounts.price", "double").alias("price"),
+        F.try_variant_get("v", "$.pri", "string").alias("pri"),
+        F.try_variant_get("v", "$.flex", "double").alias("flex_num"),
+    )
+    return extracted.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("price")).alias("total_price"),
+        F.count("pri").alias("n_urgent"),
+        F.count("flex_num").alias("n_flex_numeric"),
+    )

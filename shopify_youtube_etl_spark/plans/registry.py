@@ -97,6 +97,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "table_file_audit",
     "pagestore_pruned_ingest",
     "approx_top_terms_sketch",
+    "variant_json_analytics",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---
