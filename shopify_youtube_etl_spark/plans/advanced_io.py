@@ -719,3 +719,69 @@ def pagestore_pruned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@query(
+    "stream_state_inspection",
+    ref="§2.10 operations extension — Spark 4 state-store reader: the streaming checkpoint's internal state as a queryable DataFrame",
+    doc="Run the per-user streaming aggregate to completion, then read its checkpoint STATE (format 'statestore') back as a DataFrame; the recovered state must equal the batch GROUP BY.",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational introspection of streaming state: after an
+    availableNow run of the per-user count/sum aggregate, the query
+    does NOT read the sink — it opens the checkpoint with the state
+    data source (``spark.read.format("statestore")``) and flattens the
+    engine-managed key/value rows back into user totals.  That the
+    recovered internal state value-hashes against the batch oracle is
+    the strongest exactly-once statement available: not merely "the
+    sink got the right rows" but "the state the engine would resume
+    from IS the right aggregate".
+
+    At scale this is the debug/repair path for a stuck 100 TB job —
+    state is read per shuffle partition straight from the checkpoint
+    (no replay of the source), so skew inspection ("which key bloated
+    partition 7") and offline state audits cost O(state), not
+    O(stream).  The state-metadata twin (operator names, batch id
+    ranges) is asserted en route; an empty source leaves no committed
+    state, which surfaces as the empty aggregate — same as the oracle
+    over zero rows."""
+    tmp = _staging_dir("statereader", sf_dir)
+    src = f"{tmp}/src"
+    cp = f"{tmp}/cp"
+    t(spark, sf_dir, "events").select("user_id", "value").write.mode("overwrite").json(src)
+
+    stream = spark.readStream.schema("user_id BIGINT, value DOUBLE").json(src)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    sink = f"statein_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    empty = spark.createDataFrame([], "user_id BIGINT, n_events BIGINT, total_value DOUBLE")
+    try:
+        meta = spark.read.format("state-metadata").load(cp)
+    except Exception:  # no batch ever committed (empty source) -> no state
+        return empty
+    if meta.where(F.col("operatorName") == "stateStoreSave").count() != 1:
+        raise AssertionError("expected exactly one stateStoreSave operator in checkpoint")
+    state = spark.read.format("statestore").load(cp)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.round(F.col("value.sum"), 2).alias("total_value"),
+    )

@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "pagestore_pruned_ingest",
     "approx_top_terms_sketch",
     "variant_json_analytics",
+    "stream_state_inspection",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---
