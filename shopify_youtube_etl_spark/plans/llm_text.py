@@ -1954,12 +1954,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 50 != 7)
 
     ws = words(F.col("text"))
-    quality = corpus.where(
-        (F.size(ws) >= 20)
-        & (
-            (F.length(F.regexp_replace("text", r"\s+", "")) / F.size(ws)) <= 12
-        )
-    )
+    quality = corpus.where(_funnel_quality_pred())
 
     # The exact-dedup survivors feed FIVE downstream consumers
     # (shingling, two candidate prunes, the component join-back, the
@@ -1967,12 +1962,15 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor storage instead of re-running the digest shuffle per
     # consumer — the same lineage-truncation move the MinHash query
     # makes for its candidate frame, applied to the corpus frame a
-    # multi-stage pipeline legitimately reuses.
+    # multi-stage pipeline legitimately reuses.  n_tokens rides INTO
+    # the checkpoint so the three survivor-stage counts sum a stored
+    # long instead of re-tokenizing their frames — tokenization is the
+    # funnel's expensive scan, and it should happen once per doc.
     exact = (
         quality.groupBy(F.md5("text").alias("digest"))
         .agg(F.min("doc_id").alias("doc_id"))
         .join(quality, "doc_id")
-        .select("doc_id", "text")
+        .select("doc_id", "text", F.size(ws).cast("long").alias("n_tokens"))
         .localCheckpoint(eager=True)
     )
 
@@ -2023,19 +2021,48 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decontam = neardup.join(contaminated, "doc_id", "left_anti")
 
+    # Stages 1+2 from ONE tokenizing pass (quality folded in as a
+    # conditional aggregate); stages 3-5 sum the n_tokens stored in the
+    # checkpoint — five stage rows, one tokenization per document.
+    qual = _funnel_quality_pred()
+    nt = F.size(ws).cast("long")
+    census = corpus.select(nt.alias("nt"), qual.alias("q")).agg(
+        F.count("*").alias("n1"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("t1"),
+        F.count(F.when(F.col("q"), 1)).alias("n2"),
+        F.coalesce(F.sum(F.when(F.col("q"), F.col("nt"))), F.lit(0))
+        .cast("long")
+        .alias("t2"),
+    )
+    stage12 = census.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage"),
+                    F.lit("ingest").alias("stage_name"),
+                    F.col("n1").alias("n_docs"),
+                    F.col("t1").alias("total_tokens"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"),
+                    F.lit("quality").alias("stage_name"),
+                    F.col("n2").alias("n_docs"),
+                    F.col("t2").alias("total_tokens"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
     def stage(n: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(
             F.lit(n).alias("stage"),
             F.lit(name).alias("stage_name"),
             F.count("*").alias("n_docs"),
-            F.coalesce(F.sum(F.size(words(F.col("text")))), F.lit(0))
-            .cast("long")
-            .alias("total_tokens"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
         )
 
     return (
-        stage(1, "ingest", corpus)
-        .unionByName(stage(2, "quality", quality))
+        stage12
         .unionByName(stage(3, "exact_dedup", exact))
         .unionByName(stage(4, "neardup", neardup))
         .unionByName(stage(5, "decontam", decontam))
@@ -2100,12 +2127,19 @@ def _funnel_state(spark: SparkSession, sf_dir: str, split: int | str) -> dict:
     }
 
 
-def _funnel_quality(corpus: DataFrame) -> DataFrame:
+def _funnel_quality_pred():
+    """The funnel's quality predicate as a Column, so the filter form
+    (``_funnel_quality``) and the conditional-aggregate form
+    (``_funnel_stage_rows``' single-pass stage-1/2 census) are the
+    same expression by construction."""
     ws = words(F.col("text"))
-    return corpus.where(
-        (F.size(ws) >= 20)
-        & ((F.length(F.regexp_replace("text", r"\s+", "")) / F.size(ws)) <= 12)
+    return (F.size(ws) >= 20) & (
+        (F.length(F.regexp_replace("text", r"\s+", "")) / F.size(ws)) <= 12
     )
+
+
+def _funnel_quality(corpus: DataFrame) -> DataFrame:
+    return corpus.where(_funnel_quality_pred())
 
 
 def _funnel_stage_row(n: int, name: str, df: DataFrame) -> DataFrame:
@@ -2466,40 +2500,60 @@ def _funnel_stage_rows(fr: dict) -> DataFrame:
     """The funnel's 5 stage rows from a batch's maintained frames:
     ingest/quality add batch deltas to the persisted history meta;
     survivor stages aggregate over the maintained (doc_id, n_tokens)
-    view."""
+    view.
+
+    Batch-scan discipline: stages 1 and 2 come out of ONE tokenizing
+    pass over the batch (the quality predicate folded in as a
+    conditional aggregate) instead of separate scans of ``corpus_b``
+    and ``quality_b`` — word-splitting is the expensive part of the
+    census, and at 100 TB a second pass over every ingested byte is
+    real money.  Stage 3 aggregates ``toks_all`` directly: its id set
+    IS toks_all's, and the former ids-join form was a corpus-sized
+    self-join that shuffled the survivor set against itself for a
+    no-op."""
     meta = fr["st"]["meta"].read()
     toks_all = fr["toks_all"]
 
-    def hist_plus_batch(n: int, name: str, batch_df: DataFrame) -> DataFrame:
-        h = meta.where(F.col("stage_name") == name).select("n_docs", "total_tokens")
-        b = batch_df.agg(
-            F.count("*").alias("bn"),
-            F.coalesce(F.sum(F.size(words(F.col("text")))), F.lit(0))
+    nt = F.size(words(F.col("text"))).cast("long")
+    qual = _funnel_quality_pred()
+    batch_census = fr["corpus_b"].select(nt.alias("nt"), qual.alias("q")).agg(
+        F.count("*").alias("bn1"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("bt1"),
+        F.count(F.when(F.col("q"), 1)).alias("bn2"),
+        F.coalesce(F.sum(F.when(F.col("q"), F.col("nt"))), F.lit(0))
+        .cast("long")
+        .alias("bt2"),
+    )
+    is_ingest = F.col("stage_name") == "ingest"
+    stage12 = (
+        meta.where(F.col("stage_name").isin("ingest", "quality"))
+        .join(F.broadcast(batch_census))
+        .select(
+            "stage",
+            "stage_name",
+            (F.col("n_docs") + F.when(is_ingest, F.col("bn1")).otherwise(F.col("bn2")))
+            .alias("n_docs"),
+            (
+                F.col("total_tokens")
+                + F.when(is_ingest, F.col("bt1")).otherwise(F.col("bt2"))
+            )
             .cast("long")
-            .alias("bt"),
+            .alias("total_tokens"),
         )
-        return h.join(b).select(
+    )
+
+    def survivor_stage(n: int, name: str, ids: DataFrame | None) -> DataFrame:
+        src = toks_all if ids is None else ids.join(toks_all, "doc_id")
+        return src.agg(
             F.lit(n).alias("stage"),
             F.lit(name).alias("stage_name"),
-            (F.col("n_docs") + F.col("bn")).alias("n_docs"),
-            (F.col("total_tokens") + F.col("bt")).cast("long").alias("total_tokens"),
-        )
-
-    def survivor_stage(n: int, name: str, ids: DataFrame) -> DataFrame:
-        return (
-            ids.join(toks_all, "doc_id")
-            .agg(
-                F.lit(n).alias("stage"),
-                F.lit(name).alias("stage_name"),
-                F.count("*").alias("n_docs"),
-                F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
-            )
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
         )
 
     return (
-        hist_plus_batch(1, "ingest", fr["corpus_b"])
-        .unionByName(hist_plus_batch(2, "quality", fr["quality_b"]))
-        .unionByName(survivor_stage(3, "exact_dedup", toks_all.select("doc_id")))
+        stage12
+        .unionByName(survivor_stage(3, "exact_dedup", None))
         .unionByName(survivor_stage(4, "neardup", fr["reps"]))
         .unionByName(survivor_stage(5, "decontam", fr["decontam_ids"]))
     )
