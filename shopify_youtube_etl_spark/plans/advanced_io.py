@@ -228,6 +228,48 @@ def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xml_roundtrip_ingest",
+    ref="S6/S8 generalization — the XML leg of the serializer-sink family (Spark 4 built-in XML source, rowTag framing)",
+    doc="documents scalars → XML (rowTag framing) → schema'd read-back → per-source profile; oracle = direct agg over parquet.",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT)       AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)   AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY source
+""",
+)
+def xml_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML leg of the serializer-sink family (NDJSON:
+    ``json_roundtrip_ingest``, CSV: ``csv_roundtrip_ingest``, ORC:
+    ``orc_roundtrip_ingest``): typed scalars out through the Spark 4
+    built-in XML writer (one ``<row>`` element per record) and back
+    through an EXPLICIT schema — no inference pass over the data, the
+    same declared-schema discipline as the NDJSON leg — then a
+    per-source profile that must equal the direct parquet aggregation.
+    XML matters for interop the way ORC does: enterprise feeds
+    (catalogs, sitemaps, legacy exports) arrive as XML, and the built-in
+    source splits row-tag elements across executor partitions, so a
+    100 TB landing parses in parallel with no driver path.  Free text
+    stays out for the same reason as CSV: the engine's contract for
+    markup-bearing payloads is parquet/NDJSON."""
+    src = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = _staging_dir("xmlrt", sf_dir)
+    src.write.mode("overwrite").option("rootTag", "docs").option("rowTag", "row").xml(out)
+    back = (
+        spark.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .option("rowTag", "row")
+        .xml(out)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
     "schema_evolution_union",
     ref="S8/S10 robustness — schema evolution across parquet drops (mergeSchema), the add-a-column migration every long-lived table hits",
     doc="Two parquet batches with different schemas (new column added) merged on read; per-lang profile proving old rows surface NULLs.",

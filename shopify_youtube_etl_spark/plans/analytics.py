@@ -617,6 +617,48 @@ def sql_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_syntax_revenue",
+    ref="SURVEY §3 SQL-text entry point, Spark 4 pipe-syntax form — the linear |> dialect lowered onto the same Catalyst plan as the ANSI form",
+    doc="Filter |> join |> extend |> aggregate |> select |> order written in SQL pipe syntax; the oracle is the equivalent ANSI statement.",
+    oracle="""
+SELECT c_mktsegment                        AS segment,
+       CAST(count(*) AS BIGINT)            AS n_orders,
+       round(sum(o_totalprice * 0.9), 2)   AS net_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY c_mktsegment
+""",
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-shaped SQL dialect (Spark 4 pipe operators): each
+    ``|>`` stage consumes the previous stage's rows, so the text reads
+    in EXECUTION order — the form ETL authors actually think in.  The
+    stages here cover the operator chain end to end: WHERE before the
+    JOIN (so the pushdown is syntactically explicit), EXTEND for the
+    derived column, AGGREGATE/GROUP BY, a renaming SELECT, ORDER BY.
+    Catalyst lowers the pipe form to exactly the logical plan the ANSI
+    statement produces — same pushed filter, same broadcast-able join,
+    same partial aggregation — which the oracle equality demonstrates:
+    the dialect is surface syntax, not a different engine path."""
+    from shopify_youtube_etl_spark.sources.tables import ensure_views
+
+    ensure_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+FROM orders
+|> WHERE o_orderdate >= DATE '1995-01-01'
+|> JOIN customer ON o_custkey = c_custkey
+|> EXTEND o_totalprice * 0.9 AS net_price
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(net_price), 2) AS net_revenue
+   GROUP BY c_mktsegment
+|> SELECT c_mktsegment AS segment, n_orders, net_revenue
+"""
+    )
+
+
+@query(
     "moving_average_7d",
     ref="SURVEY §2.5 extension — RANGE-framed window (value-based frame vs ROWS)",
     doc="7-day moving average of daily revenue using a RANGE frame over day numbers (gaps in the series handled correctly).",

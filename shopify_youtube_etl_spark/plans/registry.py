@@ -99,6 +99,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "approx_top_terms_sketch",
     "variant_json_analytics",
     "stream_state_inspection",
+    "pipe_syntax_revenue",
+    "xml_roundtrip_ingest",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

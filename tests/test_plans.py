@@ -448,6 +448,9 @@ SHUFFLE_BUDGET = {
     "embedding_decontamination": 2,  # bench broadcast NL probe + vec_id agg pair
     "column_profile_orders": 2,  # one Expand scan + the multi-distinct agg pair
     "two_stage_distinct_daily_users": 2,  # (day,user) pair shuffle + day count
+    "variant_json_analytics": 1,  # parse/extract are map-side; one status agg
+    "pipe_syntax_revenue": 1,  # customer broadcast; one segment agg
+    "approx_top_terms_sketch": 1,  # one bounded-sketch merge exchange
 }
 
 
