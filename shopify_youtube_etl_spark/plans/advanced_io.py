@@ -827,3 +827,75 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_events"),
         F.round(F.col("value.sum"), 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_stream_join_attribution",
+    ref="§2.10 streaming form of the interval join — watermarked STREAM-STREAM join (both sides buffered in state, expired by watermark + range condition); batch twin is interval_join_clicks_before_purchase",
+    doc="Purchases stream joined to the clicks stream (same-user, preceding 30 min) with 1-hour watermarks on both sides, driven to completion; result must equal the batch interval join.",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id  AS user_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+""",
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stream-stream join, not a batch stand-in: both sides
+    are file streams (events land as µs-integer NDJSON — JSON
+    timestamp serialization truncates to ms, the integer column keeps
+    exact parity), each watermarked at 1 hour, joined on user plus the
+    30-minute range condition.  The range condition is what makes the
+    state BOUNDED: the engine buffers each side only until the other
+    side's watermark passes the join window, so state size is
+    O(traffic in the window), not O(stream) — the property that lets
+    this run forever at 100 TB/day.  Null ts/user/type rows are
+    dropped at ingest (can't be watermarked / can't match — exactly
+    the rows the oracle's predicates eliminate).  availableNow drives
+    the streams to completion and the emitted matches must value-hash
+    against the batch interval join."""
+    from shopify_youtube_etl_spark.plans.windows import interval_join_builder
+
+    tmp = _staging_dir("ssjoin", sf_dir)
+    src = f"{tmp}/src"
+    (
+        t(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .write.mode("overwrite")
+        .json(src)
+    )
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT"
+            )
+            .json(src)
+            .where(F.col("event_type") == event_type)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .withWatermark("ts", "1 hour")
+        )
+
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        interval_join_builder(side("purchase"), side("click"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)

@@ -101,6 +101,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "stream_state_inspection",
     "pipe_syntax_revenue",
     "xml_roundtrip_ingest",
+    "stream_stream_join_attribution",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

@@ -280,3 +280,99 @@ def test_change_feed_complete_and_minimal(spark, old, new):
         )  # complete
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(2**31), 2**31 - 1),
+            st.text(
+                st.characters(
+                    codec="utf-8", exclude_categories=("Cs",), exclude_characters="\x00"
+                ),
+                max_size=12,
+            ),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_variant_roundtrip_any_typed_row(spark, rows):
+    """parse_json → variant_get is lossless for arbitrary ints, unicode
+    strings (quotes, backslashes, astral plane), float32-representable
+    doubles, and an OPTIONAL key (present only when flag is true —
+    try_variant_get must yield NULL exactly on the absent rows)."""
+    import json
+
+    data = [
+        (
+            i,
+            json.dumps(
+                {"k": k, "s": s, "v": v, **({"opt": s} if flag else {})},
+                ensure_ascii=False,
+            ),
+            k,
+            s,
+            v,
+            flag,
+        )
+        for i, (k, s, v, flag) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id INT, j STRING, k LONG, s STRING, v DOUBLE, flag BOOLEAN"
+    )
+    got = df.select(
+        "id",
+        "k",
+        "s",
+        "v",
+        "flag",
+        F.parse_json("j").alias("var"),
+    ).select(
+        "id",
+        (F.variant_get("var", "$.k", "long") == F.col("k")).alias("k_ok"),
+        (F.variant_get("var", "$.s", "string") == F.col("s")).alias("s_ok"),
+        (F.variant_get("var", "$.v", "double") == F.col("v")).alias("v_ok"),
+        (F.try_variant_get("var", "$.opt", "string").isNotNull() == F.col("flag")).alias(
+            "opt_ok"
+        ),
+    )
+    bad = got.where(~(F.col("k_ok") & F.col("s_ok") & F.col("v_ok") & F.col("opt_ok"))).collect()
+    assert not bad, bad
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**9),
+            st.text(
+                st.characters(
+                    codec="utf-8",
+                    exclude_categories=("Cs", "Cc"),
+                    exclude_characters="\x00",
+                ),
+                min_size=1,
+                max_size=10,
+            ).filter(lambda s: s.strip() == s and s.strip() != ""),
+            st.integers(-(2**62), 2**62),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_xml_roundtrip_any_typed_row(spark, rows, tmp_path_factory):
+    """XML write → explicit-schema read is a multiset identity for ids,
+    markup-hostile unicode strings (&, <, >, quotes — the escaping
+    cases), and full-range longs.  Leading/trailing-whitespace and
+    empty strings are excluded: the XML source's documented contract
+    (matching csv_roundtrip_ingest's boundary) is that such payloads
+    belong in parquet/NDJSON."""
+    d = str(tmp_path_factory.mktemp("xmlprop"))
+    df = spark.createDataFrame(rows, "id LONG, s STRING, v LONG")
+    df.write.mode("overwrite").option("rootTag", "rs").option("rowTag", "r").xml(d)
+    back = spark.read.schema("id LONG, s STRING, v LONG").option("rowTag", "r").xml(d)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows))
