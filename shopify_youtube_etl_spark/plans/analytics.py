@@ -617,6 +617,47 @@ def sql_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "param_sql_segment_topk",
+    ref="D1 (shopify_etl.py:212-229 ScalarQueryParameter) — parameterized SQL text with NAMED parameters, the injection-safe form the reference uses for its INSERT",
+    doc="Top-5 customers by account balance within a parameterized market segment and balance floor, via spark.sql(sql, args={...}); oracle inlines the same literals.",
+    oracle="""
+SELECT c_custkey,
+       c_name,
+       round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 1000.0
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 5
+""",
+)
+def param_sql_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference binds its INSERT values through
+    ScalarQueryParameter rather than string formatting
+    (shopify_etl.py:219-226); Spark's equivalent is named-parameter
+    ``spark.sql`` — parameter markers typed and bound engine-side, so
+    a segment name with a quote in it can't break the statement.  The
+    markers land in the plan as LITERALS (a filter Catalyst pushes into
+    the scan, a limit that plans as TakeOrderedAndProject), identical
+    to the inlined form the oracle runs — parameterization is a
+    binding-safety feature, never a plan barrier."""
+    from shopify_youtube_etl_spark.sources.tables import ensure_views
+
+    ensure_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+SELECT c_custkey,
+       c_name,
+       round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_mktsegment = :segment AND c_acctbal >= :floor
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT :k
+""",
+        args={"segment": "BUILDING", "floor": 1000.0, "k": 5},
+    )
+
+
+@query(
     "pipe_syntax_revenue",
     ref="SURVEY §3 SQL-text entry point, Spark 4 pipe-syntax form — the linear |> dialect lowered onto the same Catalyst plan as the ANSI form",
     doc="Filter |> join |> extend |> aggregate |> select |> order written in SQL pipe syntax; the oracle is the equivalent ANSI statement.",

@@ -102,6 +102,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "pipe_syntax_revenue",
     "xml_roundtrip_ingest",
     "stream_stream_join_attribution",
+    "param_sql_segment_topk",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---
