@@ -90,6 +90,12 @@ HEADLINE = [
     "ivf_incremental_assign",
     "tpch_q2_real",
     "tpch_q20_surplus_suppliers",
+    # Round-6 session-2 additions: the stream-stream join (two file
+    # streams + bounded join state per run) is the heaviest new query;
+    # the state-store reader runs a full streaming aggregate before
+    # reading its checkpoint back.
+    "stream_stream_join_attribution",
+    "stream_state_inspection",
 ]
 
 
