@@ -899,3 +899,128 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+class BurstDetectUDTF:
+    """Polymorphic table function: per-user activity-burst detection.
+
+    Registered as a SQL table function and invoked with a
+    ``TABLE(...) PARTITION BY user_id ORDER BY (ts_us, event_id)``
+    argument — Spark instantiates one object per distinct partition
+    key and feeds that user's rows in order, so ``eval`` is a
+    sequential state machine over one user's timeline (state = the
+    CURRENT burst only, O(burst) not O(user)).  A burst is a maximal
+    chain of events with inter-event gap <= 3600 s; chains shorter
+    than 3 events are dropped.  Timestamps cross the Python boundary
+    as epoch MICROS (bigint) so no client-side timezone conversion
+    can perturb them — the outer SQL turns them back into session-tz
+    strings JVM-side.
+    """
+
+    GAP_US = 3600 * 1_000_000
+    MIN_EVENTS = 3
+
+    def __init__(self) -> None:
+        self._user: int | None = None
+        self._start: int | None = None
+        self._end: int | None = None
+        self._n = 0
+        self._total = 0.0
+        self._errors = 0
+
+    def _flush(self):
+        if self._n >= self.MIN_EVENTS:
+            yield (self._user, self._start, self._end, self._n, self._total, self._errors)
+        self._start = None
+        self._end = None
+        self._n = 0
+        self._total = 0.0
+        self._errors = 0
+
+    def eval(self, row):
+        # PARTITION BY columns are not echoed through a TVF's output —
+        # the function itself re-emits the key it was partitioned on.
+        self._user = row["user_id"]
+        ts_us = row["ts_us"]
+        if self._end is not None and ts_us - self._end > self.GAP_US:
+            yield from self._flush()
+        if self._start is None:
+            self._start = ts_us
+        self._end = ts_us
+        self._n += 1
+        self._total += row["value"] or 0.0
+        if row["event_type"] == "error":
+            self._errors += 1
+
+    def terminate(self):
+        yield from self._flush()
+
+
+@query(
+    "udtf_burst_sessions",
+    ref="§2.11 UDF surface — Spark 4 Python UDTF with a partitioned TABLE argument: the SQL-surface custom-operator extension point (per-key stateful generator callable from plain SQL, the batch twin of applyInPandasWithState)",
+    doc="Per-user activity bursts (gap <= 1 h, >= 3 events) emitted by a partitioned Python UDTF called from SQL; oracle is the equivalent gaps-and-islands statement.",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value, event_type,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     <= INTERVAL 3600 SECOND
+                THEN 0 ELSE 1 END AS is_new
+    FROM events
+),
+islands AS (
+    SELECT user_id, ts, value, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS burst_id
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')  AS burst_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')  AS burst_end,
+       CAST(count(*) AS BIGINT)                   AS n_events,
+       round(sum(value), 2)                       AS total_value,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+FROM islands
+GROUP BY user_id, burst_id
+HAVING count(*) >= 3
+""",
+)
+def udtf_burst_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom operators the engine lacks don't need a DataFrame-only
+    escape hatch: a Python UDTF registered over a ``TABLE(...)
+    PARTITION BY ... ORDER BY`` argument is a user-defined OPERATOR in
+    the SQL dialect itself — any SQL author can call it without
+    touching Python.  The partitioning clause is the scale contract:
+    Catalyst plans ONE hash shuffle on user_id (exactly what the
+    gaps-and-islands window form plans), rows arrive at the UDTF
+    grouped and ordered engine-side, and the Python state machine
+    holds only the current burst, so memory is O(burst) regardless of
+    user history length.  Burst semantics (not a 30-min sessionize
+    re-run): 1-hour gap chains with a minimum size, per-burst rows
+    rather than per-user aggregates.
+    """
+    from pyspark.sql.functions import udtf as _udtf
+
+    from shopify_youtube_etl_spark.sources.tables import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    fn = _udtf(BurstDetectUDTF, returnType=(
+        "user_id bigint, burst_start_us bigint, burst_end_us bigint, n_events bigint, "
+        "total_value double, n_errors bigint"
+    ))
+    spark.udtf.register("burst_detect", fn)
+    return spark.sql(
+        """
+SELECT user_id,
+       date_format(timestamp_micros(burst_start_us), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS burst_start,
+       date_format(timestamp_micros(burst_end_us),   'yyyy-MM-dd HH:mm:ss.SSSSSS') AS burst_end,
+       n_events,
+       round(total_value, 2) AS total_value,
+       n_errors
+FROM burst_detect(
+    TABLE(SELECT user_id, event_id, unix_micros(ts) AS ts_us, value, event_type
+          FROM events)
+    PARTITION BY user_id
+    ORDER BY (ts_us, event_id)
+)
+"""
+    )

@@ -3422,3 +3422,64 @@ def tpch_q12_late_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+@query(
+    "sql_script_recent_rollup",
+    ref="SURVEY §3 orchestration — the reference sequences its SQL statements from Python (shopify_etl.py run() issuing dependent statements); SQL scripting (Spark 4 BEGIN…END) moves that sequencing into the engine",
+    doc="Multi-statement SQL script (DECLARE / SET from scalar subquery / IF-ELSE branch / final rollup) run as one compound statement; oracle folds the taken branch into a CASE.",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+cut AS (
+    SELECT CASE WHEN mx >= TIMESTAMP '1995-06-01' THEN mx - INTERVAL 90 DAY
+                ELSE mx - INTERVAL 180 DAY END AS cutoff
+    FROM mx
+)
+SELECT c_mktsegment                   AS segment,
+       CAST(count(*) AS BIGINT)       AS n_orders,
+       round(sum(o_totalprice), 2)    AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+CROSS JOIN cut
+WHERE o_orderdate >= cutoff
+GROUP BY c_mktsegment
+""",
+)
+def sql_script_recent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pipeline is a Python function issuing dependent
+    SQL statements in order (compute a cursor, then query with it);
+    SQL scripting is the engine-native form of that control flow — the
+    compound ``BEGIN…END`` block owns the variables and the branch, so
+    the orchestration travels WITH the query text instead of living in
+    client code.  Scripting is a driver-side control layer only: each
+    statement inside the block is planned by Catalyst exactly as if
+    issued alone (the rollup below keeps its pushed filter and
+    broadcast-able join; variables bind as literals, like named-param
+    SQL).  The oracle proves branch equivalence by folding the IF into
+    a CASE-derived cutoff — same rows either way, so the scripted and
+    declarative forms are interchangeable."""
+    from shopify_youtube_etl_spark.sources.tables import ensure_views
+
+    ensure_views(spark, sf_dir, ("orders", "customer"))
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+BEGIN
+    DECLARE mx TIMESTAMP;
+    DECLARE cutoff TIMESTAMP;
+    SET mx = (SELECT max(o_orderdate) FROM orders);
+    IF mx >= TIMESTAMP '1995-06-01' THEN
+        SET cutoff = mx - INTERVAL 90 DAY;
+    ELSE
+        SET cutoff = mx - INTERVAL 180 DAY;
+    END IF;
+    SELECT c_mktsegment                AS segment,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= cutoff
+    GROUP BY c_mktsegment;
+END
+"""
+    )

@@ -2242,3 +2242,186 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("cos") >= 0.35).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF hot-cell split (round 6): the maintenance verb AFTER
+# ivf_incremental_assign's staleness report says a cell is running hot.
+# Splitting only the hot cells keeps maintenance cost proportional to the
+# DRIFT, not the corpus — the difference between "re-shard one shard" and
+# "rebuild the index" at 100 TB.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SKEW = 1.2  # hot = cell growth > this x the corpus-wide growth
+_SPLIT_MIN_MEMBERS = 8  # don't split cells too small to bisect
+_SPLIT_FIT_CAP = 2048  # Lloyd fits on at most this many members
+
+
+def _two_means(V):
+    """Deterministic 2-means (numpy, float64): seeds are the member
+    farthest from the cell mean and the member farthest from that seed
+    (a deterministic farthest-pair heuristic, no RNG), then 15 Lloyd
+    iterations.  Ties break toward child 0 (<=), so the result is a
+    pure function of the member set — partitioning cannot perturb it."""
+    import numpy as np
+
+    mu = V.mean(axis=0)
+    a = int(np.argmax(((V - mu) ** 2).sum(axis=1)))
+    b = int(np.argmax(((V - V[a]) ** 2).sum(axis=1)))
+    c0, c1 = V[a].copy(), V[b].copy()
+    for _ in range(15):
+        d0 = ((V - c0) ** 2).sum(axis=1)
+        d1 = ((V - c1) ** 2).sum(axis=1)
+        lab = (d1 < d0).astype(np.int64)  # ties -> child 0
+        if lab.all() or not lab.any():
+            # Degenerate (all members identical): child 1 keeps the seed.
+            break
+        c0 = V[lab == 0].mean(axis=0)
+        c1 = V[lab == 1].mean(axis=0)
+    d0 = ((V - c0) ** 2).sum(axis=1)
+    d1 = ((V - c1) ** 2).sum(axis=1)
+    lab = (d1 < d0).astype(np.int64)
+    return c0, c1, lab, np.where(lab == 1, d1, d0)
+
+
+@query(
+    "ivf_hot_cell_split",
+    ref="incremental ANN index maintenance, stage 2 — split ONLY the cells ivf_incremental_assign flags as hot (2-means bisection of the drifted cell), leaving every other centroid untouched: Faiss-style local re-sharding instead of a full retrain",
+    doc="Bisect IVF cells whose append growth exceeds 0.5: per new child — member count, parent vs child quantization error; split quantizer persisted as the ivfsplit artifact; rows-only (k-means family); improvement, member conservation, untouched-cells, determinism, and recall pinned in pytest.",
+    oracle=None,
+)
+def ivf_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 2 of incremental index maintenance.  Stage 1
+    (``ivf_incremental_assign``) quantifies WHERE the quantizer went
+    stale; this query repairs exactly those cells.  Each hot cell —
+    append growth ratio > 0.5 and at least 8 members — is bisected with
+    a deterministic 2-means over its OWN members only, so the work is
+    O(hot cells · cell size), never O(corpus), and every cold centroid
+    survives bit-identical (pinned).  The scale discipline:
+
+    * membership is one map-side argmin pass (broadcast-literal
+      centroids, no shuffle before the per-cell grouping);
+    * the hot-cell census is a K-row aggregate (K=16), so the
+      driver-side hot list is bounded by the quantizer size, not data;
+    * the bisection runs distributed via groupBy(cell).applyInPandas —
+      one Arrow group per hot cell; the Lloyd fit caps at 2048 members
+      (deterministic lowest-vec_id sample), assignment covers ALL
+      members, so a billion-row cell still fits in one executor's
+      memory budget;
+    * children land in the ``ivfsplit`` artifact (parent cell, child
+      id, centroid, member count) — search composes cold parents +
+      children; recall over the composed quantizer is pinned in
+      tests/test_llm_ops.py alongside the no-silent-retrain pin on the
+      base artifact."""
+    import numpy as np
+    import pandas as pd
+
+    split = _ivf_append_split(spark, sf_dir)
+    out_schema = (
+        "cell int, child int, n_members long, "
+        "mean_sqdist_parent double, mean_sqdist_child double"
+    )
+    centers, _base_stats = _load_or_train_ivf_base(spark, sf_dir, split)
+    if centers is None:
+        return spark.createDataFrame([], out_schema)
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            as_double_array("embedding").alias("v"),
+            (F.col("vec_id") >= split).alias("is_new"),
+        )
+    )
+    dists = _ivf_dists(centers)
+    assigned = e.select(
+        "vec_id",
+        "v",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+        F.array_min(dists).alias("d"),
+        "is_new",
+    )
+    census = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+        F.avg("d").alias("mean_sqdist_parent"),
+    )
+    census_rows = census.collect()  # K=16 rows — quantizer-sized, never data-sized
+    tot = sum(r["n_members"] for r in census_rows)
+    tot_new = sum(r["n_new"] for r in census_rows)
+    overall_growth = tot_new / max(tot - tot_new, 1)
+    # Hot = growing meaningfully FASTER than the corpus (relative skew,
+    # not an absolute constant — an absolute bar would flag everything
+    # after a big uniform append and nothing after a skewed trickle).
+    hot = {
+        int(r["cell"]): float(r["mean_sqdist_parent"])
+        for r in census_rows
+        if r["n_members"] >= _SPLIT_MIN_MEMBERS
+        and r["n_new"] / max(r["n_members"] - r["n_new"], 1)
+        > _SPLIT_SKEW * overall_growth
+    }
+    if not hot:
+        return spark.createDataFrame([], out_schema)
+
+    def bisect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        cell = int(pdf["cell"].iloc[0])
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        fit = V[: _SPLIT_FIT_CAP]
+        c0, c1, _, _ = _two_means(fit)
+        d0 = ((V - c0) ** 2).sum(axis=1)
+        d1 = ((V - c1) ** 2).sum(axis=1)
+        lab = (d1 < d0).astype(np.int64)
+        dd = np.where(lab == 1, d1, d0)
+        rows = []
+        for child, c in ((0, c0), (1, c1)):
+            m = lab == child
+            if not m.any():
+                continue
+            rows.append(
+                {
+                    "cell": cell,
+                    "child": child,
+                    "n_members": int(m.sum()),
+                    "mean_sqdist_child": float(dd[m].mean()),
+                    "centroid_vec": [float(x) for x in c],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    children = (
+        assigned.where(F.col("cell").isin(*hot.keys()))
+        .groupBy("cell")
+        .applyInPandas(
+            bisect,
+            "cell int, child int, n_members long, mean_sqdist_child double, "
+            "centroid_vec array<double>",
+        )
+    )
+    # One bounded materialization (<= 2K rows) feeds both the persisted
+    # artifact and the report — the split must not run twice.
+    child_rows = children.collect()
+    tbl = _ann_artifact_table(spark, sf_dir, f"ivfsplit{split}")
+    tbl.overwrite(
+        spark.createDataFrame(
+            [
+                (r["cell"], r["child"], r["centroid_vec"], r["n_members"])
+                for r in child_rows
+            ],
+            "cell int, child int, centroid_vec array<double>, n_members long",
+        )
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["cell"],
+                r["child"],
+                r["n_members"],
+                round(hot[r["cell"]], 6),
+                round(r["mean_sqdist_child"], 6),
+            )
+            for r in child_rows
+        ],
+        out_schema,
+    ).orderBy("cell", "child")

@@ -103,6 +103,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "xml_roundtrip_ingest",
     "stream_stream_join_attribution",
     "param_sql_segment_topk",
+    "udtf_burst_sessions",
+    "sql_script_recent_rollup",
+    "ivf_hot_cell_split",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

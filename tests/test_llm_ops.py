@@ -1041,3 +1041,77 @@ def test_ivf_incremental_assign_no_silent_retrain_and_recall(spark, sf_dir):
             "mean_sqdist_base",
         )
     )
+
+
+def test_ivf_hot_cell_split_locality_and_recall(spark, sf_dir):
+    """Stage-2 index maintenance: (1) children partition exactly their
+    parent's members; (2) every split strictly reduces quantization
+    error (weighted child mean < parent mean); (3) ONLY skew-flagged
+    cells are split — the artifact stays smaller than the quantizer;
+    (4) the run is deterministic; (5) recall of nprobe search over the
+    composed quantizer (cold parents + split children) holds the same
+    floor as the base quantizer."""
+    from pyspark.sql import functions as F2
+
+    from shopify_youtube_etl_spark.functions.similarity import as_double_array
+    from shopify_youtube_etl_spark.plans import llm_similarity as sim
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    rep = specs["ivf_hot_cell_split"].fn(spark, sf_dir).collect()
+    assert rep, "expected at least one hot cell at the test SF"
+    split_cells = {r["cell"] for r in rep}
+    assert len(split_cells) < sim._IVF_K, "split must be selective, not a retrain"
+
+    # Parent membership, recomputed independently from the base quantizer.
+    split = sim._ivf_append_split(spark, sf_dir)
+    centers, _ = sim._load_or_train_ivf_base(spark, sf_dir, split)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F2.col("embedding").isNotNull())
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    dists = sim._ivf_dists(centers)
+    parent_counts = {
+        r["cell"]: r["n"]
+        for r in e.select(
+            (F2.array_position(dists, F2.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    }
+    by_cell: dict[int, list] = {}
+    for r in rep:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rows in by_cell.items():
+        assert sum(r["n_members"] for r in rows) == parent_counts[cell]
+        w = sum(r["n_members"] * r["mean_sqdist_child"] for r in rows)
+        assert w / parent_counts[cell] < rows[0]["mean_sqdist_parent"]
+
+    # Determinism: a second run yields the identical report.
+    rep2 = specs["ivf_hot_cell_split"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, rep2))
+
+    # Artifact holds exactly the split cells' children.
+    art = sim._ann_artifact_table(spark, sf_dir, f"ivfsplit{split}").read().collect()
+    assert {r["cell"] for r in art} == split_cells
+    assert len(art) == len(rep)
+
+    # Composed quantizer: cold parents keep their index positions,
+    # children append at the end — recall floor as the base pin.
+    composed = [
+        c for i, c in enumerate(centers) if i not in split_cells
+    ] + [list(r["centroid_vec"]) for r in art]
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in sim._ivf_search(e, composed).collect()
+    }
+    truth = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in specs["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"post-split recall@5 {recall:.2%}"
