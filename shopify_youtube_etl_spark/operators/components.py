@@ -25,14 +25,32 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+    driver_edge_threshold: int = 65536,
 ) -> DataFrame:
     """Label every node with its component's min node id.
 
     ``edges``: (src, dst) pairs, any direction (symmetrized here).
     ``nodes``: single-column DataFrame of node ids (isolated nodes keep
     their own id as label).  Returns (node, label).
-    """
+
+    Adaptive execution (the broadcast-join-threshold idea applied to
+    graph iteration): the edge count is measured first — one cheap job
+    over the checkpointed edge frame — and when it is at most
+    ``driver_edge_threshold`` the loop is replaced by a driver-side
+    union-find over the COLLECTED EDGES ONLY (never the node set, which
+    stays corpus-sized and distributed).  A dedup graph's verified edge
+    set is many orders smaller than the corpus — batch-incremental
+    funnels collapse it further to O(new edges) — so the common case is
+    a few thousand pairs, where O(log diameter) rounds of
+    join+compress+checkpoint cost seconds of pure scheduling overhead
+    against microseconds of union-find.  Past the threshold the
+    iterative min-label path runs unchanged; both paths produce the
+    identical (node, label) labeling, so the switch is invisible to
+    every consumer (oracle-checked via neardup_components and the
+    funnel equality pins)."""
     node_col = nodes.columns[0]
     sym = (
         edges.select(F.col("src"), F.col("dst"))
@@ -57,6 +75,38 @@ def connected_components(
     )
     if endpoints.isEmpty():
         return isolated
+    if sym.count() <= 2 * driver_edge_threshold:  # sym holds both directions
+        spark = edges.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.select("src", "dst").collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict = {}
+        for n in parent:
+            members.setdefault(find(n), []).append(n)
+        from pyspark.sql.types import StructField, StructType
+
+        ntype = endpoints.schema["node"].dataType
+        schema = StructType(
+            [StructField("node", ntype), StructField("label", ntype)]
+        )
+        rows = [
+            (n, min(ms)) for root, ms in members.items() for n in ms
+        ]
+        return spark.createDataFrame(rows, schema).unionByName(isolated)
     labels = endpoints.select("node", F.col("node").alias("label"))
     converged = False
     for _ in range(max_iter):

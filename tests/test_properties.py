@@ -97,6 +97,16 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(edges_df, nodes_df).collect()
     }
     assert got == want
+    # Path equivalence: threshold 0 forces the distributed iterative
+    # loop; its labeling must be identical to the driver union-find
+    # fast path taken above.
+    got_iter = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            edges_df, nodes_df, driver_edge_threshold=0
+        ).collect()
+    }
+    assert got_iter == want
 
 
 @given(
