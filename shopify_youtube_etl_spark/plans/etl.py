@@ -1268,3 +1268,67 @@ def table_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return slice0.unionByName(checked)
+
+
+@query(
+    "pseudonymize_join_integrity",
+    ref="governance family (deletion_propagation_report / pii_redaction siblings) — keyed pseudonymization that PRESERVES JOINS: the analytics-on-tokenized-data contract",
+    doc="Customers and orders re-keyed to salted SHA-256 tokens; the per-segment rollup is computed entirely in token space, with the min token emitted so the oracle proves byte-identical tokenization.",
+    oracle="""
+WITH pc AS (
+    SELECT sha256('cust:' || CAST(c_custkey AS VARCHAR) || ':k1') AS tok,
+           c_mktsegment
+    FROM customer
+),
+po AS (
+    SELECT sha256('cust:' || CAST(o_custkey AS VARCHAR) || ':k1') AS tok,
+           o_totalprice
+    FROM orders
+)
+SELECT c_mktsegment                       AS segment,
+       CAST(count(DISTINCT pc.tok) AS BIGINT) AS n_customers,
+       CAST(count(po.o_totalprice) AS BIGINT) AS n_orders,
+       round(sum(coalesce(po.o_totalprice, 0)), 2) AS revenue,
+       min(pc.tok)                        AS sample_token
+FROM pc LEFT JOIN po ON pc.tok = po.tok
+GROUP BY c_mktsegment
+""",
+)
+def pseudonymize_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization for analytics hand-off: natural keys are
+    replaced by a keyed hash (salted SHA-256 — deterministic within a
+    key version, so referential integrity survives; rotate the salt
+    and every token changes, the kill switch GDPR guidance expects).
+    The proof obligation is twofold and both halves are in the oracle
+    check: (1) the per-segment rollup computed ONLY from tokenized
+    frames equals the clear-key rollup's numbers — no fan-out, no
+    dropped matches, i.e. tokenization is injective on this key space;
+    (2) ``sample_token`` hash-matches DuckDB's independent SHA-256 —
+    the token bytes themselves are portable, not an engine-private
+    encoding, so downstream systems can re-derive joins.
+
+    Scale shape: sha2 is a JVM codegen expression — tokenization is
+    map-side, free of shuffles; the join then shuffles on the TOKEN
+    (uniform by construction — a salted hash is the perfect hash-
+    partitioning key, no skew), and the rollup is an ordinary partial
+    agg.  The salt would be a secret from config at 100 TB; a literal
+    here so the oracle can recompute it."""
+    tok = lambda c: F.sha2(  # noqa: E731
+        F.concat(F.lit("cust:"), F.col(c).cast("string"), F.lit(":k1")), 256
+    )
+    pc = t(spark, sf_dir, "customer").select(
+        tok("c_custkey").alias("tok"), "c_mktsegment"
+    )
+    po = t(spark, sf_dir, "orders").select(
+        tok("o_custkey").alias("tok"), "o_totalprice"
+    )
+    return (
+        pc.join(po, "tok", "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("tok").alias("n_customers"),
+            F.count("o_totalprice").alias("n_orders"),
+            money(F.sum(F.coalesce("o_totalprice", F.lit(0.0)))).alias("revenue"),
+            F.min("tok").alias("sample_token"),
+        )
+    )

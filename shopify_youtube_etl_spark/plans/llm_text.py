@@ -2638,3 +2638,106 @@ def incremental_funnel_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not st_b["labels"].exists():
         _advance_funnel_state(st_b, _funnel_batch(spark, sf_dir, st_a, s1, s2))
     return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st_b, s2, None))
+
+
+@query(
+    "bigram_lm_heldout_ppl",
+    ref="quality scoring (north star) — held-out perplexity under an add-k-smoothed bigram LM: the CCNet filtering stage one rung up from unigram_logprob_score (context-sensitive, handles UNSEEN bigrams via smoothing)",
+    doc="Train bigram counts on the 80% history slice (doc_id % 5 != 0), score each held-out doc's bigrams with add-0.5 smoothing: n_bigrams, mean -ln p(w2|w1), perplexity.",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, {_D_WORDS} AS ws FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+    SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+    FROM d, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+    WHERE len(ws) >= 2
+),
+cb AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+    FROM bg WHERE doc_id % 5 <> 0 GROUP BY w1, w2
+),
+cw AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cx FROM cb GROUP BY w1),
+v AS (
+    SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+    FROM (SELECT w1 AS t FROM cb UNION SELECT w2 FROM cb)
+),
+scored AS (
+    SELECT bg.doc_id,
+           -ln((COALESCE(cb.c, 0) + 0.5)
+               / (COALESCE(cw.cx, 0) + 0.5 * (SELECT v FROM v))) AS nll
+    FROM bg
+    LEFT JOIN cb USING (w1, w2)
+    LEFT JOIN cw USING (w1)
+    WHERE bg.doc_id % 5 = 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)      AS n_bigrams,
+       round(avg(nll), 6)            AS bigram_xent,
+       round(exp(avg(nll)), 4)       AS ppl
+FROM scored
+GROUP BY doc_id
+""",
+)
+def bigram_lm_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering the way a production curation pipeline runs
+    it: the LM is trained on the CURATED HISTORY (80% slice), incoming
+    documents are scored under that fixed model — so in-distribution
+    text scores low and spam/wrong-language/noise scores high, and the
+    score is not contaminated by the batch being judged (the flaw of
+    corpus-self scoring, which ``unigram_logprob_score`` documents).
+    Add-0.5 smoothing gives unseen bigrams a finite, vocabulary-scaled
+    probability — mandatory once train and eval are disjoint.
+
+    Scale shape: ONE bigram explode pass over the corpus (zip_with of
+    two slices — no token self-join), immediately reduced: the train
+    side collapses to (w1, w2, c) — vocabulary-bounded, orders of
+    magnitude smaller than the corpus — and the context totals and
+    vocab size both DERIVE from that reduced frame, never a second
+    scan.  Scoring joins the eval bigrams against the two count frames
+    (shuffle hash join on vocab-sized build sides; AQE may broadcast
+    the context frame), then one partial-agg shuffle on doc_id.  The
+    smoothing denominator rides along as a broadcast one-row frame."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .where(F.size("ws") >= 2)
+    )
+    n = F.size("ws")
+    pair = F.zip_with(
+        F.slice("ws", 1, n - 1),
+        F.slice("ws", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = (
+        bg.where(F.col("doc_id") % 5 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    cw = cb.groupBy("w1").agg(F.sum("c").alias("cx"))
+    v = (
+        cb.select(F.col("w1").alias("t"))
+        .union(cb.select(F.col("w2").alias("t")))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 0.5)
+        / (F.coalesce(F.col("cx"), F.lit(0)) + 0.5 * F.col("v"))
+    )
+    return (
+        bg.where(F.col("doc_id") % 5 == 0)
+        .join(cb, ["w1", "w2"], "left")
+        .join(cw, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("bigram_xent"),
+            F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
+        )
+    )

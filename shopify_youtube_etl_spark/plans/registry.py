@@ -106,6 +106,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "udtf_burst_sessions",
     "sql_script_recent_rollup",
     "ivf_hot_cell_split",
+    "bigram_lm_heldout_ppl",
+    "pseudonymize_join_integrity",
+    "incremental_hll_maintenance",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

@@ -406,3 +406,85 @@ def approx_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.count").cast("long").alias("approx_count"),
         )
     )
+
+
+def _hll_split(spark: SparkSession, sf_dir: str) -> int:
+    """History/batch boundary for the sketch-maintenance query: the
+    bottom 80% of the event_id range is 'already sketched', the top
+    20% is the incoming batch — the same corpus-fractional convention
+    as the funnel and IVF maintenance splits."""
+    mx = t(spark, sf_dir, "events").agg(F.max("event_id").alias("m")).first()["m"]
+    return int((mx + 1) * 4 // 5) if mx is not None else 0
+
+
+def _hll_state_table(spark: SparkSession, sf_dir: str, split: int):
+    import hashlib
+    import os
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    key = hashlib.md5(f"{sf_dir}|{split}".encode()).hexdigest()[:8]
+    return ParquetTable(
+        spark, os.path.join(tempfile.gettempdir(), f"sye_hllstate_{key}")
+    )
+
+
+@query(
+    "incremental_hll_maintenance",
+    ref="sketch-state IVM — the incremental_rollup_maintenance pattern applied to MERGEABLE SKETCHES: per-day HLL state + batch-delta sketches unioned, never a raw re-scan; exact estimate equality with the full recompute pinned in pytest (HLL union is associative)",
+    doc="Per-day distinct-user estimates maintained incrementally: persisted history sketches (event_id < 80% split) unioned with batch-delta sketches; rows-only (Datasketches binary not oracle-portable); full-recompute equality and state-genuinely-read pinned in tests/test_scale.py.",
+    oracle=None,
+)
+def incremental_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch answer to "how many distinct users per day, updated
+    every ingest, over 100 TB of history": COUNT(DISTINCT) cannot be
+    incrementally maintained from counts alone (distinct is not
+    additive), but HLL sketches merge associatively — so the state
+    table stores one O(2^lgK)-byte sketch per day, a new batch folds
+    in as sketch-union, and history raw events are NEVER re-read.
+    Because union is associative and the registers deterministic,
+    incremental maintenance is EXACTLY the full recompute's estimate
+    (pinned in pytest), not an approximation of it — the same
+    hash-equality IVM discipline as incremental_rollup_maintenance,
+    transplanted to sketch state.
+
+    Execution shape: batch scan → one partial-agg shuffle on day
+    (sketch build); state read is O(days); the merge is a day-keyed
+    agg over (state ∪ delta) sketch rows — bytes, not events.  Late
+    events for an already-sketched day fold in correctly (union), the
+    property that makes this the standard watermark-tolerant distinct
+    rollup."""
+    from shopify_youtube_etl_spark.plans.common import day_str
+
+    split = _hll_split(spark, sf_dir)
+    st = _hll_state_table(spark, sf_dir, split)
+    if not st.exists():
+        hist = (
+            t(spark, sf_dir, "events")
+            .where(F.col("event_id") < split)
+            .select(day_str(F.col("ts")).alias("day"), "user_id")
+            .groupBy("day")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        )
+        st.overwrite(hist)
+    batch = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") >= split)
+        .select(day_str(F.col("ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged = (
+        st.read()
+        .select("day", "sk")
+        .unionByName(batch)
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    return (
+        merged.select(
+            "day", F.hll_sketch_estimate("sk").cast("long").alias("users_est")
+        )
+        .orderBy("day")
+    )

@@ -310,3 +310,64 @@ def test_approx_top_terms_agrees_with_exact_census(spark, sf_dir):
     for r in exact:
         assert r["tok"] in got, f"true heavy hitter {r['tok']} missing"
         assert got[r["tok"]] == r["n"], (r["tok"], got[r["tok"]], r["n"])
+
+
+def test_incremental_hll_maintenance_equals_full_and_reads_state(spark, sf_dir):
+    """Sketch-state IVM: (1) the incrementally-maintained per-day
+    estimates are EXACTLY the full-recompute estimates (HLL union is
+    associative — no approximation drift between the two paths);
+    (2) poison pin: dropping a day from the persisted state makes that
+    day vanish from the report — the state is genuinely read, never
+    silently rebuilt from raw history."""
+    import shutil
+
+    from shopify_youtube_etl_spark.plans import scale_ops as so
+    from shopify_youtube_etl_spark.plans.common import day_str
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    split = so._hll_split(spark, sf_dir)
+    st = so._hll_state_table(spark, sf_dir, split)
+    shutil.rmtree(st.path, ignore_errors=True)  # fresh state for this test
+    try:
+        got = sorted(
+            map(
+                tuple,
+                specs["incremental_hll_maintenance"].fn(spark, sf_dir).collect(),
+            )
+        )
+        full = sorted(
+            map(
+                tuple,
+                load_table(spark, sf_dir, "events")
+                .select(day_str(F.col("ts")).alias("day"), "user_id")
+                .groupBy("day")
+                .agg(
+                    F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+                    .cast("long")
+                    .alias("users_est")
+                )
+                .collect(),
+            )
+        )
+        assert got == full
+
+        # Poison: remove the earliest day from the state.  The batch
+        # slice (top 20% of event ids) holds only the newest days, so
+        # a genuinely-read state means that day VANISHES from the
+        # report; a silent rebuild would resurrect it.
+        first_day = min(d for d, _ in got)
+        st.overwrite(st.read().where(F.col("day") != first_day))
+        gens = len(st.history())
+        got2 = dict(
+            map(
+                tuple,
+                specs["incremental_hll_maintenance"].fn(spark, sf_dir).collect(),
+            )
+        )
+        assert len(st.history()) == gens, "query silently rewrote the sketch state"
+        assert first_day not in got2, "dropped state day was rebuilt from raw events"
+        unpoisoned = {d: e for d, e in got if d != first_day}
+        assert got2 == unpoisoned
+    finally:
+        shutil.rmtree(st.path, ignore_errors=True)
