@@ -96,6 +96,15 @@ HEADLINE = [
     # reading its checkpoint back.
     "stream_stream_join_attribution",
     "stream_state_inspection",
+    # Round-6 session-3 additions: the index-maintenance chain's two
+    # new stages (2-means bisection; Arrow re-encode of split-cell
+    # codes), the held-out bigram LM (heaviest new oracle-green text
+    # path), and the partitioned Python UDTF (the SQL-surface custom
+    # operator — its Python-worker cost belongs in the record).
+    "ivf_hot_cell_split",
+    "ivfpq_code_refresh",
+    "bigram_lm_heldout_ppl",
+    "udtf_burst_sessions",
 ]
 
 

@@ -60,6 +60,14 @@ HEAVY = [
     "incremental_curation_funnel",
     "ivf_incremental_assign",
     "tpch_q9_product_profit",
+    # Round-6 session-3: maintenance-chain stages 2+3 (bisection +
+    # split-cell re-encode — work must track hot-cell membership, not
+    # the corpus) and the held-out bigram LM (bigram census + eval
+    # join).  The events-table additions (UDTF bursts, HLL IVM) stay
+    # out: events is not in SCALED, so a 10x ratio would be noise.
+    "ivf_hot_cell_split",
+    "ivfpq_code_refresh",
+    "bigram_lm_heldout_ppl",
 ]
 
 # Tables the HEAVY set reads; the rest are copied unscaled.

@@ -3483,3 +3483,117 @@ BEGIN
 END
 """
     )
+
+
+@query(
+    "top_event_paths",
+    ref="product-analytics path operator — the sessionize/transition-matrix family extended to ORDERED ENTRY PATHS (the Sankey-source aggregation): per-user first-3-event sequences counted corpus-wide",
+    doc="Each user's first three events (by ts, event_id) joined into a '>' path string; users with fewer than 3 events excluded; count of users per path.",
+    oracle="""
+WITH r AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+p AS (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path,
+           count(*) AS n
+    FROM r WHERE rn <= 3
+    GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p WHERE n = 3
+GROUP BY path
+""",
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path census: what do users DO first?  The transition
+    matrix (event_transition_matrix) loses order beyond pairs; this
+    keeps the ordered prefix — the aggregation a Sankey/onboarding
+    funnel view consumes.
+
+    One hash shuffle total on user_id: the row_number window and the
+    per-user path aggregation share the same partitioning (Catalyst
+    plans one Exchange for both — the scd2/sessionize discipline), and
+    the final path census groups a |users|-sized 3-token frame.  The
+    prefix cap means per-user state is 3 rows regardless of history
+    length — the property that keeps the operator viable on an
+    unbounded events table."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+    paths = (
+        r.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("n"),
+        )
+        .where(F.col("n") == 3)
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "weighted_median_price",
+    ref="custom-operator class (a) — WEIGHTED median as a composition of window ops (Spark has percentile/median but no weighted form; this is the cumulative-weight crossing construction)",
+    doc="Per return flag: quantity-weighted median of extended price — first price whose running quantity reaches half the group total (deterministic tie-break on orderkey, linenumber) — plus the total weight.",
+    oracle="""
+WITH w AS (
+    SELECT l_returnflag AS rf,
+           l_extendedprice AS p,
+           sum(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ) AS cw,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+    FROM lineitem
+)
+SELECT rf                                        AS returnflag,
+       CAST(max(tw) AS BIGINT)                   AS total_qty,
+       round(min(CASE WHEN cw >= tw / 2.0 THEN p END), 2) AS weighted_median_price
+FROM w
+GROUP BY rf
+""",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted median (half the QUANTITY ships below this price,
+    half above) — the pricing question the unweighted median answers
+    wrongly whenever line sizes vary.  No engine primitive exists, so
+    it is composed from what Catalyst already optimizes: a cumulative
+    weight over the price order and the grand total share ONE
+    partition-key exchange (same-window discipline as scd2), and the
+    crossing row is a conditional min — no self-join, no sort of the
+    group into the driver, no UDF.  The tie-break keys make the
+    cumulative order — and therefore the crossing — deterministic on
+    both engines, which is what lets a rank-statistic carry a value
+    hash rather than a tolerance check."""
+    from pyspark.sql.window import Window
+
+    ordered = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    whole = Window.partitionBy("l_returnflag")
+    w = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("p"),
+        F.sum("l_quantity").over(ordered).alias("cw"),
+        F.sum("l_quantity").over(whole).alias("tw"),
+    )
+    return w.groupBy(F.col("rf").alias("returnflag")).agg(
+        F.max("tw").cast("long").alias("total_qty"),
+        F.round(
+            F.min(F.when(F.col("cw") >= F.col("tw") / 2.0, F.col("p"))), 2
+        ).alias("weighted_median_price"),
+    )

@@ -1743,17 +1743,27 @@ def _centers_fingerprint(centers) -> str:
     return hashlib.md5(np.round(C, 9).tobytes()).hexdigest()
 
 
-def _load_or_train_ivfpq(spark: SparkSession, sf_dir: str, centers):
+def _load_or_train_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    centers,
+    kind: str = "ivfpq",
+    below_id: int | None = None,
+):
     """Residual PQ codebooks for IVF-PQ: Lloyd's per subspace over
     (v − nearest center) on the bounded sample; persisted as their own
     ParquetTable artifact (separate from the plain-PQ codebooks, which
     quantize raw vectors).  The artifact records a fingerprint of the
     centroid set it was trained against; a mismatch (the centroids were
     retrained since) triggers a retrain instead of silently pairing new
-    cells with stale residual codes."""
+    cells with stale residual codes.  ``kind``/``below_id`` let the
+    incremental-maintenance chain keep codebooks bound to the BASE
+    quantizer (trained only on vec_id < split, in their own artifact)
+    without churning the full-corpus artifact this function defaults
+    to."""
     import numpy as np
 
-    tbl = _ann_artifact_table(spark, sf_dir, "ivfpq")
+    tbl = _ann_artifact_table(spark, sf_dir, kind)
     want_fp = _centers_fingerprint(centers)
     if tbl.exists():
         rows = tbl.read().collect()
@@ -1768,6 +1778,8 @@ def _load_or_train_ivfpq(spark: SparkSession, sf_dir: str, centers):
                 cb[r["subspace"], r["centroid"]] = r["centroid_vec"]
             return cb
     e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    if below_id is not None:
+        e = e.where(F.col("vec_id") < below_id)
     train_rows = e.orderBy("vec_id").limit(2048).select("embedding").collect()
     if not train_rows:
         return None
@@ -2425,3 +2437,150 @@ def ivf_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         out_schema,
     ).orderBy("cell", "child")
+
+
+@query(
+    "ivfpq_code_refresh",
+    ref="incremental ANN index maintenance, stage 3 — after a hot-cell split, re-encode ONLY the split cells' PQ codes against their child centroids (same codebooks, smaller residuals): the code-level repair that makes the split actually improve the stored index",
+    doc="Per (split cell, child): vectors re-encoded, mean squared residual and mean PQ reconstruction error against the parent vs the child centroid; refreshed codes persisted as the ivfsplitcodes artifact; rows-only (quantizer family); residual recovery, membership conservation, and determinism pinned in pytest.",
+    oracle=None,
+)
+def ivfpq_code_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the maintenance chain (assign → split → RE-ENCODE).
+    A split that only moves centroids repairs routing, not the stored
+    codes: an IVF-PQ index stores each vector's RESIDUAL code, and
+    residuals taken from the old parent centroid stay large exactly in
+    the cells the split flagged.  This stage recodes those members —
+    residual against their new child centroid, SAME codebooks (the
+    codebook retrain is a separate, rarer schedule) — and the work is
+    O(split-cell members), never O(corpus).
+
+    What the report honestly claims: the guaranteed, pinned win is the
+    RESIDUAL (mean ‖v−c‖² drops for every split cell — that is what a
+    centroid split promises, measured at the code layer).  The PQ
+    reconstruction error columns are expected to move only marginally
+    until the next scheduled codebook retrain, because the codebooks
+    were fitted to the PARENT residual distribution — re-encoding
+    banks the smaller residuals the retrain will then explain with the
+    same 8-byte budget.  Both numbers are reported side by side so an
+    operator sees exactly that gap instead of inferring improvement
+    that hasn't happened yet.
+
+    Execution shape: membership is the same map-side argmin the whole
+    chain uses; only split-cell rows reach the Arrow encode pass
+    (numpy per batch, codebooks broadcast in the closure); the
+    refreshed index slice (vec_id, cell, child, codes + both error
+    diagnostics) lands in ONE ParquetTable write, and the report is an
+    aggregate over that persisted state — one data pass total, and the
+    artifact IS the proof the next reader needs (codes bound to the
+    split generation by the artifact key)."""
+    import numpy as np
+    import pandas as pd
+
+    split = _ivf_append_split(spark, sf_dir)
+    out_schema = (
+        "cell int, child int, n_vectors long, "
+        "mean_resid_parent double, mean_resid_child double, "
+        "mean_err_parent double, mean_err_child double"
+    )
+    centers, _ = _load_or_train_ivf_base(spark, sf_dir, split)
+    if centers is None:
+        return spark.createDataFrame([], out_schema)
+    split_tbl = _ann_artifact_table(spark, sf_dir, f"ivfsplit{split}")
+    if not split_tbl.exists():
+        ivf_hot_cell_split(spark, sf_dir).collect()
+    child_rows = split_tbl.read().collect() if split_tbl.exists() else []
+    if not child_rows:
+        return spark.createDataFrame([], out_schema)
+    codebooks = _load_or_train_ivfpq(
+        spark, sf_dir, centers, kind=f"ivfpqbase{split}", below_id=split
+    )
+    if codebooks is None:
+        return spark.createDataFrame([], out_schema)
+
+    C = np.asarray(centers, dtype=np.float64)
+    M = _PQ_M
+    dsub = codebooks.shape[2]
+    kids: dict[int, list] = {}
+    for r in child_rows:
+        kids.setdefault(int(r["cell"]), []).append(
+            (int(r["child"]), np.asarray(r["centroid_vec"], dtype=np.float64))
+        )
+    hot_cells = sorted(kids)
+
+    def pq_err_and_codes(R: "np.ndarray"):
+        """Per-subspace nearest codebook entry: codes + summed min d²."""
+        Rs = R.reshape(len(R), M, dsub)
+        d2 = (
+            (Rs**2).sum(axis=2)[:, :, None]
+            - 2 * np.einsum("imd,mkd->imk", Rs, codebooks)
+            + (codebooks**2).sum(axis=2)[None, :, :]
+        )
+        return d2.argmin(axis=2).astype(np.int8), d2.min(axis=2).sum(axis=1)
+
+    def recode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            R_p = V - C[cells]
+            _, err_p = pq_err_and_codes(R_p)
+            child_idx = np.empty(len(V), dtype=np.int64)
+            child_cent = np.empty_like(V)
+            for cell in np.unique(cells):
+                m = cells == cell
+                ch = kids[int(cell)]
+                D = np.stack(
+                    [((V[m] - cc[None, :]) ** 2).sum(axis=1) for _, cc in ch]
+                )
+                pick = D.argmin(axis=0)
+                child_idx[m] = np.array([ch[p][0] for p in pick])
+                child_cent[m] = np.stack([ch[p][1] for p in pick])
+            R_c = V - child_cent
+            codes_c, err_c = pq_err_and_codes(R_c)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cells.astype(np.int32),
+                    "child": child_idx.astype(np.int32),
+                    "codes": list(codes_c),
+                    "resid_parent": np.round((R_p**2).sum(axis=1), 9),
+                    "resid_child": np.round((R_c**2).sum(axis=1), 9),
+                    "err_parent": np.round(err_p, 9),
+                    "err_child": np.round(err_c, 9),
+                }
+            )
+
+    dists = _ivf_dists(centers)
+    members = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", as_double_array("embedding").alias("v"))
+        .withColumn(
+            "cell",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+        .where(F.col("cell").isin(hot_cells))
+    )
+    refreshed = members.mapInPandas(
+        recode,
+        "vec_id long, cell int, child int, codes array<tinyint>, "
+        "resid_parent double, resid_child double, "
+        "err_parent double, err_child double",
+    )
+    codes_tbl = _ann_artifact_table(spark, sf_dir, f"ivfsplitcodes{split}")
+    codes_tbl.overwrite(refreshed)
+    return (
+        codes_tbl.read()
+        .groupBy("cell", "child")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("resid_parent"), 6).alias("mean_resid_parent"),
+            F.round(F.avg("resid_child"), 6).alias("mean_resid_child"),
+            F.round(F.avg("err_parent"), 6).alias("mean_err_parent"),
+            F.round(F.avg("err_child"), 6).alias("mean_err_child"),
+        )
+        .orderBy("cell", "child")
+    )

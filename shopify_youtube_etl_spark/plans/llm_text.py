@@ -2713,10 +2713,15 @@ def bigram_lm_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.explode(pair).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+    # The reduced count frame feeds THREE consumers (the score join,
+    # the context totals, the vocab size); checkpointing it makes the
+    # train-side bigram explode a single corpus pass instead of three
+    # replays (the standard multi-consumer discipline, see COVERAGE.md).
     cb = (
         bg.where(F.col("doc_id") % 5 != 0)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     cw = cb.groupBy("w1").agg(F.sum("c").alias("cx"))
     v = (
@@ -2739,5 +2744,63 @@ def bigram_lm_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             F.round(F.avg("nll"), 6).alias("bigram_xent"),
             F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
+        )
+    )
+
+
+@query(
+    "collated_cross_source_census",
+    ref="Spark 4 collation surface — case-insensitive GROUPing via a COLLATED key (UTF8_LCASE), the engine-native answer to cross-source casing drift (vs the lower()-everything workaround that loses the original forms)",
+    doc="Tokens from odd-id docs are upper-cased (a shouting source); the census groups under UTF8_LCASE collation, reporting per folded token: total occurrences, distinct case forms, binary-min form; oracle folds with lower().",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_D_WORDS}) AS tok
+    FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0
+),
+mangled AS (
+    SELECT CASE WHEN doc_id % 2 = 1 THEN upper(tok) ELSE tok END AS tok
+    FROM toks
+)
+SELECT lower(tok)                          AS token_lc,
+       CAST(count(*) AS BIGINT)            AS n_total,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_forms,
+       min(tok)                            AS first_form
+FROM mangled
+GROUP BY lower(tok)
+""",
+)
+def collated_cross_source_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two sources disagree on casing (mangled here by upper-casing the
+    odd-id docs); the census must treat 'table' and 'TABLE' as one
+    token WITHOUT throwing away the original forms — the collation
+    feature's whole point: the GROUP key compares under UTF8_LCASE
+    while the values keep their binary identity, so n_forms counts the
+    surviving case variants and first_form is the deterministic binary
+    minimum.  The collated comparison happens inside the hash
+    aggregate (JVM codegen — no Python, no double lower() pass), and
+    the plan is the ordinary explode → partial agg shape: collation
+    changes comparison semantics, not the execution strategy."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 25 == 0))
+        .select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    )
+    mangled = toks.select(
+        F.when(F.col("doc_id") % 2 == 1, F.upper("tok"))
+        .otherwise(F.col("tok"))
+        .alias("tok")
+    )
+    return (
+        mangled.groupBy(F.collate(F.col("tok"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("tok").alias("n_forms"),
+            F.min("tok").alias("first_form"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("token_lc"),
+            "n_total",
+            "n_forms",
+            "first_form",
         )
     )

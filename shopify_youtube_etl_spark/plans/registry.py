@@ -109,6 +109,12 @@ _DRIVER_PRIORITY = _CANARIES + [
     "bigram_lm_heldout_ppl",
     "pseudonymize_join_integrity",
     "incremental_hll_maintenance",
+    "ivfpq_code_refresh",
+    "linear_attribution_revenue",
+    "top_event_paths",
+    "collated_cross_source_census",
+    "debounce_events",
+    "weighted_median_price",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

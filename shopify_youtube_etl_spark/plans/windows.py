@@ -272,3 +272,126 @@ def two_level_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shopify_youtube_etl_spark.streaming.windows import two_level_window_agg
 
     return two_level_window_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "linear_attribution_revenue",
+    ref="attribution family capstone — the interval join (N touches) upgraded to MULTI-TOUCH LINEAR credit: each purchase's value split 1/n over its in-window touches (the as-of query is last-touch, the interval joins are raw pairs; this is the weighted-distribution operator marketing rollups actually consume)",
+    doc="Purchase value split equally across same-user clicks in the preceding 30 minutes, credited to the click's hour-of-day: per hour — touches, attributed revenue.",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type = 'click'
+),
+touch AS (
+    SELECT p.event_id AS pid,
+           p.value,
+           extract(hour FROM c.ts) AS hr,
+           count(*) OVER (PARTITION BY p.event_id) AS n
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 30 MINUTE
+)
+SELECT CAST(hr AS INT)                      AS click_hour,
+       CAST(count(*) AS BIGINT)             AS n_touches,
+       CAST(count(DISTINCT pid) AS BIGINT)  AS n_purchases,
+       round(sum(value / n), 2)             AS attributed_revenue
+FROM touch
+GROUP BY hr
+""",
+)
+def linear_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: the interval join
+    finds each purchase's touches, a purchase-keyed window count turns
+    them into 1/n weights, and the weighted values roll up to the
+    touch's hour-of-day — so credit follows WHEN the engagement
+    happened, not when the purchase landed.  Weights sum to exactly 1
+    per attributed purchase, so total attributed revenue equals total
+    touched-purchase revenue (conservation — the property last-touch
+    breaks).
+
+    Plan shape: one shuffle on user_id for the range-predicate
+    sort-merge join (same as the raw interval join), the 1/n window
+    re-partitions on purchase_id, then an hour-grain partial agg —
+    24-row output regardless of scale."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("c_ts")
+    )
+    touch = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (c["c_ts"] <= p["p_ts"])
+        & (c["c_ts"] > p["p_ts"] - F.expr("INTERVAL 30 MINUTES")),
+    ).select("pid", "value", F.hour("c_ts").alias("click_hour"))
+    n = F.count("*").over(Window.partitionBy("pid"))
+    return (
+        touch.withColumn("w", F.col("value") / n)
+        .groupBy("click_hour")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.countDistinct("pid").alias("n_purchases"),
+            money(F.sum("w")).alias("attributed_revenue"),
+        )
+    )
+
+
+@query(
+    "debounce_events",
+    ref="ingest hygiene operator — debounce (drop rapid same-key repeats): the dedup family's TIME-TOLERANT member (dedup_keep_first is exact-key; streaming_dedup is watermark-bounded exact; this folds repeats within a 30-min key-local window)",
+    doc="Events repeated for the same (user, type) within 30 minutes of the previous KEPT event's arrival chain are dropped (lag-based debounce: a repeat refreshes the window); per event_type — total vs kept counts and kept-value sum.",
+    oracle="""
+WITH g AS (
+    SELECT user_id, event_type, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id)
+                     <= INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS keep
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)    AS n_events,
+       CAST(sum(keep) AS BIGINT)   AS n_kept,
+       round(sum(CASE WHEN keep = 1 THEN value ELSE 0 END), 2) AS kept_value
+FROM g
+GROUP BY event_type
+""",
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-fire suppression at ingest: a click that repeats for the
+    same user within 30 minutes of the PREVIOUS event of that key is
+    an artifact (retry, double-tap, at-least-once redelivery burst),
+    not signal.  Lag-based semantics — each event compares to its
+    immediate predecessor in the (user, type) timeline, so a chain of
+    rapid repeats collapses to its first element (the chain refreshes
+    the window; contrast dropDuplicatesWithinWatermark, which keys on
+    VALUE equality, not recency).  One hash shuffle on the composite
+    key; the lag window and nothing else touches event order, and the
+    per-type census is a 5-row rollup."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    keep = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800,
+        0,
+    ).otherwise(1)
+    g = t(spark, sf_dir, "events").select(
+        "event_type", "value", keep.alias("keep")
+    )
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("keep").alias("n_kept"),
+        money(F.sum(F.when(F.col("keep") == 1, F.col("value")).otherwise(0.0))).alias(
+            "kept_value"
+        ),
+    )

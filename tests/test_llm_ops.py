@@ -1115,3 +1115,55 @@ def test_ivf_hot_cell_split_locality_and_recall(spark, sf_dir):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"post-split recall@5 {recall:.2%}"
+
+
+def test_ivfpq_code_refresh_residuals_and_conservation(spark, sf_dir):
+    """Stage-3 maintenance: (1) every (cell, child) group's mean
+    squared residual strictly drops after re-encoding against the
+    child centroid — the code-layer win the split promised; (2) the
+    refresh covers exactly the stage-2 membership (same counts per
+    (cell, child)); (3) the persisted code slice is well-formed (one
+    row per member, 8 subcodes in [0, 64)); (4) deterministic; (5) the
+    maintenance codebooks live in their own base-bound artifact —
+    the full-corpus ivfpq artifact is not churned."""
+    from pyspark.sql import functions as F2
+
+    from shopify_youtube_etl_spark.plans import llm_similarity as sim
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    rep = specs["ivfpq_code_refresh"].fn(spark, sf_dir).collect()
+    assert rep, "expected split cells to refresh at the test SF"
+    for r in rep:
+        assert r["mean_resid_child"] < r["mean_resid_parent"], tuple(r)
+
+    split = sim._ivf_append_split(spark, sf_dir)
+    stage2 = {
+        (r["cell"], r["child"]): r["n_members"]
+        for r in sim._ann_artifact_table(spark, sf_dir, f"ivfsplit{split}")
+        .read()
+        .collect()
+    }
+    assert {(r["cell"], r["child"]): r["n_vectors"] for r in rep} == stage2
+
+    codes = (
+        sim._ann_artifact_table(spark, sf_dir, f"ivfsplitcodes{split}")
+        .read()
+        .collect()
+    )
+    assert len(codes) == sum(r["n_vectors"] for r in rep)
+    assert len({r["vec_id"] for r in codes}) == len(codes)
+    for r in codes[:50]:
+        assert len(r["codes"]) == sim._PQ_M
+        assert all(0 <= c < sim._PQ_KSUB for c in r["codes"])
+
+    rep2 = specs["ivfpq_code_refresh"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, rep2))
+
+    # The maintenance chain must not clobber the full-corpus artifact.
+    base_cb = sim._ann_artifact_table(spark, sf_dir, f"ivfpqbase{split}")
+    assert base_cb.exists()
+    rows = base_cb.read().limit(1).collect()
+    assert rows and rows[0]["centers_fp"] == sim._centers_fingerprint(
+        sim._load_or_train_ivf_base(spark, sf_dir, split)[0]
+    )

@@ -451,6 +451,13 @@ SHUFFLE_BUDGET = {
     "variant_json_analytics": 1,  # parse/extract are map-side; one status agg
     "pipe_syntax_revenue": 1,  # customer broadcast; one segment agg
     "approx_top_terms_sketch": 1,  # one bounded-sketch merge exchange
+    # Round-6 late additions.
+    "bigram_lm_heldout_ppl": 4,  # train census (checkpointed), eval join pair, doc agg
+    "pseudonymize_join_integrity": 2,  # token join + segment agg (sha2 map-side)
+    "linear_attribution_revenue": 2,  # user_id interval join, pid window/hour agg
+    "sql_script_recent_rollup": 1,  # scripted rollup: broadcast join + one agg
+    "udtf_burst_sessions": 1,  # the PARTITION BY user_id exchange, nothing else
+    "top_event_paths": 2,  # window+user agg share one user_id exchange, path census
 }
 
 
