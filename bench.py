@@ -105,6 +105,11 @@ HEADLINE = [
     "ivfpq_code_refresh",
     "bigram_lm_heldout_ppl",
     "udtf_burst_sessions",
+    # Round-6 session-4 additions: the fused-retrieval stack (BM25 leg
+    # + dense leg + RRF), and the corpus-shuffle market-basket census —
+    # the two new queries with corpus-sized work.
+    "rrf_hybrid_retrieval",
+    "market_basket_lift",
 ]
 
 

@@ -3597,3 +3597,498 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("cw") >= F.col("tw") / 2.0, F.col("p"))), 2
         ).alias("weighted_median_price"),
     )
+
+
+@query(
+    "seasonal_decompose_daily",
+    ref="time-series extension of the daily-rollup family (A7/moving_average_7d) — classical additive decomposition: trend (centered MA) + weekly seasonal + residual, the series triage a metrics pipeline runs before anomaly thresholds",
+    doc="Daily order revenue decomposed into a centered 7-day trend, a weekday-of-cycle seasonal mean, and the residual; trend only where the window is complete.",
+    oracle="""
+WITH daily AS (
+    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(min(o_orderdate) AS DATE)) AS BIGINT)      AS day_num,
+           round(sum(o_totalprice), 2)                          AS daily_rev
+    FROM orders GROUP BY 1
+),
+tr AS (
+    SELECT day, day_num, daily_rev,
+           CASE WHEN count(*) OVER w = 7
+                THEN round(avg(daily_rev) OVER w, 4) END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY day_num ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+    SELECT day_num % 7 AS dow, round(avg(daily_rev - trend), 4) AS seasonal
+    FROM tr WHERE trend IS NOT NULL GROUP BY 1
+)
+SELECT day, daily_rev, trend, seasonal,
+       round(daily_rev - trend - seasonal, 4) AS residual
+FROM tr JOIN seas ON tr.day_num % 7 = seas.dow
+""",
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition y = trend + seasonal + residual — the
+    split that turns "is today's revenue weird?" into a residual test
+    instead of a raw-value test (daily_anomaly_mad's natural upstream).
+    Trend is a CENTERED 7-row moving average, emitted only where all 7
+    rows exist (edges stay NULL rather than biasing toward the series
+    interior); the seasonal term is the per-weekday mean of the
+    detrended series, where "weekday" is epoch-day mod 7 — a calendar-
+    free index that both engines compute identically (dayofweek()
+    origin conventions differ between engines; modulo arithmetic
+    doesn't).  Scale: the raw table reduces to day grain in ONE
+    partial-agg shuffle; every window and join after that runs on a
+    ~365·years-row frame regardless of input size, and the 7-row
+    seasonal table broadcasts back.  Components are rounded BEFORE the
+    residual subtraction so both engines difference the same
+    representable values."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(day_str(F.col("o_orderdate")).alias("day"))
+        .agg(
+            epoch_day(F.min(F.col("o_orderdate").cast("date"))).alias("day_num"),
+            money(F.sum("o_totalprice")).alias("daily_rev"),
+        )
+    )
+    w = Window.orderBy("day_num").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "day_num",
+        "daily_rev",
+        F.when(
+            F.count("*").over(w) == 7, F.round(F.avg("daily_rev").over(w), 4)
+        ).alias("trend"),
+    )
+    seas = (
+        tr.where(F.col("trend").isNotNull())
+        .groupBy((F.col("day_num") % 7).alias("dow"))
+        .agg(F.round(F.avg(F.col("daily_rev") - F.col("trend")), 4).alias("seasonal"))
+    )
+    return tr.join(F.broadcast(seas), tr["day_num"] % 7 == seas["dow"]).select(
+        "day",
+        "daily_rev",
+        "trend",
+        "seasonal",
+        F.round(F.col("daily_rev") - F.col("trend") - F.col("seasonal"), 4).alias(
+            "residual"
+        ),
+    )
+
+
+@query(
+    "market_basket_lift",
+    ref="co-occurrence analytics next to triangle_count_copurchase — association mining at brand grain: support / confidence / lift for brand pairs sharing an order",
+    doc="Brand pairs co-occurring in ≥ 40 orders, with support, directional confidence, and lift against independence.",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders FROM baskets),
+marg AS (
+    SELECT brand, CAST(count(*) AS DOUBLE) AS n_brand FROM baskets GROUP BY brand
+),
+pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(count(*) AS DOUBLE) AS n_pair
+    FROM baskets a JOIN baskets b
+      ON a.okey = b.okey AND a.brand < b.brand
+    GROUP BY 1, 2
+)
+SELECT brand_a, brand_b,
+       CAST(n_pair AS BIGINT)                            AS n_orders_both,
+       round(n_pair / n.n_orders, 6)                     AS support,
+       round(n_pair / ma.n_brand, 6)                     AS confidence_a_to_b,
+       round(n_pair * n.n_orders / (ma.n_brand * mb.n_brand), 6) AS lift
+FROM pairs
+JOIN marg ma ON pairs.brand_a = ma.brand
+JOIN marg mb ON pairs.brand_b = mb.brand
+CROSS JOIN n
+WHERE n_pair >= 40
+""",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: does brand A in an order
+    make brand B more likely than independence predicts (lift > 1)?
+    The scale discipline is the REDUCTION ORDER: lineitems collapse to
+    DISTINCT (order, brand) first — bounding the self-join fan-out at
+    brands-per-order (≤ |brand| = 25), not items-per-order squared —
+    then the pair census shuffles on the order key both sides already
+    share.  The brand marginals (≤ 25 rows) and the one-row order
+    count broadcast into the scoring join, so support/confidence/lift
+    are computed without any second pass over data-sized frames.  A
+    min-support gate (≥ 40 co-orders) is applied AFTER counting — the
+    standard a-priori pruning point where, at 100 TB, the surviving
+    candidate set collapses to broadcastable size.
+
+    Plan note: the oracle's self-join formulation would re-shuffle the
+    basket frame twice more (re-exchange on the order key both sides,
+    then the pair census); instead baskets collapse to ONE sorted-set
+    row per order in a single order-key shuffle and the pairs are
+    generated MAP-SIDE from each set with higher-order array functions
+    (sorted => brand_a < brand_b by construction) - leaving the
+    bounded-key pair census as the only other exchange."""
+    per_order = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    n = per_order.agg(F.count("*").cast("double").alias("n_orders"))
+    marg = (
+        per_order.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").cast("double").alias("n_brand"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
+    pairs = (
+        per_order.select(F.explode(pair_expr).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("double").alias("n_pair"))
+        .where(F.col("n_pair") >= 40)
+    )
+    ma = marg.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("na"))
+    mb = marg.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .join(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_pair").cast("long").alias("n_orders_both"),
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("na"), 6).alias("confidence_a_to_b"),
+            F.round(
+                F.col("n_pair") * F.col("n_orders") / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "skyline_pareto_parts",
+    ref="multi-objective frontier (skyline) operator — non-dominated set over (minimize price, maximize size), the 'best tradeoffs' query optimizers and catalog UIs both ask",
+    doc="Pareto frontier of parts over (retail price ↓ better, size ↑ better): per size the min price, kept only where no larger size is as cheap; with the count of parts achieving each frontier point.",
+    oracle="""
+WITH per_size AS (
+    SELECT p_size AS size, min(p_retailprice) AS best_price
+    FROM part GROUP BY p_size
+),
+frontier AS (
+    SELECT size, best_price,
+           min(best_price) OVER (ORDER BY size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better_above
+    FROM per_size
+)
+SELECT f.size,
+       round(f.best_price, 2)        AS best_price,
+       CAST(count(*) AS BIGINT)      AS n_parts_at_point,
+       CAST(min(p.p_partkey) AS BIGINT) AS example_partkey
+FROM frontier f
+JOIN part p ON p.p_size = f.size AND p.p_retailprice = f.best_price
+WHERE f.better_above IS NULL OR f.best_price < f.better_above
+GROUP BY 1, 2
+""",
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Börzsönyi et al.'s SKYLINE OF): the set of parts no
+    other part beats on BOTH price and size.  The naive formulation is
+    a quadratic NOT EXISTS self-join; this plan uses the dominance
+    structure instead: any skyline point must be the min price within
+    its size (same-size-cheaper dominates), so the table first reduces
+    to one row per size in a partial-agg shuffle — after which the
+    frontier test is a running min over the size-descending order
+    (strictly cheaper than every larger size) on a |distinct size|-row
+    frame.  At 100 TB that reduction is the whole story: the window
+    runs on ≤ a-few-thousand rows no matter the input, and the
+    join-back that counts parts AT each frontier point broadcasts the
+    frontier.  Equal-price ties at different sizes resolve to the
+    larger size (strict <), matching strict Pareto dominance."""
+    per_size = (
+        t(spark, sf_dir, "part")
+        .groupBy(F.col("p_size").alias("size"))
+        .agg(F.min("p_retailprice").alias("best_price"))
+    )
+    w = Window.orderBy(F.col("size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = per_size.select(
+        "size", "best_price", F.min("best_price").over(w).alias("better_above")
+    ).where(
+        F.col("better_above").isNull() | (F.col("best_price") < F.col("better_above"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    return (
+        p.join(
+            F.broadcast(frontier),
+            (p["p_size"] == frontier["size"])
+            & (p["p_retailprice"] == frontier["best_price"]),
+        )
+        .groupBy("size", F.round("best_price", 2).alias("best_price"))
+        .agg(
+            F.count("*").alias("n_parts_at_point"),
+            F.min("p_partkey").alias("example_partkey"),
+        )
+    )
+
+
+@query(
+    "cusum_daily_drift",
+    ref="monitoring family next to daily_anomaly_mad — CUSUM change-point detection (Page 1954) over the daily value series, the drift alarm a metrics pipeline runs on ingest volume",
+    doc="Daily event-value means with one-sided upper/lower CUSUM statistics (allowance k = 0.5σ, threshold h = 4σ) and drift flags; the recursion is rewritten as prefix-sum minus running extremum so it is pure window algebra.",
+    oracle="""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(min(CAST(ts AS TIMESTAMP)) AS DATE)) AS BIGINT) AS day_num,
+           avg(value) AS daily_mean
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1
+),
+g AS (
+    SELECT avg(daily_mean) AS mu, stddev_samp(daily_mean) AS sigma FROM daily
+),
+c AS (
+    SELECT day, day_num, daily_mean, mu, sigma,
+           sum(daily_mean - mu - 0.5 * sigma)
+               OVER (ORDER BY day_num) AS c_up,
+           sum(daily_mean - mu + 0.5 * sigma)
+               OVER (ORDER BY day_num) AS c_dn
+    FROM daily CROSS JOIN g
+),
+s AS (
+    SELECT day, daily_mean, mu, sigma,
+           c_up - least(0, min(c_up) OVER (ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS s_up,
+           greatest(0, max(c_dn) OVER (ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) - c_dn AS s_dn
+    FROM c
+)
+SELECT day,
+       round(daily_mean, 4)                   AS daily_mean,
+       round(s_up, 4)                         AS cusum_up,
+       round(s_dn, 4)                         AS cusum_down,
+       (s_up > 4 * sigma OR s_dn > 4 * sigma) AS drift
+FROM s
+""",
+)
+def cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM is textbook-recursive (S_t = max(0, S_{t-1} + y_t)) —
+    which looks like a sequential loop until the reflected-walk
+    identity turns it into window algebra: S_t = C_t − min(0, min_{j<t}
+    C_j) where C is the plain prefix sum of the allowanced deviations.
+    That identity is what makes the drift detector DISTRIBUTABLE: one
+    day-grain reduction shuffle, then two running sums and two running
+    extrema over the ~365·years-row series — no UDF, no iteration, no
+    state.  The global mean/σ (the in-control model) broadcast from a
+    one-row aggregate; k = 0.5σ allowance and h = 4σ threshold are the
+    ARL-standard defaults.  Upper and lower statistics run in the same
+    window pass; the lower is the mirrored identity."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(day_str(F.col("ts")).alias("day"))
+        .agg(
+            epoch_day(F.min(F.col("ts").cast("date"))).alias("day_num"),
+            F.avg("value").alias("daily_mean"),
+        )
+    )
+    g = daily.agg(
+        F.avg("daily_mean").alias("mu"), F.stddev_samp("daily_mean").alias("sigma")
+    )
+    run = Window.orderBy("day_num")
+    prev = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, -1)
+    c = daily.join(F.broadcast(g)).select(
+        "day",
+        "day_num",
+        "daily_mean",
+        "mu",
+        "sigma",
+        F.sum(F.col("daily_mean") - F.col("mu") - 0.5 * F.col("sigma"))
+        .over(run)
+        .alias("c_up"),
+        F.sum(F.col("daily_mean") - F.col("mu") + 0.5 * F.col("sigma"))
+        .over(run)
+        .alias("c_dn"),
+    )
+    s_up = F.col("c_up") - F.least(F.lit(0.0), F.min("c_up").over(prev))
+    s_dn = F.greatest(F.lit(0.0), F.max("c_dn").over(prev)) - F.col("c_dn")
+    return c.select(
+        "day",
+        F.round("daily_mean", 4).alias("daily_mean"),
+        F.round(s_up, 4).alias("cusum_up"),
+        F.round(s_dn, 4).alias("cusum_down"),
+        ((s_up > 4 * F.col("sigma")) | (s_dn > 4 * F.col("sigma"))).alias("drift"),
+    )
+
+
+@query(
+    "gini_segment_inequality",
+    ref="distribution-shape family next to segment_price_quantiles — Gini coefficient of order value per market segment, the one-number inequality summary",
+    doc="Per market segment: order count, mean value, and the Gini coefficient computed by the rank formula G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx).",
+    oracle="""
+WITH r AS (
+    SELECT c_mktsegment AS segment,
+           o_totalprice AS x,
+           row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice, o_orderkey) AS rk
+    FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT)  AS n_orders,
+       round(avg(x), 2)          AS mean_value,
+       round((2.0 * sum(rk * x) - (count(*) + 1) * sum(x))
+             / (count(*) * sum(x)), 6) AS gini
+FROM r GROUP BY segment
+""",
+)
+def gini_segment_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is revenue concentrated in a few whale orders or spread evenly?
+    Gini answers in one number per segment, and the rank formula makes
+    it a WINDOW + AGG — no pairwise |x_i − x_j| double sum (the naive
+    definition is a self-join this plan never does).  The rank and the
+    aggregation PARTITION BY the same segment key, so Catalyst runs
+    both on a single exchange (the same-window discipline as scd2 /
+    weighted_median).  Ties in x make Σ rank·x invariant to tie order
+    (swapping equal values doesn't change the sum), so the orderkey
+    tie-break is for rank determinism only — the statistic itself is
+    well-defined.  At 100 TB: one shuffle on segment, window within
+    partitions, 5-row output."""
+    r = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("x"),
+            F.row_number()
+            .over(
+                Window.partitionBy("c_mktsegment").orderBy(
+                    "o_totalprice", "o_orderkey"
+                )
+            )
+            .alias("rk"),
+        )
+    )
+    n, sx = F.count("*"), F.sum("x")
+    return r.groupBy("segment").agg(
+        n.alias("n_orders"),
+        F.round(F.avg("x"), 2).alias("mean_value"),
+        F.round(
+            (2.0 * F.sum(F.col("rk") * F.col("x")) - (n + 1) * sx) / (n * sx), 6
+        ).alias("gini"),
+    )
+
+
+@query(
+    "ab_test_conversion",
+    ref="experimentation readout — two-proportion z-test on user-grain conversion between hash-assigned arms, the A/B significance call every growth pipeline renders",
+    doc="Users split into arms by user_id parity; conversion = heavy buyer (purchase count above the global per-user mean). Per arm the user count and rate, plus the pooled two-proportion z statistic and |z| > 1.96 verdict (one row; z NULL if pooled variance degenerates).",
+    oracle="""
+WITH pc AS (
+    SELECT user_id, user_id % 2 AS arm,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+),
+g AS (SELECT avg(np) AS mnp FROM pc),
+a AS (
+    SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CASE WHEN np > g.mnp THEN 1 ELSE 0 END) AS DOUBLE) AS conv
+    FROM pc CROSS JOIN g GROUP BY arm
+),
+w AS (
+    SELECT max(CASE WHEN arm = 0 THEN n END)    AS n0,
+           max(CASE WHEN arm = 0 THEN conv END) AS c0,
+           max(CASE WHEN arm = 1 THEN n END)    AS n1,
+           max(CASE WHEN arm = 1 THEN conv END) AS c1
+    FROM a
+),
+z AS (
+    SELECT n0, n1, c0, c1,
+           (c1 / n1 - c0 / n0)
+           / nullif(sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                         * (1 / n0 + 1 / n1)), 0) AS zs
+    FROM w
+)
+SELECT CAST(n0 AS BIGINT) AS n_users_control,
+       CAST(n1 AS BIGINT) AS n_users_treatment,
+       round(c0 / n0, 6)  AS rate_control,
+       round(c1 / n1, 6)  AS rate_treatment,
+       round(zs, 6)       AS z_score,
+       abs(zs) > 1.96     AS significant
+FROM z
+""",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The readout that closes an experiment: is the treatment arm's
+    conversion DIFFERENT beyond chance?  Assignment is deterministic
+    (user_id parity — the hash-bucket assignment real platforms use,
+    so re-runs agree); the unit of analysis is the USER, not the
+    event, so events first collapse to user-grain purchase counts in
+    one user-key shuffle — double-counting multi-purchase users is THE
+    classic A/B bug and this reduction is the guard.  "Converted"
+    means a purchase count above the global per-user mean (a relative
+    threshold that stays non-degenerate at any corpus size, unlike
+    any-purchase, which saturates).  Arm totals pivot through a
+    conditional agg into one row; the pooled two-proportion z is plain
+    arithmetic on that row, with the degenerate pooled-variance case
+    (all or none converted) surfaced as NULL via try_divide — the
+    ansi_safe_arithmetic discipline — rather than a job-killing
+    divide-by-zero five hours into a 100 TB run."""
+    pc = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np")
+        )
+        .select("user_id", (F.col("user_id") % 2).alias("arm"), "np")
+    )
+    g = pc.agg(F.avg("np").alias("mnp"))
+    a = (
+        pc.join(F.broadcast(g))
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.when(F.col("np") > F.col("mnp"), 1).otherwise(0))
+            .cast("double")
+            .alias("conv"),
+        )
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0, p1 = F.col("c0") / F.col("n0"), F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = F.try_divide(
+        p1 - p0,
+        F.nullif(
+            F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1"))), F.lit(0.0)
+        ),
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_users_control"),
+        F.col("n1").cast("long").alias("n_users_treatment"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treatment"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

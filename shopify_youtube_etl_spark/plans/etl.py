@@ -1332,3 +1332,58 @@ def pseudonymize_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tok").alias("sample_token"),
         )
     )
+
+
+@query(
+    "subject_access_report",
+    ref="governance family — the GDPR Article-15 READ verb next to erasure_cascade_apply's DELETE: everything the engine holds about one data subject, enumerated per table",
+    doc="For customer 7: per-table record counts and value totals across customer/orders/lineitem (lineitem reached through the subject's orders), plus the subject's segment — the access-request manifest.",
+    oracle="""
+SELECT 'customer' AS source_table,
+       CAST(count(*) AS BIGINT) AS n_records,
+       round(sum(c_acctbal), 2) AS value_total
+FROM customer WHERE c_custkey = 7
+UNION ALL
+SELECT 'orders',
+       CAST(count(*) AS BIGINT),
+       round(sum(o_totalprice), 2)
+FROM orders WHERE o_custkey = 7
+UNION ALL
+SELECT 'lineitem',
+       CAST(count(*) AS BIGINT),
+       round(sum(l_extendedprice), 2)
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = 7)
+""",
+)
+def subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read half of data-subject rights: an access request must
+    enumerate every record held about the subject, including rows that
+    reference them only TRANSITIVELY (lineitems through their orders —
+    the same FK walk the erasure cascade deletes along, run in report
+    mode).  Each branch is a key-pruned scan: the customer and orders
+    predicates push to the parquet scan, and the lineitem branch is a
+    LEFT SEMI join against the subject's order keys (broadcast — an
+    individual's key set is human-sized by definition).  At 100 TB
+    with Bloom sidecars this is ``read_point`` territory; here the
+    point is the shape: no full-table pass anywhere."""
+    cust = t(spark, sf_dir, "customer").where(F.col("c_custkey") == 7)
+    orders = t(spark, sf_dir, "orders").where(F.col("o_custkey") == 7)
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(orders.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_semi",
+    )
+
+    def branch(name: str, df: DataFrame, val) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("source_table"),
+            F.count("*").alias("n_records"),
+            money(F.sum(val)).alias("value_total"),
+        )
+
+    return (
+        branch("customer", cust, F.col("c_acctbal"))
+        .unionByName(branch("orders", orders, F.col("o_totalprice")))
+        .unionByName(branch("lineitem", li, F.col("l_extendedprice")))
+    )

@@ -2584,3 +2584,326 @@ def ivfpq_code_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell", "child")
     )
+
+
+@query(
+    "arrow_native_quant_error",
+    ref="§2.11 UDF surface, third tier — mapInArrow (pyarrow RecordBatch in/out, ZERO pandas conversion): the boundary every numeric batch job should use when it doesn't need pandas semantics; completes the row-UDF < pandas-UDF < arrow-native ladder the repo's UDF policy names",
+    doc="Per label: vectors and mean int8 scalar-quantization error (symmetric per-vector scale, deterministic floor(x+1/2) rounding) computed in a mapInArrow pass; oracle recomputes the arithmetic in DuckDB list functions.",
+    oracle="""
+WITH e AS (
+    SELECT label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+s AS (
+    SELECT label, v,
+           127.0 / greatest(
+               list_max(list_transform(v, x -> abs(x))), 1e-30) AS sc
+    FROM e
+),
+err AS (
+    SELECT label,
+           list_aggregate(
+               list_transform(v, x -> pow(x - floor(x * sc + 0.5) / sc, 2)),
+               'sum') AS sq
+    FROM s
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(sq), 9)        AS mean_sq_error
+FROM err
+GROUP BY label
+""",
+)
+def arrow_native_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How lossy is the int8 footprint cut, per label slice?  The
+    numeric pass runs through ``mapInArrow``: pyarrow RecordBatches
+    land in the worker and the list column's backing float buffer is
+    reinterpreted as a (n, 64) numpy view — no pandas Series
+    materialization, no per-row Python objects, the cheapest Python
+    boundary Spark offers (the ladder: row UDF banned repo-wide →
+    pandas UDF where pandas semantics help → THIS where the payload is
+    a plain tensor).  Quantization matches int8_ann_topk's symmetric
+    per-vector scale; rounding is floor(x+1/2) so both engines agree
+    on every representable tie.  One Arrow pass, then a label-grain
+    partial agg — the 100 TB shape of a quantization-quality monitor
+    run next to the encode job."""
+    import numpy as np
+    import pyarrow as pa
+
+    dim = 64
+
+    def quant_err(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            col = b.column(b.schema.get_field_index("embedding"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            V = (
+                np.asarray(col.flatten(), dtype=np.float64)
+                .reshape(b.num_rows, dim)
+            )
+            sc = 127.0 / np.maximum(np.abs(V).max(axis=1), 1e-30)
+            Q = np.floor(V * sc[:, None] + 0.5)
+            sq = ((V - Q / sc[:, None]) ** 2).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("label")), pa.array(sq)],
+                names=["label", "sq"],
+            )
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull() & (F.size("embedding") == dim))
+        .select("label", "embedding")
+    )
+    per_vec = e.mapInArrow(quant_err, "label int, sq double")
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("sq"), 9).alias("mean_sq_error"),
+    )
+
+
+@query(
+    "matryoshka_truncation_recall",
+    ref="embedding-footprint family next to int8_ann_topk — Matryoshka-style dimension truncation: retrieval recall when only the first 16 of 64 dims are searched (MRL, Kusupati et al. 2022)",
+    doc="Per probe (vec_id < 16): how many of the full-64-dim cosine top-5 survive in the 16-dim-prefix cosine top-5 (recall@5 of the truncated index).",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, {_D_VEC} AS v FROM embeddings WHERE embedding IS NOT NULL
+),
+p AS (SELECT vec_id AS probe_id, v AS pv, v[1:16] AS pv16 FROM e WHERE vec_id < 16),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, v[1:16] AS cv16 FROM e),
+s AS (
+    SELECT probe_id, neighbor_id,
+           round(list_dot_product(pv, cv)
+                 / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_full,
+           round(list_dot_product(pv16, cv16)
+                 / (sqrt(list_dot_product(pv16, pv16)) * sqrt(list_dot_product(cv16, cv16))), 6) AS cos_trunc
+    FROM p, c WHERE probe_id <> neighbor_id
+),
+r AS (
+    SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY cos_full DESC, neighbor_id)  AS rk_full,
+           row_number() OVER (PARTITION BY probe_id ORDER BY cos_trunc DESC, neighbor_id) AS rk_trunc
+    FROM s
+)
+SELECT probe_id,
+       CAST(count(*) FILTER (WHERE rk_full <= 5 AND rk_trunc <= 5) AS BIGINT) AS n_hits,
+       round(count(*) FILTER (WHERE rk_full <= 5 AND rk_trunc <= 5) / 5.0, 6) AS recall_at_5
+FROM r GROUP BY probe_id
+""",
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka embeddings put the information head-first: searching
+    only the leading dims buys a 4× index-footprint cut IF recall
+    holds — this query measures exactly that, per probe, against the
+    full-dimension truth.  The production pattern it certifies is
+    coarse-search-on-prefix → rerank-on-full (the same
+    shortlist-then-verify shape as PQ); recall@5 of the prefix index
+    is the number that decides whether the cheap first stage is safe.
+    Both rankings come from ONE probe-broadcast pass over the corpus
+    (both cosines computed per pair in the same projection — the
+    truncated vector is F.slice, no second scan), ranked per probe
+    with the rounded-score + id tie-break that keeps top-5 membership
+    hash-stable across engines.  Exact baseline at 16 probes; the
+    corpus-scale path swaps the brute pass for the IVF shortlist."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    p = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.slice("v", 1, 16).alias("pv16"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.slice("v", 1, 16).alias("cv16"),
+    )
+    s = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("pv"), F.col("cv")), 6).alias("cos_full"),
+            F.round(cosine(F.col("pv16"), F.col("cv16")), 6).alias("cos_trunc"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    by_probe = Window.partitionBy("probe_id")
+    r = s.select(
+        "probe_id",
+        F.row_number()
+        .over(by_probe.orderBy(F.col("cos_full").desc(), "neighbor_id"))
+        .alias("rk_full"),
+        F.row_number()
+        .over(by_probe.orderBy(F.col("cos_trunc").desc(), "neighbor_id"))
+        .alias("rk_trunc"),
+    )
+    hit = ((F.col("rk_full") <= 5) & (F.col("rk_trunc") <= 5)).cast("long")
+    return r.groupBy("probe_id").agg(
+        F.sum(hit).alias("n_hits"),
+        F.round(F.sum(hit) / 5.0, 6).alias("recall_at_5"),
+    )
+
+
+@query(
+    "rrf_hybrid_retrieval",
+    ref="hybrid retrieval (north star) — reciprocal-rank fusion of the BM25 lexical ranking and the dense cosine ranking (RRF k=60, Cormack et al. 2009): the stock two-tower search stack",
+    doc="Top-10 documents by RRF fused from BM25 top-20 (terms {query, window, merge}) and cosine-to-probe-0 top-20 (doc_id ≡ vec_id); each leg's rank and the fused score reported.",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_D_WORDS}) AS token
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+dl AS (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks WHERE token IN ('query', 'window', 'merge')
+    GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+bm AS (
+    SELECT tf.doc_id,
+           round(sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))), 6) AS bm25
+    FROM tf
+    JOIN df USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+text_rank AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+    FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+pv AS (
+    SELECT {_D_VEC} AS v FROM embeddings WHERE vec_id = 0
+),
+cs AS (
+    SELECT vec_id AS doc_id,
+           round(list_dot_product({_D_VEC}, pv.v)
+                 / (sqrt(list_dot_product({_D_VEC}, {_D_VEC}))
+                    * sqrt(list_dot_product(pv.v, pv.v))), 6) AS cos
+    FROM embeddings CROSS JOIN pv
+    WHERE embedding IS NOT NULL AND vec_id <> 0
+),
+vec_rank AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r
+    FROM cs ORDER BY cos DESC, doc_id LIMIT 20
+)
+SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+       t.r AS text_rank,
+       v.r AS vec_rank,
+       round(coalesce(1.0 / (60 + t.r), 0) + coalesce(1.0 / (60 + v.r), 0), 9) AS rrf
+FROM text_rank t FULL OUTER JOIN vec_rank v ON t.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+""",
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neither leg of a retrieval stack is sufficient alone — BM25
+    misses paraphrase, dense misses rare literals — so production
+    search fuses them, and reciprocal-rank fusion is the fusion that
+    needs NO score calibration: each leg contributes 1/(60+rank), so
+    only rank ORDER crosses the boundary between incomparable score
+    spaces.  The lexical leg is the audited bm25_search_topk plan
+    (postings-only shuffle, term stats broadcast); the dense leg is a
+    single-probe cosine pass (probe collected once — one bounded row —
+    and folded as a literal, no crossJoin in the Spark plan); each leg
+    reduces to a 20-row ranked list via TakeOrderedAndProject before
+    the fusion FULL OUTER join runs on toy-sized frames.  Ranks fuse
+    as exact small rationals (rounded 9dp only at output), and the
+    rrf-desc/doc_id order is total, so the fused top-10 is
+    hash-deterministic.  At 100 TB each leg is its own indexed
+    retrieval; the fusion cost never grows past k rows per leg."""
+    from pyspark.sql.window import Window
+
+    terms = ["query", "window", "merge"]
+    toks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    bm = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
+    )
+    text_rank = (
+        bm.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long")
+            .alias("text_rank"),
+        )
+    )
+
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    # One bounded driver read: the probe vector (the "16-probe sets" class
+    # of collect the plan audit allows).
+    probe_row = e.where(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("v")
+    ).head()
+    if probe_row is None:  # no probe vector: the dense leg contributes nothing
+        vec_rank = spark.createDataFrame([], "doc_id long, vec_rank long")
+    else:
+        pv = F.array(*[F.lit(float(x)) for x in probe_row[0]])
+        cv = as_double_array("embedding")
+        cs = e.where(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(cv, pv), 6).alias("cos"),
+        )
+        vec_rank = (
+            cs.orderBy(F.col("cos").desc(), "doc_id")
+            .limit(20)
+            .select(
+                "doc_id",
+                F.row_number()
+                .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+                .cast("long")
+                .alias("vec_rank"),
+            )
+        )
+    fused = text_rank.join(vec_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        "text_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("text_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

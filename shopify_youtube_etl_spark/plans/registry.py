@@ -115,6 +115,17 @@ _DRIVER_PRIORITY = _CANARIES + [
     "collated_cross_source_census",
     "debounce_events",
     "weighted_median_price",
+    "arrow_native_quant_error",
+    "subject_access_report",
+    "ansi_safe_arithmetic",
+    "seasonal_decompose_daily",
+    "market_basket_lift",
+    "skyline_pareto_parts",
+    "matryoshka_truncation_recall",
+    "rrf_hybrid_retrieval",
+    "cusum_daily_drift",
+    "gini_segment_inequality",
+    "ab_test_conversion",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

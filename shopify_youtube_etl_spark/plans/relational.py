@@ -903,3 +903,49 @@ def two_stage_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFram
         F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("user_id")
     ).agg(F.lit(1).alias("_one"))
     return pairs.groupBy("day").agg(F.count("*").cast("long").alias("n_users"))
+
+
+@query(
+    "ansi_safe_arithmetic",
+    ref="Spark 4 ANSI-mode discipline — the try_* function family (try_divide/try_add): errors become NULLs the query accounts for EXPLICITLY, instead of either silent nulls (legacy mode) or job-killing exceptions (raw ANSI)",
+    doc="Per order status: average unit price via try_divide(extendedprice, quantity-10) — divisions whose adjusted quantity hits zero surface as a counted null bucket, not a crash.",
+    oracle="""
+SELECT o_orderstatus                         AS status,
+       CAST(count(*) AS BIGINT)              AS n_lines,
+       CAST(sum(CASE WHEN l_quantity = 10 THEN 1 ELSE 0 END) AS BIGINT)
+                                             AS n_undefined,
+       round(avg(CASE WHEN l_quantity <> 10
+                      THEN l_extendedprice / (l_quantity - 10) END), 2)
+                                             AS avg_adjusted_unit_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs ANSI mode by default: x/0 THROWS, killing the whole
+    job for one bad row — the 100 TB failure mode where a 6-hour
+    pipeline dies at hour 5 on a single denominator.  ``try_divide``
+    is the per-expression escape: the error becomes NULL, and the
+    query COUNTS those nulls into an explicit `n_undefined` bucket so
+    the degradation is observable rather than silent (the expectations
+    -report discipline applied at expression grain).  The oracle
+    encodes the identical semantics as a guarded CASE — proving try_*
+    is deterministic arithmetic, not an engine quirk.  All JVM
+    codegen; the join broadcasts orders' two columns; one status
+    rollup."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    unit = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 10)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("l_quantity") == 10, 1).otherwise(0)).alias(
+                "n_undefined"
+            ),
+            F.round(F.avg(unit), 2).alias("avg_adjusted_unit_price"),
+        )
+    )

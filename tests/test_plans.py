@@ -458,6 +458,18 @@ SHUFFLE_BUDGET = {
     "sql_script_recent_rollup": 1,  # scripted rollup: broadcast join + one agg
     "udtf_burst_sessions": 1,  # the PARTITION BY user_id exchange, nothing else
     "top_event_paths": 2,  # window+user agg share one user_id exchange, path census
+    "weighted_median_price": 2,  # flag exchange shared by both windows + final agg
+    "debounce_events": 2,  # composite-key lag exchange + 5-row type census
+    "collated_cross_source_census": 2,  # collated-key agg + distinct-forms expand pair
+    "arrow_native_quant_error": 1,  # Arrow pass map-side; one label agg
+    "seasonal_decompose_daily": 4,  # day agg + 1-partition window, trend subtree x2 statically (reused at runtime)
+    "market_basket_lift": 8,  # one okey set-build exchange (reused 3x at runtime) + bounded-key censuses
+    "skyline_pareto_parts": 3,  # per-size reduce + |size|-row window + frontier count-back
+    "matryoshka_truncation_recall": 1,  # probe-broadcast pass; one per-probe agg exchange
+    "rrf_hybrid_retrieval": 7,  # audited bm25 leg shuffles + two 20-row rank legs + fusion
+    "cusum_daily_drift": 4,  # day reduce + 1-row stats + ordered window pair
+    "gini_segment_inequality": 2,  # segment exchange shared by window + agg
+    "ab_test_conversion": 5,  # user reduce + 1-row mean + 2-row arm agg + 1-row pivot
 }
 
 
