@@ -110,6 +110,9 @@ HEADLINE = [
     # the two new queries with corpus-sized work.
     "rrf_hybrid_retrieval",
     "market_basket_lift",
+    # The index-served IVM twin of bm25_search_topk: first rep builds
+    # the persisted postings, best-of-N reflects the warm merge+search.
+    "bm25_incremental_index",
 ]
 
 

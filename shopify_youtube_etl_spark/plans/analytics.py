@@ -3869,9 +3869,9 @@ c AS (
 s AS (
     SELECT day, daily_mean, mu, sigma,
            c_up - least(0, min(c_up) OVER (ORDER BY day_num
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS s_up,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_up,
            greatest(0, max(c_dn) OVER (ORDER BY day_num
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) - c_dn AS s_dn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - c_dn AS s_dn
     FROM c
 )
 SELECT day,
@@ -3907,7 +3907,11 @@ def cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("daily_mean").alias("mu"), F.stddev_samp("daily_mean").alias("sigma")
     )
     run = Window.orderBy("day_num")
-    prev = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, -1)
+    # The running extremum INCLUDES the current row: S_t = C_t -
+    # min(0, min_{j<=t} C_j).  With j<t only, a new prefix minimum
+    # below zero would drive S_t negative where Page's recursion
+    # clamps to 0 (pinned by the window-identity property test).
+    prev = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
     c = daily.join(F.broadcast(g)).select(
         "day",
         "day_num",
@@ -4091,4 +4095,130 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate_treatment"),
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@query(
+    "benford_law_audit",
+    ref="audit family next to expectations_report — Benford's-law first-digit screen over order values, the classic books-cooking / synthetic-data detector",
+    doc="Per leading digit 1-9 of o_totalprice: count, observed frequency, the Benford expectation log10(1+1/d), and the chi-square contribution.",
+    oracle="""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(trunc(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS BIGINT) AS digit
+    FROM orders WHERE o_totalprice >= 1
+),
+o AS (
+    SELECT digit, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY digit
+),
+tot AS (SELECT sum(n) AS total FROM o)
+SELECT digit,
+       CAST(n AS BIGINT)                                   AS n_orders,
+       round(n / total, 6)                                 AS observed_freq,
+       round(log10(1 + 1.0 / digit), 6)                    AS benford_freq,
+       round(pow(n / total - log10(1 + 1.0 / digit), 2)
+             / log10(1 + 1.0 / digit) * total, 4)          AS chi2_term
+FROM o CROSS JOIN tot
+""",
+)
+def benford_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naturally-arising monetary amounts follow Benford's law (digit d
+    leads with probability log10(1+1/d)); fabricated or templated
+    values don't — so the first-digit histogram is a one-pass fraud /
+    synthetic-data screen.  The leading digit comes from the STRING of
+    the truncated integer part, not floor(x/10^floor(log10 x)):
+    log10's last-ulp behavior at exact powers of ten differs between
+    libm implementations, while integer truncation + substring is
+    bit-exact on both engines (DuckDB CAST(double AS BIGINT) ROUNDS,
+    hence the explicit trunc).  Plan: one scan reduced to ≤ 9 groups
+    map-side, one-row total broadcast back — nothing downstream of the
+    scan is data-sized."""
+    d = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.col("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    o = d.groupBy("digit").agg(F.count("*").cast("double").alias("n"))
+    tot = o.agg(F.sum("n").alias("total"))
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    freq = F.col("n") / F.col("total")
+    return o.join(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(freq, 6).alias("observed_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(F.pow(freq - benford, 2) / benford * F.col("total"), 4).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@query(
+    "chi_square_independence",
+    ref="statistical-test family next to ab_test_conversion — chi-square test of independence on the segment × order-priority contingency table",
+    doc="One row: the chi-square statistic for independence of customer market segment and order priority, with degrees of freedom and the n it was computed from.",
+    oracle="""
+WITH obs AS (
+    SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+rm AS (SELECT seg, sum(n) AS rn FROM obs GROUP BY seg),
+cm AS (SELECT pri, sum(n) AS cn FROM obs GROUP BY pri),
+tot AS (SELECT sum(n) AS total FROM obs)
+SELECT round(sum(pow(obs.n - rm.rn * cm.cn / tot.total, 2)
+                 / (rm.rn * cm.cn / tot.total)), 4) AS chi2,
+       CAST((count(DISTINCT obs.seg) - 1)
+            * (count(DISTINCT obs.pri) - 1) AS BIGINT) AS dof,
+       CAST(max(tot.total) AS BIGINT) AS n_orders
+FROM obs
+JOIN rm USING (seg)
+JOIN cm USING (pri)
+CROSS JOIN tot
+""",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are order priorities distributed the same way in every market
+    segment?  The chi-square independence statistic answers from the
+    CONTINGENCY TABLE alone — so the corpus reduces to |seg|×|pri|
+    cells in one partial-agg shuffle, and everything after (marginals,
+    expected counts, the statistic) is arithmetic over a ≤ 25-row
+    frame with broadcast joins.  The zero-expected-cell case cannot
+    arise (marginals of observed cells are positive by construction).
+    The same shape scales to any two low-cardinality columns at
+    100 TB: the data pass is the cell census; the test is free."""
+    obs = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    rm = obs.groupBy("seg").agg(F.sum("n").alias("rn"))
+    cm = obs.groupBy("pri").agg(F.sum("n").alias("cn"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    exp = F.col("rn") * F.col("cn") / F.col("total")
+    return (
+        obs.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "pri")
+        .join(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"),
+            (
+                (F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)
+            ).cast("long").alias("dof"),
+            F.max("total").cast("long").alias("n_orders"),
+        )
     )

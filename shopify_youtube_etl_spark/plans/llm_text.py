@@ -2804,3 +2804,356 @@ def collated_cross_source_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_form",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained inverted index (IVM with an EXTERNAL proof):
+# unlike the rows-only incremental funnel/IVF paths, BM25 scoring is
+# SQL-portable, so the index-served result is oracle-checked against a
+# from-scratch recompute over the whole corpus — the driver's hash gate
+# IS the maintenance-correctness proof.
+# ---------------------------------------------------------------------------
+
+def _bm25_index_tables(spark: SparkSession, sf_dir: str, split: int) -> dict:
+    """Persisted inverted-index state, keyed by (corpus dir, split) —
+    the _funnel_state convention: a moved boundary rebuilds instead of
+    pairing stale postings with a different batch slice."""
+    import hashlib
+    import os
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    key = hashlib.md5(f"{sf_dir}|bm25|{split}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"sye_bm25idx_{key}")
+    return {
+        k: ParquetTable(spark, f"{base}_{k}")
+        for k in ("postings", "doclen")  # (doc_id, token, tf) / (doc_id, dlen)
+    }
+
+
+def _index_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One explode pass reduced to the two index relations."""
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dlen"))
+    return tf, dl
+
+
+@query(
+    "bm25_incremental_index",
+    ref="IVM of the retrieval index (the incremental_curation_funnel discipline applied to bm25_search_topk) — base corpus indexed once into persisted postings, the appended batch merged in, search served FROM THE INDEX; the oracle recomputes BM25 from scratch over the full corpus, so a green row externally proves the maintained index equals a rebuild",
+    doc="Top-10 documents for {query, window, merge} by Okapi BM25 (k1=1.2, b=0.75), served from a persisted inverted index built on the base 80% of the id range and incrementally merged with the top-20% batch — byte-identical to bm25_search_topk's from-scratch answer.",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_D_WORDS}) AS token
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+dl AS (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks WHERE token IN ('query', 'window', 'merge')
+    GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))) AS s
+    FROM tf
+    JOIN df USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM scored
+ORDER BY round(s, 6) DESC, doc_id
+LIMIT 10
+""",
+)
+def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 100 TB search stack never re-tokenizes the corpus per query OR
+    per ingest: the inverted index is a persisted table and each batch
+    merges only ITS postings.  Here the base 80% of the id range is
+    indexed once into two ParquetTables — (doc_id, token, tf) postings
+    and (doc_id, dlen) norms — and the top-20% batch is merged via the
+    key-deduped upsert (idempotent: re-running the merge is a no-op by
+    value).  Search then never touches `documents`: query-term postings
+    come off the index (at scale: a token-clustered read, not a scan),
+    norms join from the doclen table, and the corpus statistics
+    (n_docs, avgdl, df) are EXACT aggregates of index relations — the
+    subtle IVM trap, since idf and length normalization must reflect
+    the post-merge corpus, not the base.  Byte-equality with the
+    from-scratch oracle is the externally-checked proof that
+    maintenance ≡ rebuild."""
+    terms = ["query", "window", "merge"]
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    split = _funnel_split(spark, sf_dir)
+    idx = _bm25_index_tables(spark, sf_dir, split)
+
+    from shopify_youtube_etl_spark.operators.upsert import upsert as _upsert
+
+    if idx["postings"].current_manifest() is None:
+        base_tf, base_dl = _index_rows(docs.where(F.col("doc_id") < split))
+        idx["postings"].overwrite(base_tf)
+        idx["doclen"].overwrite(base_dl)
+
+    batch_tf, batch_dl = _index_rows(docs.where(F.col("doc_id") >= split))
+    idx["postings"].overwrite(
+        _upsert(idx["postings"].read(), batch_tf, ["doc_id", "token"])
+    )
+    idx["doclen"].overwrite(_upsert(idx["doclen"].read(), batch_dl, ["doc_id"]))
+
+    dl = idx["doclen"].read()
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = idx["postings"].read().where(F.col("token").isin(terms))
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
+
+
+@query(
+    "ndcg_retrieval_eval",
+    ref="retrieval-quality evaluation next to bm25_search_topk / rrf_hybrid_retrieval — nDCG@10 of the BM25 ranking against a deterministic graded relevance (number of distinct query terms the doc contains)",
+    doc="One row: DCG@10, ideal DCG@10, and nDCG@10 of the BM25 top-10 for {query, window, merge}, where relevance(doc) = how many distinct query terms it contains (0-3).",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_D_WORDS}) AS token
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+rel AS (
+    SELECT doc_id, CAST(count(DISTINCT token) AS DOUBLE) AS r
+    FROM toks WHERE token IN ('query', 'window', 'merge')
+    GROUP BY doc_id
+),
+dl AS (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks WHERE token IN ('query', 'window', 'merge')
+    GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+scored AS (
+    SELECT tf.doc_id,
+           round(sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))), 6) AS s
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+topk AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS DOUBLE) AS rk
+    FROM scored ORDER BY s DESC, doc_id LIMIT 10
+),
+dcg AS (
+    SELECT sum((pow(2, rel.r) - 1) / log2(topk.rk + 1)) AS dcg
+    FROM topk JOIN rel USING (doc_id)
+),
+ideal AS (
+    SELECT r, CAST(row_number() OVER (ORDER BY r DESC, doc_id) AS DOUBLE) AS rk
+    FROM rel ORDER BY r DESC, doc_id LIMIT 10
+),
+idcg AS (
+    SELECT sum((pow(2, r) - 1) / log2(rk + 1)) AS idcg FROM ideal
+)
+SELECT round(dcg, 6)        AS dcg_at_10,
+       round(idcg, 6)       AS idcg_at_10,
+       round(dcg / idcg, 6) AS ndcg_at_10
+FROM dcg CROSS JOIN idcg
+""",
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closing the retrieval loop: bm25_search_topk RANKS, this query
+    GRADES the ranking.  Relevance is deterministic from the data
+    itself (distinct query terms contained, 0-3 — a graded label both
+    engines derive identically, no human judgments needed in a
+    correctness harness), so nDCG@10 is fully oracle-checkable.  The
+    scoring leg is the audited BM25 plan (postings-only shuffle, stats
+    broadcast, TakeOrderedAndProject top-10); the relevance table
+    reduces from the SAME exploded pass; DCG and ideal-DCG are
+    10-row-frame arithmetic.  At 100 TB this runs as the eval step of
+    an index build: cost is one corpus tokenize + two tiny rank
+    frames."""
+    from pyspark.sql.window import Window
+
+    terms = ["query", "window", "merge"]
+    toks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    )
+    rel = (
+        toks.where(F.col("token").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").cast("double").alias("r"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("s"))
+    )
+    topk = (
+        scored.orderBy(F.col("s").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+            .cast("double")
+            .alias("rk"),
+        )
+    )
+    gain = lambda r: (F.pow(2.0, r) - 1) / F.log2(F.col("rk") + 1)  # noqa: E731
+    dcg = topk.join(rel, "doc_id").agg(F.sum(gain(F.col("r"))).alias("dcg"))
+    ideal = (
+        rel.orderBy(F.col("r").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("r").desc(), "doc_id"))
+            .cast("double")
+            .alias("rk"),
+        )
+    )
+    idcg = ideal.agg(F.sum(gain(F.col("r"))).alias("idcg"))
+    return dcg.join(idcg).select(
+        F.round("dcg", 6).alias("dcg_at_10"),
+        F.round("idcg", 6).alias("idcg_at_10"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+    )
+
+
+@query(
+    "quality_threshold_knee",
+    ref="curation-threshold selection over the quality_scores curve — knee/elbow detection (max perpendicular distance to the chord, Satopää's Kneedle core): WHERE to cut is itself a query, not a hand-picked constant",
+    doc="One row: the knee of the quality-sorted score curve (rank, score threshold, corpus size, fraction of docs at-or-above the knee) — the data-driven quality cutoff.",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (len(list_distinct({_D_WORDS})) * 1.0 / greatest(len({_D_WORDS}), 1))
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                        / greatest(length(text), 1)), 6) AS q
+    FROM documents WHERE text IS NOT NULL
+),
+ranked AS (
+    SELECT q,
+           CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS DOUBLE) AS i,
+           CAST(count(*) OVER () AS DOUBLE)                            AS n,
+           max(q) OVER ()                                              AS q1,
+           min(q) OVER ()                                              AS qn
+    FROM scored
+),
+d AS (
+    SELECT i, q, n,
+           abs((qn - q1) * (i - 1) - (n - 1) * (q - q1))
+           / sqrt(pow(n - 1, 2) + pow(qn - q1, 2)) AS dist
+    FROM ranked WHERE n > 1
+)
+SELECT CAST(i AS BIGINT)        AS knee_rank,
+       round(q, 6)              AS threshold_q,
+       CAST(n AS BIGINT)        AS n_docs,
+       round(i / n, 6)          AS frac_kept,
+       round(dist, 6)           AS knee_distance
+FROM d ORDER BY dist DESC, i LIMIT 1
+""",
+)
+def quality_threshold_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every curation funnel has a "keep score ≥ X" gate; this query
+    COMPUTES X instead of hard-coding it: sort the per-doc quality
+    scores descending and take the curve point farthest (perpendicular
+    distance) from the chord between its endpoints — the knee, where
+    marginal quality starts falling fastest.  Scores round to 6dp
+    BEFORE ranking so both engines walk the same curve.  Small-SF
+    plan: one score pass, one global rank window, an argmax.  At
+    100 TB the global row_number is the wrong physics — but the knee
+    only needs the curve SHAPE, which survives compression to a
+    quantile grid (approx_percentile to ~1k points, then this same
+    chord test on the grid); the exact form here is the
+    oracle-checkable ground truth that grid variant would be pinned
+    against."""
+    from pyspark.sql.window import Window
+
+    from shopify_youtube_etl_spark.functions.text import quality_score
+
+    scored = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", quality_score(F.col("text")).alias("q"))
+    )
+    everything = Window.partitionBy()
+    ranked = scored.select(
+        "q",
+        F.row_number()
+        .over(Window.orderBy(F.col("q").desc(), "doc_id"))
+        .cast("double")
+        .alias("i"),
+        F.count("*").over(everything).cast("double").alias("n"),
+        F.max("q").over(everything).alias("q1"),
+        F.min("q").over(everything).alias("qn"),
+    ).where(F.col("n") > 1)
+    dist = F.abs(
+        (F.col("qn") - F.col("q1")) * (F.col("i") - 1)
+        - (F.col("n") - 1) * (F.col("q") - F.col("q1"))
+    ) / F.sqrt(F.pow(F.col("n") - 1, 2) + F.pow(F.col("qn") - F.col("q1"), 2))
+    return (
+        ranked.select(
+            F.col("i").cast("long").alias("knee_rank"),
+            F.round("q", 6).alias("threshold_q"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(F.col("i") / F.col("n"), 6).alias("frac_kept"),
+            F.round(dist, 6).alias("knee_distance"),
+            dist.alias("_d"),
+        )
+        .orderBy(F.col("_d").desc(), "knee_rank")
+        .limit(1)
+        .drop("_d")
+    )

@@ -126,6 +126,11 @@ _DRIVER_PRIORITY = _CANARIES + [
     "cusum_daily_drift",
     "gini_segment_inequality",
     "ab_test_conversion",
+    "benford_law_audit",
+    "chi_square_independence",
+    "bm25_incremental_index",
+    "ndcg_retrieval_eval",
+    "quality_threshold_knee",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

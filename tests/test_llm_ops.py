@@ -1167,3 +1167,27 @@ def test_ivfpq_code_refresh_residuals_and_conservation(spark, sf_dir):
     assert rows and rows[0]["centers_fp"] == sim._centers_fingerprint(
         sim._load_or_train_ivf_base(spark, sf_dir, split)[0]
     )
+
+
+def test_bm25_incremental_index_equals_from_scratch(spark, sf_dir):
+    """The index-served BM25 must be ROW-IDENTICAL to the from-scratch
+    scorer (bm25_search_topk): same docs, same scores, same order —
+    the in-repo twin of the oracle's full-recompute equality proof.
+    A second (warm) run must also be identical: the batch merge is
+    idempotent by value."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    scratch = [
+        tuple(r) for r in specs["bm25_search_topk"].fn(spark, sf_dir).collect()
+    ]
+    served = [
+        tuple(r)
+        for r in specs["bm25_incremental_index"].fn(spark, sf_dir).collect()
+    ]
+    assert served == scratch
+    warm = [
+        tuple(r)
+        for r in specs["bm25_incremental_index"].fn(spark, sf_dir).collect()
+    ]
+    assert warm == scratch

@@ -470,6 +470,10 @@ SHUFFLE_BUDGET = {
     "cusum_daily_drift": 4,  # day reduce + 1-row stats + ordered window pair
     "gini_segment_inequality": 2,  # segment exchange shared by window + agg
     "ab_test_conversion": 5,  # user reduce + 1-row mean + 2-row arm agg + 1-row pivot
+    "benford_law_audit": 3,  # 9-group digit census + 1-row total + final join
+    "chi_square_independence": 9,  # 25-cell census subtree x4 statically (ReusedExchange at runtime)
+    "ndcg_retrieval_eval": 12,  # bm25 leg + rel leg share the tokenize subtree (reused at runtime)
+    "quality_threshold_knee": 1,  # score pass + the one global rank exchange
 }
 
 

@@ -386,3 +386,86 @@ def test_xml_roundtrip_any_typed_row(spark, rows, tmp_path_factory):
     df.write.mode("overwrite").option("rootTag", "rs").option("rowTag", "r").xml(d)
     back = spark.read.schema("id LONG, s STRING, v LONG").option("rowTag", "r").xml(d)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows))
+
+
+@given(
+    xs=st.lists(
+        st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_cusum_window_identity_matches_recursion(spark, xs):
+    """The reflected-walk identity cusum_daily_drift relies on:
+    S_t = C_t − min(0, min_{j<t} C_j) (C = prefix sum of deviations)
+    must equal the textbook recursion S_t = max(0, S_{t−1} + y_t) on
+    any series — the lower-side mirror likewise."""
+    from pyspark.sql.window import Window
+
+    ys = [float(x) for x in xs]
+    # Textbook sequential recursions.
+    s_up_ref, s_dn_ref, up, dn = [], [], 0.0, 0.0
+    for y in ys:
+        up = max(0.0, up + y)
+        dn = max(0.0, dn - y)
+        s_up_ref.append(up)
+        s_dn_ref.append(dn)
+
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "i INT, y DOUBLE"
+    )
+    run = Window.orderBy("i")
+    prev = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    c = df.select(
+        "i",
+        F.sum("y").over(run).alias("c_up"),
+        F.sum(-F.col("y")).over(run).alias("c_dn"),
+    )
+    out = c.select(
+        "i",
+        (F.col("c_up") - F.least(F.lit(0.0), F.min("c_up").over(prev))).alias(
+            "s_up"
+        ),
+        (F.col("c_dn") - F.least(F.lit(0.0), F.min("c_dn").over(prev))).alias(
+            "s_dn"
+        ),
+    ).orderBy("i")
+    got = out.collect()
+    for r, eu, ed in zip(got, s_up_ref, s_dn_ref):
+        assert abs(r["s_up"] - eu) < 1e-6, (r["i"], r["s_up"], eu)
+        assert abs(r["s_dn"] - ed) < 1e-6, (r["i"], r["s_dn"], ed)
+
+
+@given(
+    xs=st.lists(
+        st.floats(0.015625, 100, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_gini_rank_formula_matches_pairwise(spark, xs):
+    """gini_segment_inequality's rank formula
+    G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) must equal the pairwise
+    definition Σ|x_i − x_j| / (2·n²·mean) — including under ties."""
+    from pyspark.sql.window import Window
+
+    vals = [float(x) for x in xs]
+    n = len(vals)
+    mean = sum(vals) / n
+    pairwise = sum(abs(a - b) for a in vals for b in vals) / (2 * n * n * mean)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i INT, x DOUBLE"
+    )
+    r = df.select(
+        "x", F.row_number().over(Window.orderBy("x", "i")).alias("rk")
+    )
+    row = r.agg(
+        (
+            (2.0 * F.sum(F.col("rk") * F.col("x")) - (F.count("*") + 1) * F.sum("x"))
+            / (F.count("*") * F.sum("x"))
+        ).alias("g")
+    ).collect()[0]
+    assert abs(row["g"] - pairwise) < 1e-6, (row["g"], pairwise)
