@@ -68,6 +68,18 @@ HEAVY = [
     "ivf_hot_cell_split",
     "ivfpq_code_refresh",
     "bigram_lm_heldout_ppl",
+    # Round-6 session-4: the fused-retrieval stack and its eval, the
+    # index-served IVM twin (state build in rep 1, warm merge+search
+    # after), the map-side pair census, the brute truncation-recall
+    # baseline, and the two window-discipline statistics over scaled
+    # tables.  cusum/ab_test read events (unscaled) and stay out.
+    "rrf_hybrid_retrieval",
+    "ndcg_retrieval_eval",
+    "bm25_incremental_index",
+    "market_basket_lift",
+    "matryoshka_truncation_recall",
+    "gini_segment_inequality",
+    "seasonal_decompose_daily",
 ]
 
 # Tables the HEAVY set reads; the rest are copied unscaled.

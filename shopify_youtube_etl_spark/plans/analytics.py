@@ -4222,3 +4222,55 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("long").alias("n_orders"),
         )
     )
+
+
+@query(
+    "sql_scalar_udf_revenue",
+    ref="Spark 4 SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr) — the declarative UDF tier ABOVE even Arrow: the body is SQL, so Catalyst inlines it into the plan and it runs as JVM codegen, not as any Python boundary at all",
+    doc="Revenue by return flag computed through two SQL scalar UDFs (discounted price, tax-inclusive price); the oracle inlines the same expressions — proving the UDF layer adds no semantics, only naming.",
+    oracle="""
+SELECT l_returnflag                                        AS returnflag,
+       CAST(count(*) AS BIGINT)                            AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS disc_revenue,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                           AS charged_revenue
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sql_scalar_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF ladder's TOP rung: a SQL-bodied function is not an
+    escape hatch at all — ``CREATE TEMPORARY FUNCTION f(...) RETURN
+    expr`` registers a name whose body Catalyst INLINES before
+    optimization, so the aggregate below compiles to the identical
+    whole-stage-codegen plan as writing the expression out (TPC-H Q1's
+    disc_price/charged_price idiom, which the reference's BigQuery SQL
+    would express the same way).  Functions are session-temporary and
+    CREATE OR REPLACE is idempotent, so re-running the query re-binds
+    harmlessly.  The reuse win at 100 TB is organizational — one
+    vetted money formula instead of N copies drifting apart — at zero
+    plan cost, which the oracle proves by inlining the body."""
+    from shopify_youtube_etl_spark.sources.tables import ensure_views
+
+    ensure_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sye_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sye_charged_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN sye_disc_price(p, d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag                                  AS returnflag,
+               count(*)                                      AS n_lines,
+               round(sum(sye_disc_price(l_extendedprice, l_discount)), 2)
+                                                             AS disc_revenue,
+               round(sum(sye_charged_price(l_extendedprice, l_discount, l_tax)), 2)
+                                                             AS charged_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

@@ -1387,3 +1387,85 @@ def subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(branch("orders", orders, F.col("o_totalprice")))
         .unionByName(branch("lineitem", li, F.col("l_extendedprice")))
     )
+
+
+@query(
+    "survivorship_golden_record",
+    ref="MDM survivorship (master-data governance next to pseudonymize_join_integrity) — merge duplicate entity records field-by-field: per field the most recent non-null value wins, one golden record per entity",
+    doc="Customers folded to entities (custkey mod 500) with deterministic per-field gaps; per entity the record count plus the most-recent-non-null acctbal / segment / nation — the golden record.",
+    oracle="""
+WITH recs AS (
+    SELECT c_custkey % 500 AS entity,
+           c_custkey       AS version,
+           CASE WHEN c_custkey % 7  = 0 THEN NULL ELSE c_acctbal    END AS acctbal,
+           CASE WHEN c_custkey % 5  = 0 THEN NULL ELSE c_mktsegment END AS segment,
+           CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_nationkey  END AS nation
+    FROM customer
+),
+filled AS (
+    SELECT entity, version,
+           count(*)    OVER w                     AS n_records,
+           last_value(acctbal IGNORE NULLS) OVER w AS g_acctbal,
+           last_value(segment IGNORE NULLS) OVER w AS g_segment,
+           last_value(nation  IGNORE NULLS) OVER w AS g_nation,
+           row_number() OVER (PARTITION BY entity ORDER BY version DESC) AS rn
+    FROM recs
+    WINDOW w AS (PARTITION BY entity ORDER BY version
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT entity,
+       CAST(n_records AS BIGINT)   AS n_records,
+       round(g_acctbal, 2)         AS golden_acctbal,
+       g_segment                   AS golden_segment,
+       CAST(g_nation AS BIGINT)    AS golden_nation
+FROM filled WHERE rn = 1
+""",
+)
+def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution's second half: once duplicates are LINKED,
+    which field values survive into the golden record?  The standard
+    policy is recency-with-fallback — per FIELD, the newest non-null
+    value, so a stale record can still donate the one field the newer
+    record is missing (a whole-row "latest wins" loses exactly those
+    donations; that's the classic MDM survivorship bug).  The engine
+    shape: ``last_value(... IGNORE NULLS)`` over a full-frame window
+    per field — every field filled in ONE pass over ONE entity-key
+    exchange, which the row_number that picks the representative row
+    shares (same-window discipline).  Deterministic gap simulation
+    (mod-7/5/11 nulls) gives every entity a mixed donor pattern.  At
+    100 TB this is the post-linkage consolidation step: one shuffle on
+    the entity key, no self-joins, no per-field passes."""
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "customer")
+    gap = lambda m, col: F.when(F.col("c_custkey") % m == 0, F.lit(None)).otherwise(col)  # noqa: E731
+    recs = c.select(
+        (F.col("c_custkey") % 500).alias("entity"),
+        F.col("c_custkey").alias("version"),
+        gap(7, F.col("c_acctbal")).alias("acctbal"),
+        gap(5, F.col("c_mktsegment")).alias("segment"),
+        gap(11, F.col("c_nationkey")).alias("nation"),
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("version")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    filled = recs.select(
+        "entity",
+        "version",
+        F.count("*").over(w).alias("n_records"),
+        F.last("acctbal", ignorenulls=True).over(w).alias("g_acctbal"),
+        F.last("segment", ignorenulls=True).over(w).alias("g_segment"),
+        F.last("nation", ignorenulls=True).over(w).alias("g_nation"),
+        F.row_number()
+        .over(Window.partitionBy("entity").orderBy(F.col("version").desc()))
+        .alias("rn"),
+    )
+    return filled.where(F.col("rn") == 1).select(
+        "entity",
+        F.col("n_records").cast("long").alias("n_records"),
+        F.round("g_acctbal", 2).alias("golden_acctbal"),
+        F.col("g_segment").alias("golden_segment"),
+        F.col("g_nation").cast("long").alias("golden_nation"),
+    )

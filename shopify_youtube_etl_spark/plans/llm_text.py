@@ -3157,3 +3157,89 @@ def quality_threshold_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_d")
     )
+
+
+@query(
+    "quality_knee_quantile_grid",
+    ref="the 100 TB form of quality_threshold_knee — the knee computed on a 201-point exact-percentile grid of the score distribution instead of a global per-doc rank: the curve SHAPE survives quantile compression, the unscalable global sort doesn't",
+    doc="One row: knee of the quality curve evaluated on a descending 201-point quantile grid (grid index, score threshold, kept fraction, chord distance).",
+    oracle=f"""
+WITH scored AS (
+    SELECT round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (len(list_distinct({_D_WORDS})) * 1.0 / greatest(len({_D_WORDS}), 1))
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                        / greatest(length(text), 1)), 6) AS q
+    FROM documents WHERE text IS NOT NULL
+),
+vs AS (
+    SELECT quantile_cont(q, [1.0, 0.995, 0.99, 0.985, 0.98, 0.975, 0.97, 0.965, 0.96, 0.955, 0.95, 0.945, 0.94, 0.935, 0.9299999999999999, 0.925, 0.92, 0.915, 0.91, 0.905, 0.9, 0.895, 0.89, 0.885, 0.88, 0.875, 0.87, 0.865, 0.86, 0.855, 0.85, 0.845, 0.84, 0.835, 0.83, 0.825, 0.8200000000000001, 0.815, 0.81, 0.8049999999999999, 0.8, 0.795, 0.79, 0.785, 0.78, 0.775, 0.77, 0.765, 0.76, 0.755, 0.75, 0.745, 0.74, 0.735, 0.73, 0.725, 0.72, 0.7150000000000001, 0.71, 0.7050000000000001, 0.7, 0.6950000000000001, 0.69, 0.685, 0.6799999999999999, 0.675, 0.6699999999999999, 0.665, 0.6599999999999999, 0.655, 0.65, 0.645, 0.64, 0.635, 0.63, 0.625, 0.62, 0.615, 0.61, 0.605, 0.6, 0.595, 0.5900000000000001, 0.585, 0.5800000000000001, 0.575, 0.5700000000000001, 0.565, 0.56, 0.5549999999999999, 0.55, 0.5449999999999999, 0.54, 0.5349999999999999, 0.53, 0.525, 0.52, 0.515, 0.51, 0.505, 0.5, 0.495, 0.49, 0.485, 0.48, 0.475, 0.47, 0.46499999999999997, 0.45999999999999996, 0.45499999999999996, 0.44999999999999996, 0.44499999999999995, 0.43999999999999995, 0.43500000000000005, 0.43000000000000005, 0.42500000000000004, 0.42000000000000004, 0.41500000000000004, 0.41000000000000003, 0.405, 0.4, 0.395, 0.39, 0.385, 0.38, 0.375, 0.37, 0.365, 0.36, 0.355, 0.35, 0.345, 0.33999999999999997, 0.33499999999999996, 0.32999999999999996, 0.32499999999999996, 0.31999999999999995, 0.31499999999999995, 0.31000000000000005, 0.30500000000000005, 0.30000000000000004, 0.29500000000000004, 0.29000000000000004, 0.28500000000000003, 0.28, 0.275, 0.27, 0.265, 0.26, 0.255, 0.25, 0.245, 0.24, 0.235, 0.22999999999999998, 0.22499999999999998, 0.21999999999999997, 0.21499999999999997, 0.20999999999999996, 0.20499999999999996, 0.19999999999999996, 0.19499999999999995, 0.18999999999999995, 0.18500000000000005, 0.18000000000000005, 0.17500000000000004, 0.17000000000000004, 0.16500000000000004, 0.16000000000000003, 0.15500000000000003, 0.15000000000000002, 0.14500000000000002, 0.14, 0.135, 0.13, 0.125, 0.12, 0.11499999999999999, 0.10999999999999999, 0.10499999999999998, 0.09999999999999998, 0.09499999999999997, 0.08999999999999997, 0.08499999999999996, 0.07999999999999996, 0.07499999999999996, 0.06999999999999995, 0.06499999999999995, 0.06000000000000005, 0.05500000000000005, 0.050000000000000044, 0.04500000000000004, 0.040000000000000036, 0.03500000000000003, 0.030000000000000027, 0.025000000000000022, 0.020000000000000018, 0.015000000000000013, 0.010000000000000009, 0.0050000000000000044, 0.0]) AS vs
+    FROM scored
+),
+grid AS (
+    SELECT k, round(vs[k + 1], 6) AS v
+    FROM vs, UNNEST(range(0, 201)) AS s(k)
+),
+ends AS (
+    SELECT max(CASE WHEN k = 0   THEN v END) AS v0,
+           max(CASE WHEN k = 200 THEN v END) AS vn
+    FROM grid
+),
+d AS (
+    SELECT k, v,
+           abs((vn - v0) * k - 200 * (v - v0))
+           / sqrt(pow(200, 2) + pow(vn - v0, 2)) AS dist
+    FROM grid CROSS JOIN ends
+)
+SELECT CAST(k AS BIGINT)  AS knee_grid_index,
+       round(v, 6)        AS threshold_q,
+       round(k / 200.0, 6) AS frac_kept,
+       round(dist, 6)     AS knee_distance
+FROM d ORDER BY dist DESC, k LIMIT 1
+""",
+)
+def quality_knee_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_threshold_knee names its own scale problem: the global
+    row_number is a single-partition sort of the corpus.  This is the
+    promised fix, made real and oracle-checked: the chord test needs
+    only the sorted curve's SHAPE, and an exact 201-point percentile
+    grid preserves that shape at ANY corpus size — so the plan
+    collapses to one percentile AGGREGATE (mergeable partials, one
+    shuffle; at 100 TB swap F.percentile for approx_percentile — same
+    plan, sketch-mergeable) followed by arithmetic on a 201-row frame.
+    Grid values round to 6dp before the chord so both engines walk the
+    same polyline; the grid is descending (1 − k/200 quantiles) to
+    match the exact query's orientation, and the in-repo test pins the
+    grid knee's threshold against the exact knee's."""
+    from pyspark.sql.window import Window  # noqa: F401  (module convention)
+
+    from shopify_youtube_etl_spark.functions.text import quality_score
+
+    scored = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(quality_score(F.col("text")).alias("q"))
+    )
+    pcts = F.array(*[F.lit(1.0 - k / 200.0) for k in range(201)])
+    grid = scored.agg(F.percentile("q", pcts).alias("vs")).select(
+        F.posexplode("vs").alias("k", "v_raw")
+    ).select("k", F.round("v_raw", 6).alias("v"))
+    ends = grid.agg(
+        F.max(F.when(F.col("k") == 0, F.col("v"))).alias("v0"),
+        F.max(F.when(F.col("k") == 200, F.col("v"))).alias("vn"),
+    )
+    dist = F.abs(
+        (F.col("vn") - F.col("v0")) * F.col("k") - 200 * (F.col("v") - F.col("v0"))
+    ) / F.sqrt(F.pow(F.lit(200.0), 2) + F.pow(F.col("vn") - F.col("v0"), 2))
+    return (
+        grid.join(F.broadcast(ends))
+        .select(
+            F.col("k").cast("long").alias("knee_grid_index"),
+            F.round("v", 6).alias("threshold_q"),
+            F.round(F.col("k") / 200.0, 6).alias("frac_kept"),
+            F.round(dist, 6).alias("knee_distance"),
+            dist.alias("_d"),
+        )
+        .orderBy(F.col("_d").desc(), "knee_grid_index")
+        .limit(1)
+        .drop("_d")
+    )

@@ -131,6 +131,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "bm25_incremental_index",
     "ndcg_retrieval_eval",
     "quality_threshold_knee",
+    "quality_knee_quantile_grid",
+    "survivorship_golden_record",
+    "sql_scalar_udf_revenue",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

@@ -1191,3 +1191,21 @@ def test_bm25_incremental_index_equals_from_scratch(spark, sf_dir):
         for r in specs["bm25_incremental_index"].fn(spark, sf_dir).collect()
     ]
     assert warm == scratch
+
+
+def test_grid_knee_tracks_exact_knee(spark, sf_dir):
+    """The 201-point quantile-grid knee must land on (approximately)
+    the same quality threshold as the exact per-doc-rank knee — the
+    claim that justifies the grid as the 100 TB form."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    exact = specs["quality_threshold_knee"].fn(spark, sf_dir).collect()[0]
+    grid = specs["quality_knee_quantile_grid"].fn(spark, sf_dir).collect()[0]
+    # Grid resolution is 0.5% of the corpus; thresholds should agree
+    # to within a couple of grid steps' worth of score.
+    assert abs(grid["threshold_q"] - exact["threshold_q"]) < 0.05, (
+        grid["threshold_q"],
+        exact["threshold_q"],
+    )
+    assert abs(grid["frac_kept"] - exact["knee_rank"] / exact["n_docs"]) < 0.03
