@@ -4274,3 +4274,343 @@ def sql_scalar_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "dictionary_encode_types",
+    ref="storage/codec operator family next to zorder_locality_profile — frequency-ranked dictionary encoding of a low-cardinality string column, the layout decision columnar writers make per row-group",
+    doc="The p_type dictionary ordered by (frequency desc, value): per entry its code, occurrence count, and cumulative share; plus the implied per-row byte cost of code vs raw string.",
+    oracle="""
+WITH freq AS (
+    SELECT p_type AS value,
+           CAST(count(*) AS BIGINT)       AS n,
+           CAST(avg(length(p_type)) AS DOUBLE) AS raw_len
+    FROM part GROUP BY p_type
+),
+coded AS (
+    SELECT value, n, raw_len,
+           CAST(row_number() OVER (ORDER BY n DESC, value) - 1 AS BIGINT) AS code,
+           CAST(sum(n) OVER () AS DOUBLE) AS total
+    FROM freq
+)
+SELECT code, value, n,
+       round(sum(n) OVER (ORDER BY code) / total, 6)  AS cum_share,
+       round(raw_len, 2)                              AS raw_bytes_per_row,
+       CAST(CASE WHEN (SELECT count(*) FROM freq) <= 256 THEN 1 ELSE 2 END
+            AS BIGINT)                                AS code_bytes_per_row
+FROM coded
+""",
+)
+def dictionary_encode_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary encoding is THE columnar-codec decision: replace a
+    repeated string with a small integer code and the column's bytes
+    collapse by raw_len/code_len.  The operator here builds the
+    dictionary the way writers do — codes assigned by FREQUENCY RANK
+    (hot values get small codes, which also helps downstream RLE) with
+    a deterministic value tie-break — and reports the evidence a
+    layout optimizer needs: cumulative share (how few codes cover the
+    data) and per-row byte cost at the implied code width.  Plan: the
+    column reduces to |distinct| rows in one partial-agg shuffle; the
+    rank and cumulative share are windows over that dictionary-sized
+    frame.  At 100 TB the dictionary for any sane column is KB-sized;
+    the encode join-back (not materialized here) is a broadcast."""
+    from pyspark.sql.window import Window
+
+    freq = (
+        t(spark, sf_dir, "part")
+        .groupBy(F.col("p_type").alias("value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(F.length("p_type")).alias("raw_len"),
+        )
+    )
+    everything = Window.partitionBy()
+    coded = freq.select(
+        "value",
+        "n",
+        "raw_len",
+        (
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "value")) - 1
+        ).cast("long").alias("code"),
+        F.sum("n").over(everything).cast("double").alias("total"),
+        F.count("*").over(everything).alias("n_values"),
+    )
+    return coded.select(
+        "code",
+        "value",
+        "n",
+        F.round(
+            F.sum("n").over(Window.orderBy("code")) / F.col("total"), 6
+        ).alias("cum_share"),
+        F.round("raw_len", 2).alias("raw_bytes_per_row"),
+        F.when(F.col("n_values") <= 256, 1).otherwise(2).cast("long").alias(
+            "code_bytes_per_row"
+        ),
+    )
+
+
+@query(
+    "conversion_lag_percentiles",
+    ref="funnel-timing analytics next to funnel_conversion — the first-touch to first-purchase latency distribution, per arrival cohort",
+    doc="Per first-event weekday cohort (epoch-day mod 7): converting-user count and exact p50/p90 of the hours from a user's first event to their first purchase.",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           min(CAST(ts AS TIMESTAMP)) AS first_ts,
+           min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+               AS first_purchase
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id
+),
+lag AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(first_ts AS DATE)) % 7
+                AS BIGINT) AS cohort_dow,
+           date_diff('second', first_ts, first_purchase) / 3600.0 AS lag_h
+    FROM u
+    WHERE first_purchase IS NOT NULL AND first_purchase >= first_ts
+)
+SELECT cohort_dow,
+       CAST(count(*) AS BIGINT)               AS n_converting_users,
+       round(quantile_cont(lag_h, 0.5), 4)    AS p50_hours,
+       round(quantile_cont(lag_h, 0.9), 4)    AS p90_hours
+FROM lag GROUP BY cohort_dow
+""",
+)
+def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_conversion counts WHO converts; this measures HOW LONG
+    conversion takes — the latency distribution growth teams act on.
+    The unit is the user, so events collapse to (first event, first
+    purchase) in ONE user-key shuffle of min aggregates (conditional
+    min for the purchase leg — no second scan, no join between event
+    types); the lag percentiles then aggregate a users-sized frame by
+    a 7-value cohort key.  Cohort = epoch-day mod 7 of the user's
+    first touch (the calendar-free weekday index, as in
+    seasonal_decompose_daily).  Exact percentiles for oracle parity;
+    approx_percentile is the same plan at 100 TB."""
+    u = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+    )
+    lag = u.where(
+        F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_ts"))
+    ).select(
+        (epoch_day(F.col("first_ts").cast("date")) % 7).alias("cohort_dow"),
+        (
+            (
+                F.unix_timestamp("first_purchase") - F.unix_timestamp("first_ts")
+            ).cast("double")
+            / 3600.0
+        ).alias("lag_h"),
+    )
+    return lag.groupBy("cohort_dow").agg(
+        F.count("*").alias("n_converting_users"),
+        F.round(F.percentile("lag_h", F.lit(0.5)), 4).alias("p50_hours"),
+        F.round(F.percentile("lag_h", F.lit(0.9)), 4).alias("p90_hours"),
+    )
+
+
+@query(
+    "equi_depth_histogram",
+    ref="optimizer-statistics family next to column_profile_orders — the equi-depth (equi-height) histogram ANALYZE builds for selectivity estimation",
+    doc="An 8-bucket equi-depth histogram of o_totalprice: per bucket its quantile boundaries, exact row count within, and the distinct-ish value spread (max-min).",
+    oracle="""
+WITH b AS (
+    SELECT quantile_cont(o_totalprice,
+               [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qs
+    FROM orders
+),
+edges AS (
+    SELECT k AS bucket,
+           round(qs[k + 1], 6) AS lo,
+           round(qs[k + 2], 6) AS hi
+    FROM b, UNNEST(range(0, 8)) AS s(k)
+)
+SELECT bucket, lo, hi,
+       CAST((SELECT count(*) FROM orders
+             WHERE o_totalprice >= lo
+               AND (o_totalprice < hi OR (bucket = 7 AND o_totalprice <= hi)))
+            AS BIGINT) AS n_rows,
+       round(hi - lo, 6) AS width
+FROM edges
+""",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histograms are what ANALYZE actually stores for
+    selectivity: equal ROW mass per bucket, so skew shows up as
+    bucket WIDTH (a whale bucket is wide, a dense region narrow).
+    Boundaries are one mergeable percentile aggregate (9 cuts, rounded
+    before use so both engines bin identically); counting rows per
+    bucket is a range join of the corpus against an 8-row broadcast
+    edge table — half-open buckets with the top bucket closed, the
+    textbook convention, so boundary-equal rows land deterministically.
+    The exact counts differ from n/8 only through boundary ties —
+    which is precisely the diagnostic an optimizer wants surfaced."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    cuts = [i / 8.0 for i in range(9)]
+    b = o.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(c) for c in cuts])).alias("qs")
+    )
+    edges = b.select(F.posexplode("qs").alias("k", "v")).select(
+        "k", F.round("v", 6).alias("v")
+    )
+    lo = edges.select(F.col("k").alias("bucket"), F.col("v").alias("lo")).where(
+        F.col("bucket") < 8
+    )
+    hi = edges.select((F.col("k") - 1).alias("bucket"), F.col("v").alias("hi")).where(
+        F.col("bucket") >= 0
+    )
+    e = lo.join(hi, "bucket")
+    joined = o.join(
+        F.broadcast(e),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (
+            (F.col("o_totalprice") < F.col("hi"))
+            | ((F.col("bucket") == 7) & (F.col("o_totalprice") <= F.col("hi")))
+        ),
+    )
+    return joined.groupBy("bucket", "lo", "hi").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.col("hi") - F.col("lo"), 6).alias("width"),
+    ).select("bucket", "lo", "hi", "n_rows", "width")
+
+
+@query(
+    "robust_trend_theil_sen",
+    ref="robust-statistics family next to cusum_daily_drift — Theil–Sen slope + Mann–Kendall trend test over the daily revenue series: the outlier-proof answer to 'is revenue trending?'",
+    doc="One row: day count, Theil–Sen slope (median of all pairwise day-slopes), Mann–Kendall S and z, and the 5%-level trend verdict.",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01',
+                CAST(min(o_orderdate) AS DATE)) AS BIGINT) AS d,
+           round(sum(o_totalprice), 2)                     AS rev
+    FROM orders GROUP BY strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')
+),
+pairs AS (
+    SELECT (b.rev - a.rev) / (b.d - a.d) AS slope,
+           CASE WHEN b.rev > a.rev THEN 1
+                WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+    FROM daily a JOIN daily b ON a.d < b.d
+),
+agg AS (
+    SELECT (SELECT CAST(count(*) AS DOUBLE) FROM daily) AS n,
+           quantile_cont(slope, 0.5)                     AS sen,
+           CAST(sum(sgn) AS DOUBLE)                      AS s
+    FROM pairs
+)
+SELECT CAST(n AS BIGINT)   AS n_days,
+       round(sen, 4)       AS sen_slope,
+       CAST(s AS BIGINT)   AS mk_s,
+       round((s - sign(s)) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0), 4) AS mk_z,
+       CASE WHEN abs((s - sign(s)) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)) <= 1.96
+            THEN 'no-trend'
+            WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS verdict
+FROM agg
+""",
+)
+def robust_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend (zipf_alpha_fit's regr_slope) buys efficiency with
+    fragility: one whale day drags the fit.  Theil–Sen — the MEDIAN of
+    all pairwise slopes — has a 29% breakdown point, and Mann–Kendall
+    turns the same pair signs into a distribution-free significance
+    test.  The O(n²) pair join is safe for exactly the reason the
+    module docstring reserves global windows for day-grain frames: the
+    corpus reduces to ~365·years rows FIRST (one shuffle of partial
+    sums), so the self-join is millions of pairs at worst regardless
+    of input scale — and the slope median is one exact-percentile
+    aggregate over those pairs.  MK variance uses the no-ties closed
+    form; the continuity-corrected z and a 5%-level verdict make the
+    output decision-shaped.  Rounded daily revenue feeds both engines
+    the same pair slopes."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(day_str(F.col("o_orderdate")).alias("day"))
+        .agg(
+            epoch_day(F.min(F.col("o_orderdate").cast("date"))).alias("d"),
+            money(F.sum("o_totalprice")).alias("rev"),
+        )
+        .select("d", "rev")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        ((F.col("rb") - F.col("ra")) / (F.col("db") - F.col("da"))).alias("slope"),
+        F.signum(F.col("rb") - F.col("ra")).alias("sgn"),
+    )
+    n_row = daily.agg(F.count("*").cast("double").alias("n"))
+    agg = pairs.agg(
+        F.percentile("slope", F.lit(0.5)).alias("sen"),
+        F.sum("sgn").alias("s"),
+    ).join(F.broadcast(n_row))
+    z = (F.col("s") - F.signum("s")) / F.sqrt(
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("sen", 4).alias("sen_slope"),
+        F.col("s").cast("long").alias("mk_s"),
+        F.round(z, 4).alias("mk_z"),
+        F.when(F.abs(z) <= 1.96, "no-trend")
+        .when(F.col("s") > 0, "increasing")
+        .otherwise("decreasing")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "winsorized_mean_profile",
+    ref="robust-statistics family — winsorized and trimmed means per order status: the tail-insensitive location estimates a metrics pipeline reports next to the raw mean",
+    doc="Per order status: n, raw mean, 5/95-winsorized mean (tails clamped to the percentile bounds), and the 5/95-trimmed mean (tails dropped).",
+    oracle="""
+WITH b AS (
+    SELECT o_orderstatus AS status,
+           o_totalprice  AS x,
+           quantile_cont(o_totalprice, 0.05) OVER (PARTITION BY o_orderstatus) AS p05,
+           quantile_cont(o_totalprice, 0.95) OVER (PARTITION BY o_orderstatus) AS p95
+    FROM orders
+)
+SELECT status,
+       CAST(count(*) AS BIGINT)                             AS n_orders,
+       round(avg(x), 4)                                     AS raw_mean,
+       round(avg(least(greatest(x, p05), p95)), 4)          AS winsorized_mean,
+       round(avg(CASE WHEN x >= p05 AND x <= p95 THEN x END), 4) AS trimmed_mean
+FROM b GROUP BY status
+""",
+)
+def winsorized_mean_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw mean answers to every outlier; winsorizing clamps the
+    tails to the 5th/95th percentile bounds and trimming drops them —
+    the two standard robustifications, reported side by side so the
+    gap itself measures tail influence.  Engine shape: the percentile
+    BOUNDS come from an exact-percentile window over the SAME status
+    partition the final rollup groups by, so bounds, clamp, and
+    aggregate all ride one exchange (the same-window discipline) —
+    no separate bounds-frame join, no second scan.  At 100 TB swap the
+    exact window percentile for approx_percentile computed in a
+    pre-agg and broadcast back; the clamp arithmetic is unchanged."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderstatus")
+    b = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("x"),
+        F.percentile("o_totalprice", F.lit(0.05)).over(w).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).over(w).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("x"), F.col("p05")), F.col("p95"))
+    return b.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("x"), 4).alias("raw_mean"),
+        F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+        F.round(
+            F.avg(F.when((F.col("x") >= F.col("p05")) & (F.col("x") <= F.col("p95")), F.col("x"))),
+            4,
+        ).alias("trimmed_mean"),
+    )

@@ -134,6 +134,11 @@ _DRIVER_PRIORITY = _CANARIES + [
     "quality_knee_quantile_grid",
     "survivorship_golden_record",
     "sql_scalar_udf_revenue",
+    "dictionary_encode_types",
+    "conversion_lag_percentiles",
+    "equi_depth_histogram",
+    "robust_trend_theil_sen",
+    "winsorized_mean_profile",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

@@ -477,6 +477,11 @@ SHUFFLE_BUDGET = {
     "quality_knee_quantile_grid": 2,  # one mergeable percentile agg + 201-row argmax
     "survivorship_golden_record": 1,  # one entity exchange shared by all field windows
     "sql_scalar_udf_revenue": 1,  # UDFs inline; plain flag rollup
+    "dictionary_encode_types": 2,  # |distinct|-row dict census + rank/cum windows
+    "conversion_lag_percentiles": 2,  # one user reduce + 7-key percentile agg
+    "equi_depth_histogram": 3,  # percentile agg + broadcast range join + bucket agg
+    "robust_trend_theil_sen": 5,  # day reduce x2 statically + pair agg + 1-row n
+    "winsorized_mean_profile": 2,  # status exchange shared by bounds window + rollup
 }
 
 
