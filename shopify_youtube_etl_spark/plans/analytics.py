@@ -4614,3 +4614,368 @@ def winsorized_mean_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("trimmed_mean"),
     )
+
+
+@query(
+    "allocation_proportional",
+    ref="finance-ETL allocation operator — spread an order-level rebate across its lineitems proportionally, in integer cents, with largest-remainder correction so every order's allocations sum EXACTLY to its rebate",
+    doc="Per order: the 2% rebate in cents, the sum of per-line allocations (provably equal), line count, and the max/min line allocation — the sum-preserving proportional split.",
+    oracle="""
+WITH li AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem
+),
+o AS (
+    SELECT l_orderkey,
+           CAST(sum(price_c) AS DOUBLE)                 AS total_c,
+           CAST(round(sum(price_c) * 0.02) AS BIGINT)   AS rebate_c
+    FROM li GROUP BY l_orderkey
+),
+raw AS (
+    SELECT li.l_orderkey, li.l_linenumber, o.rebate_c,
+           floor(o.rebate_c * li.price_c / o.total_c)            AS fl,
+           o.rebate_c * li.price_c - floor(o.rebate_c * li.price_c / o.total_c) * o.total_c
+                                                                 AS rem
+    FROM li JOIN o USING (l_orderkey)
+),
+ranked AS (
+    SELECT l_orderkey, rebate_c, fl,
+           row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY rem DESC, l_linenumber)                  AS rk,
+           rebate_c - sum(fl) OVER (PARTITION BY l_orderkey)     AS residual
+    FROM raw
+),
+alloc AS (
+    SELECT l_orderkey, rebate_c,
+           CAST(fl + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS BIGINT) AS a
+    FROM ranked
+)
+SELECT l_orderkey            AS orderkey,
+       CAST(max(rebate_c) AS BIGINT) AS rebate_cents,
+       CAST(sum(a) AS BIGINT)        AS allocated_cents,
+       CAST(count(*) AS BIGINT)      AS n_lines,
+       CAST(max(a) AS BIGINT)        AS max_line_cents,
+       CAST(min(a) AS BIGINT)        AS min_line_cents
+FROM alloc GROUP BY l_orderkey
+""",
+)
+def allocation_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional money splits have a trap: round each share to
+    cents independently and the pieces no longer sum to the whole —
+    the classic penny-leak a finance close cannot tolerate.  The
+    largest-remainder (Hamilton) method fixes it deterministically:
+    floor every share in INTEGER CENTS, then hand the leftover cents
+    to the lines with the largest discarded remainders (line-number
+    tie-break).  Everything is integer arithmetic carried in doubles
+    well inside the 2^53 exact range, so both engines compute
+    identical floors and remainders — which is what lets an
+    ALLOCATION, normally a tolerance-checked quantity, carry a value
+    hash.  One order-key exchange does it all: the totals window, the
+    remainder rank, and the residual sum share the same partition key
+    (the scd2/weighted-median discipline).  allocated == rebate on
+    every row BY CONSTRUCTION — the oracle and the invariant test both
+    say so."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    per_order = Window.partitionBy("l_orderkey")
+    withtot = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_c",
+        F.sum("price_c").over(per_order).cast("double").alias("total_c"),
+    ).withColumn(
+        "rebate_c", F.round(F.col("total_c") * 0.02).cast("long")
+    )
+    fl = F.floor(F.col("rebate_c") * F.col("price_c") / F.col("total_c"))
+    raw = withtot.select(
+        "l_orderkey",
+        "l_linenumber",
+        "rebate_c",
+        fl.alias("fl"),
+        (F.col("rebate_c") * F.col("price_c") - fl * F.col("total_c")).alias("rem"),
+    )
+    ranked = raw.select(
+        "l_orderkey",
+        "rebate_c",
+        "fl",
+        F.row_number()
+        .over(per_order.orderBy(F.col("rem").desc(), "l_linenumber"))
+        .alias("rk"),
+        (F.col("rebate_c") - F.sum("fl").over(per_order)).alias("residual"),
+    )
+    alloc = ranked.select(
+        "l_orderkey",
+        "rebate_c",
+        (
+            F.col("fl") + F.when(F.col("rk") <= F.col("residual"), 1).otherwise(0)
+        ).cast("long").alias("a"),
+    )
+    return alloc.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.max("rebate_c").cast("long").alias("rebate_cents"),
+        F.sum("a").cast("long").alias("allocated_cents"),
+        F.count("*").alias("n_lines"),
+        F.max("a").cast("long").alias("max_line_cents"),
+        F.min("a").cast("long").alias("min_line_cents"),
+    )
+
+
+@query(
+    "bom_explosion",
+    ref="hierarchical-data operator next to recursive_nation_reach — bill-of-materials explosion: recursive descent with MULTIPLIED quantities along the path, the query MRP systems run",
+    doc="Explode the synthetic part hierarchy (parent = partkey/10, per-edge qty 1 + partkey mod 3) from root part 1: per level the component count and total extended quantity.",
+    oracle="""
+WITH RECURSIVE bom AS (
+    SELECT CAST(1 AS BIGINT) AS partkey, 0 AS lvl, CAST(1 AS DOUBLE) AS ext_qty
+    UNION ALL
+    SELECT p.p_partkey, bom.lvl + 1,
+           bom.ext_qty * (1 + p.p_partkey % 3)
+    FROM part p JOIN bom ON p.p_partkey // 10 = bom.partkey
+    WHERE p.p_partkey > bom.partkey
+)
+SELECT lvl                               AS level,
+       CAST(count(*) AS BIGINT)          AS n_components,
+       CAST(sum(ext_qty) AS BIGINT)      AS total_extended_qty
+FROM bom GROUP BY lvl
+""",
+)
+def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recursive_nation_reach walks edges; a BOM explosion must also
+    ACCUMULATE along the path — each component's extended quantity is
+    the PRODUCT of per-edge quantities from the root, the number MRP
+    uses to size a build.  The hierarchy is synthetic but structural
+    (parent = partkey/10 gives a natural 10-ary tree over the real
+    part table; per-edge qty = 1 + partkey mod 3), and the recursion
+    is a Spark 4 recursive CTE — each iteration is one distributed
+    join of the previous frontier against part, the frontier carrying
+    (partkey, level, ext_qty); depth is the key-width, so iterations
+    are O(log10 |part|) regardless of table size.  Quantities stay
+    exact integers inside doubles (≤ 3^depth · 1).  Level-grain
+    output keeps the result decision-shaped (how much of WHAT level to
+    procure)."""
+    from shopify_youtube_etl_spark.sources.tables import ensure_views
+
+    ensure_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH RECURSIVE bom AS (
+            SELECT CAST(1 AS BIGINT) AS partkey, 0 AS lvl, CAST(1 AS DOUBLE) AS ext_qty
+            UNION ALL
+            SELECT p.p_partkey, bom.lvl + 1,
+                   bom.ext_qty * (1 + p.p_partkey % 3)
+            FROM part p JOIN bom ON CAST(p.p_partkey / 10 AS BIGINT) = bom.partkey
+            WHERE p.p_partkey > bom.partkey
+        )
+        SELECT lvl                          AS level,
+               count(*)                     AS n_components,
+               CAST(sum(ext_qty) AS BIGINT) AS total_extended_qty
+        FROM bom GROUP BY lvl
+        """
+    )
+
+
+@query(
+    "rfm_segmentation",
+    ref="marketing-analytics operator — RFM (recency / frequency / monetary) quintile scoring per customer, then the segment census a CRM acts on",
+    doc="Customers scored 1-5 on recency (newest last order = 5), frequency (order count), and monetary (total spend in exact cents) via deterministic ntile; output is the per-RFM-code census with exact-integer totals.",
+    oracle="""
+WITH cust AS (
+    SELECT o_custkey,
+           max(o_orderdate)            AS last_order,
+           CAST(count(*) AS BIGINT)    AS freq,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                                       AS mon_c
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+           ntile(5) OVER (ORDER BY freq, o_custkey)       AS f,
+           ntile(5) OVER (ORDER BY mon_c, o_custkey)      AS m,
+           freq, mon_c
+    FROM cust
+)
+SELECT r, f, m,
+       CAST(count(*) AS BIGINT)                    AS n_customers,
+       CAST(sum(freq) AS BIGINT)                   AS total_orders,
+       CAST(sum(mon_c) AS BIGINT)                  AS total_spend_cents,
+       CAST(floor(sum(mon_c) / count(*)) AS BIGINT) AS avg_spend_cents
+FROM scored GROUP BY r, f, m
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRM classic: score every customer 1-5 on how RECENTLY they
+    bought, how OFTEN, and how MUCH, and the 125 possible codes become
+    actionable segments (5-5-5 champions, 1-5-5 at-risk whales).  The
+    corpus collapses to customer grain in one shuffle; each quintile
+    is an ntile window over that customer-sized frame — ntile needs a
+    TOTAL order to be deterministic, so every ORDER BY carries the
+    custkey tie-break (two customers with equal spend must land in the
+    same bucket on both engines every run).  Higher scores mean better
+    on all three axes (newest last-order date sorts last = bucket 5).
+    The census output is code-grain (≤125 rows) — the shape a
+    downstream campaign join broadcasts."""
+    from pyspark.sql.window import Window
+
+    # Monetary is carried in EXACT integer cents: sums and averages of
+    # integers below 2^53 are order-independent in doubles, so the
+    # quintile boundaries and the census averages cannot drift by a
+    # summation-order ulp at a rounding boundary (the failure mode raw
+    # double sums exhibited on one census cell).
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double")
+            .alias("mon_c"),
+        )
+    )
+    scored = cust.select(
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy("mon_c", "o_custkey")).alias("m"),
+        "freq",
+        "mon_c",
+    )
+    # Census outputs stay EXACT integers (totals + a floored average):
+    # an average in cents can land exactly on a half-cent tie, where
+    # the engines' round() tie rules legitimately disagree — floor of
+    # an exact rational cannot.
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("freq").cast("long").alias("total_orders"),
+        F.sum("mon_c").cast("long").alias("total_spend_cents"),
+        F.floor(F.sum("mon_c") / F.count("*")).cast("long").alias(
+            "avg_spend_cents"
+        ),
+    )
+
+
+@query(
+    "percent_of_parent_share",
+    ref="hierarchical-share analytics next to grouping_sets_revenue — each nation's revenue as a share of its region and of the world, the drill-down ratio every BI hierarchy renders",
+    doc="Per (region, nation): customer-side order revenue, the nation's share of its region, and the region's share of the total.",
+    oracle="""
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           sum(o.o_totalprice) AS rev
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation,
+       round(rev, 2)                                          AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY region), 6)    AS share_of_region,
+       round(sum(rev) OVER (PARTITION BY region)
+             / sum(rev) OVER (), 6)                           AS region_share_of_total
+FROM rev
+""",
+)
+def percent_of_parent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent is the ratio a drill-down UI shows at every
+    level, and computing it needs NO second aggregation pass: the
+    corpus reduces to (region, nation) grain once — ~hundreds of rows
+    forever — and both parent totals are windows over that reduced
+    frame (region partition, then the global frame).  The dimension
+    joins broadcast (region/nation are bounded); the one data-sized
+    shuffle is the grain reduction.  Shares round at 6dp after exact
+    double division on identically-grouped sums."""
+    from pyspark.sql.window import Window
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region").select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    by_region = Window.partitionBy("region")
+    world = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(by_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("rev").over(by_region) / F.sum("rev").over(world), 6
+        ).alias("region_share_of_total"),
+    )
+
+
+@query(
+    "price_elasticity_by_brand",
+    ref="econometric analytics — log-log OLS price elasticity of demand per brand (regr_slope of ln quantity on ln unit price), the pricing team's first regression",
+    doc="Per brand: lineitem count and the fitted elasticity (slope of ln(quantity) on ln(unit price)) with R²; brands with fewer than 200 lines excluded.",
+    oracle="""
+WITH x AS (
+    SELECT p_brand AS brand,
+           ln(l_extendedprice / l_quantity) AS ln_price,
+           ln(l_quantity)                   AS ln_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity > 0 AND l_extendedprice > 0
+)
+SELECT brand,
+       CAST(count(*) AS BIGINT)                 AS n_lines,
+       round(regr_slope(ln_qty, ln_price), 6)   AS elasticity,
+       round(regr_r2(ln_qty, ln_price), 6)      AS r2
+FROM x GROUP BY brand
+HAVING count(*) >= 200
+""",
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does demand move when price does?  The log-log slope
+    IS the elasticity, and SQL:2003's regr_slope/regr_r2 fit it as
+    single-pass MERGEABLE moment aggregates — no iteration, no driver
+    fit, no UDF (the zipf_alpha_fit machinery pointed at an economic
+    question).  Unit price derives per line (extended/quantity — the
+    guard drops degenerate rows on both engines identically); one
+    brand-key shuffle carries five moments per group, and the ≥200-line
+    HAVING keeps only statistically meaningful fits.  At 100 TB this
+    is the cheapest regression there is: the moments fold map-side."""
+    x = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("ln_price"),
+            F.log("l_quantity").alias("ln_qty"),
+        )
+    )
+    return (
+        x.groupBy("brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.regr_slope("ln_qty", "ln_price"), 6).alias("elasticity"),
+            F.round(F.regr_r2("ln_qty", "ln_price"), 6).alias("r2"),
+        )
+        .where(F.col("n_lines") >= 200)
+    )

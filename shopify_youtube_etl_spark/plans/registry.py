@@ -139,6 +139,11 @@ _DRIVER_PRIORITY = _CANARIES + [
     "equi_depth_histogram",
     "robust_trend_theil_sen",
     "winsorized_mean_profile",
+    "allocation_proportional",
+    "bom_explosion",
+    "rfm_segmentation",
+    "percent_of_parent_share",
+    "price_elasticity_by_brand",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

@@ -165,3 +165,20 @@ def test_ntile_quartiles_are_balanced(spark, sf_dir):
     assert set(rows) == {1, 2, 3, 4}
     assert max(rows.values()) - min(rows.values()) <= 1
     assert sum(rows.values()) == load_table(spark, sf_dir, "customer").count()
+
+
+def test_allocation_sums_exactly_on_every_order(spark, sf_dir):
+    """The largest-remainder split's whole point: allocated cents must
+    equal the rebate cents on EVERY order, and line allocations may
+    differ by at most one cent from each other's floor.  A penny leak
+    anywhere fails the close."""
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    df = all_queries()["allocation_proportional"].fn(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    bad = df.where(F.col("allocated_cents") != F.col("rebate_cents")).count()
+    assert bad == 0
+    # sanity: allocations are non-negative and bounded by the rebate
+    assert df.where(F.col("min_line_cents") < 0).count() == 0
+    assert df.where(F.col("max_line_cents") > F.col("rebate_cents")).count() == 0

@@ -482,6 +482,11 @@ SHUFFLE_BUDGET = {
     "equi_depth_histogram": 3,  # percentile agg + broadcast range join + bucket agg
     "robust_trend_theil_sen": 5,  # day reduce x2 statically + pair agg + 1-row n
     "winsorized_mean_profile": 2,  # status exchange shared by bounds window + rollup
+    "allocation_proportional": 1,  # one order exchange: totals, rank, residual, rollup
+    "bom_explosion": 1,  # recursion over key-bounded frontier; one level agg
+    "rfm_segmentation": 2,  # customer reduce + 1-partition ntile windows (customer-sized frame)
+    "percent_of_parent_share": 2,  # grain reduce + window pair on the tiny frame
+    "price_elasticity_by_brand": 1,  # one brand shuffle of mergeable regr moments
 }
 
 
