@@ -4979,3 +4979,279 @@ def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_lines") >= 200)
     )
+
+
+@query(
+    "window_funnel_depths",
+    ref="sequential-funnel operator (ClickHouse windowFunnel semantics) — the deepest view → click → purchase chain each user completes within a 1-hour horizon of the first step",
+    doc="Census of per-user funnel depth (0-3): depth 1 = viewed, 2 = clicked at-or-after the first view within 1 h of it, 3 = purchased at-or-after that click within the same horizon.",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+    FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
+    GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND CAST(e.ts AS TIMESTAMP) >= v.t1
+      AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 1 HOUR
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+    FROM events e
+    JOIN v ON e.user_id = v.user_id
+    JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND CAST(e.ts AS TIMESTAMP) >= c.t2
+      AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 1 HOUR
+    GROUP BY e.user_id
+),
+du AS (
+    SELECT u.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                WHEN v.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS depth
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM du GROUP BY depth
+""",
+)
+def window_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_conversion asks WHETHER steps happened; windowFunnel asks
+    whether they happened IN ORDER, WITHIN A HORIZON — the semantics
+    ClickHouse ships a dedicated function for, composed here from
+    anchored conditional minima: the first view anchors the horizon,
+    the first qualifying click must follow it inside the hour, the
+    purchase must follow THAT click inside the same hour.  Each stage
+    is one user-key aggregate joined back on the user key, so every
+    join and agg rides the same partitioning (Catalyst collapses them
+    onto shared exchanges); no per-user event arrays are ever
+    materialized, which is what makes the shape safe when one bot user
+    has a million events.  Depth census out — the funnel chart's
+    input."""
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_type")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    horizon = F.col("t1") + F.expr("INTERVAL 1 HOUR")
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") >= F.col("t1")) & (F.col("ts") <= horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .join(c, "user_id")
+        .where((F.col("ts") >= F.col("t2")) & (F.col("ts") <= horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    du = (
+        users.join(v.select("user_id", F.lit(1).alias("d1")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("d2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("d3")), "user_id", "left")
+        .select(
+            F.when(F.col("d3").isNotNull(), 3)
+            .when(F.col("d2").isNotNull(), 2)
+            .when(F.col("d1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("depth")
+        )
+    )
+    return du.groupBy("depth").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "cohort_ltv_curve",
+    ref="growth analytics next to cohort_retention — the cumulative lifetime-value curve: per signup-year cohort, cumulative spend per member through each year of age",
+    doc="Per (first-order-year cohort, years-since-first-order): active buyers, period spend in exact cents, cumulative spend, and cumulative spend per cohort member.",
+    oracle="""
+WITH first_order AS (
+    SELECT o_custkey,
+           min(year(CAST(o_orderdate AS TIMESTAMP))) AS cohort
+    FROM orders GROUP BY o_custkey
+),
+sized AS (
+    SELECT cohort, CAST(count(*) AS DOUBLE) AS cohort_size
+    FROM first_order GROUP BY cohort
+),
+spend AS (
+    SELECT f.cohort,
+           year(CAST(o.o_orderdate AS TIMESTAMP)) - f.cohort AS age,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT)       AS active_buyers,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                                                             AS spend_c
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY f.cohort, age
+)
+SELECT cohort,
+       CAST(age AS BIGINT)                    AS age_years,
+       active_buyers,
+       CAST(spend_c AS BIGINT)                AS period_spend_cents,
+       CAST(sum(spend_c) OVER (PARTITION BY cohort ORDER BY age) AS BIGINT)
+                                              AS cum_spend_cents,
+       CAST(floor(sum(spend_c) OVER (PARTITION BY cohort ORDER BY age)
+                  / cohort_size) AS BIGINT)   AS cum_ltv_cents_per_member
+FROM spend JOIN sized USING (cohort)
+""",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention says who CAME BACK; LTV says what they were WORTH:
+    the cumulative spend curve per acquisition cohort is the payback
+    chart CAC decisions read.  Spend is carried in exact integer cents
+    (the rfm_segmentation discipline — integer sums are
+    summation-order-proof, and the per-member average floors an exact
+    rational instead of rounding at a possible half-cent tie).  Plan:
+    first-order year per customer (one customer shuffle), spend
+    reduced to (cohort, age) grain riding the same key, then the
+    cumulative window runs over a cohorts×ages-sized frame with the
+    cohort-size one-rower broadcast in.  Curve length is bounded by
+    the calendar, never the corpus."""
+    from pyspark.sql.window import Window
+
+    first_order = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min(F.year("o_orderdate")).alias("cohort"))
+    )
+    sized = first_order.groupBy("cohort").agg(
+        F.count("*").cast("double").alias("cohort_size")
+    )
+    spend = (
+        t(spark, sf_dir, "orders")
+        .join(first_order, "o_custkey")
+        .groupBy(
+            "cohort", (F.year("o_orderdate") - F.col("cohort")).alias("age")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_buyers"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double")
+            .alias("spend_c"),
+        )
+    )
+    cum = Window.partitionBy("cohort").orderBy("age")
+    return spend.join(F.broadcast(sized), "cohort").select(
+        "cohort",
+        F.col("age").cast("long").alias("age_years"),
+        "active_buyers",
+        F.col("spend_c").cast("long").alias("period_spend_cents"),
+        F.sum("spend_c").over(cum).cast("long").alias("cum_spend_cents"),
+        F.floor(F.sum("spend_c").over(cum) / F.col("cohort_size"))
+        .cast("long")
+        .alias("cum_ltv_cents_per_member"),
+    )
+
+
+@query(
+    "exact_stratified_split_manifest",
+    ref="training-data split discipline — stable_sample_split's hash buckets hit 80/10/10 only in expectation; this manifest hits the proportions EXACTLY per stratum: largest-remainder (Hamilton) seat allocation over a deterministic content-hash order",
+    doc="Per (lang, split): the exact Hamilton-allocated document count for 80/10/10 — per-stratum split sizes sum to the stratum size and each deviates from its ideal share by less than one document.",
+    oracle="""
+WITH ranked AS (
+    SELECT lang,
+           row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS r,
+           count(*)    OVER (PARTITION BY lang)                             AS n
+    FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+quota AS (
+    SELECT lang, r, n,
+           floor(n * 0.8)                         AS f_tr,
+           floor(n * 0.1)                         AS f_va,
+           n - floor(n * 0.8) - 2 * floor(n * 0.1) AS residual,
+           n * 0.8 - floor(n * 0.8)               AS rem_tr,
+           n * 0.1 - floor(n * 0.1)               AS rem_va
+    FROM ranked
+),
+sized AS (
+    -- Hamilton seats, tie order train > val > test.  Note the test
+    -- remainder EQUALS the val remainder (same 0.1 share), so:
+    -- 1 leftover seat: train iff rem_tr >= rem_va, else val;
+    -- 2 leftover seats: val always seats (2nd behind train, or 1st
+    -- alongside test), train iff rem_tr >= rem_va, else test.
+    SELECT lang, r,
+           f_tr + CASE WHEN residual >= 1 AND rem_tr >= rem_va THEN 1
+                       ELSE 0 END AS n_tr,
+           f_va + CASE WHEN residual = 1 AND rem_tr < rem_va THEN 1
+                       WHEN residual = 2 THEN 1
+                       ELSE 0 END AS n_va
+    FROM quota
+)
+SELECT lang,
+       CASE WHEN r <= n_tr THEN 'train'
+            WHEN r <= n_tr + n_va THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM sized
+GROUP BY 1, 2
+""",
+)
+def exact_stratified_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket splits (stable_sample_split) are reproducible but
+    only EXPECTED to be 80/10/10 — a small stratum can land 70/20/10
+    and silently skew per-language eval sets.  This operator makes the
+    proportions exact per stratum: documents rank in a deterministic
+    content-hash order (md5 + doc_id tie — reproducible across runs,
+    engines, partitionings), and split SIZES come from
+    largest-remainder seat allocation (the allocation_proportional
+    operator applied to dataset governance), so every stratum's splits
+    sum exactly to the stratum and each is within one document of its
+    ideal share.  One lang-key exchange carries the rank, size, and
+    quota windows; the census output is strata x 3 rows.  Remainder
+    comparisons are doubles both engines derive from the same integer
+    n — identical bit patterns, identical seating."""
+    from pyspark.sql.window import Window
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", "doc_id", "text")
+    )
+    by_lang = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        F.row_number()
+        .over(by_lang.orderBy(F.md5("text"), "doc_id"))
+        .alias("r"),
+        F.count("*").over(by_lang).alias("n"),
+    )
+    f_tr, f_va = F.floor(F.col("n") * 0.8), F.floor(F.col("n") * 0.1)
+    residual = F.col("n") - f_tr - 2 * f_va
+    rem_tr = F.col("n") * 0.8 - f_tr
+    rem_va = F.col("n") * 0.1 - f_va
+    n_tr = f_tr + F.when((residual >= 1) & (rem_tr >= rem_va), 1).otherwise(0)
+    n_va = f_va + F.when((residual == 1) & (rem_tr < rem_va), 1).when(
+        residual == 2, 1
+    ).otherwise(0)
+    sized = ranked.select(
+        "lang",
+        "r",
+        n_tr.alias("n_tr"),
+        n_va.alias("n_va"),
+    )
+    return sized.select(
+        "lang",
+        F.when(F.col("r") <= F.col("n_tr"), "train")
+        .when(F.col("r") <= F.col("n_tr") + F.col("n_va"), "val")
+        .otherwise("test")
+        .alias("split"),
+    ).groupBy("lang", "split").agg(F.count("*").alias("n_docs"))

@@ -144,6 +144,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "rfm_segmentation",
     "percent_of_parent_share",
     "price_elasticity_by_brand",
+    "window_funnel_depths",
+    "cohort_ltv_curve",
+    "exact_stratified_split_manifest",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

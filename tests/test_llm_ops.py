@@ -1209,3 +1209,19 @@ def test_grid_knee_tracks_exact_knee(spark, sf_dir):
         exact["threshold_q"],
     )
     assert abs(grid["frac_kept"] - exact["knee_rank"] / exact["n_docs"]) < 0.03
+
+
+def test_exact_split_manifest_hamilton_invariants(spark, sf_dir):
+    """Per stratum: split sizes must sum to the stratum size and each
+    must be within ONE document of its ideal share — the exactness
+    stable_sample_split's hash buckets cannot promise."""
+    from pyspark.sql import functions as F
+
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    m = all_queries()["exact_stratified_split_manifest"].fn(spark, sf_dir)
+    pv = m.groupBy("lang").pivot("split").sum("n_docs").fillna(0)
+    for r in pv.collect():
+        n = r["train"] + r["val"] + r["test"]
+        for s, p in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+            assert abs(r[s] - n * p) < 1.0, (r["lang"], s, r[s], n * p)

@@ -487,6 +487,9 @@ SHUFFLE_BUDGET = {
     "rfm_segmentation": 2,  # customer reduce + 1-partition ntile windows (customer-sized frame)
     "percent_of_parent_share": 2,  # grain reduce + window pair on the tiny frame
     "price_elasticity_by_brand": 1,  # one brand shuffle of mergeable regr moments
+    "window_funnel_depths": 9,  # user-key agg per stage + joins riding the same key
+    "cohort_ltv_curve": 6,  # customer reduce x2 statically + grain agg + window
+    "exact_stratified_split_manifest": 1,  # one lang exchange: rank, size, quota, census
 }
 
 
