@@ -5255,3 +5255,85 @@ def exact_stratified_split_manifest(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise("test")
         .alias("split"),
     ).groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "lorenz_curve_points",
+    ref="distribution-shape family — the Lorenz curve behind gini_segment_inequality: cumulative spend share by customer decile per segment, the concentration chart the one-number Gini summarizes",
+    doc="Per (market segment, spend decile 1-10): customer count, decile spend in exact cents, and the cumulative share of segment spend — the Lorenz curve's plotted points.",
+    oracle="""
+WITH cust AS (
+    SELECT c.c_mktsegment AS segment,
+           o.o_custkey,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               AS spend_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_custkey
+),
+decd AS (
+    SELECT segment, spend_c,
+           ntile(10) OVER (PARTITION BY segment
+               ORDER BY spend_c, o_custkey) AS decile
+    FROM cust
+),
+agg AS (
+    SELECT segment, decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           sum(spend_c)             AS dec_spend
+    FROM decd GROUP BY segment, decile
+)
+SELECT segment, decile, n_customers,
+       CAST(dec_spend AS BIGINT) AS decile_spend_cents,
+       round(sum(dec_spend) OVER (PARTITION BY segment ORDER BY decile)
+             / sum(dec_spend) OVER (PARTITION BY segment), 6) AS cum_share
+FROM agg
+""",
+)
+def lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini compresses concentration to one number; the Lorenz curve
+    is the picture behind it — sort customers by spend, and plot what
+    share of the total the bottom k/10 hold (a 45° line is perfect
+    equality; the bow's depth IS the Gini).  Deciles come from a
+    tie-broken ntile per segment; spend rides in exact integer cents
+    (summation-order-proof — the rfm discipline), so the only rounding
+    is the final share of two exactly-equal-both-engines sums.  Plan:
+    customer-grain reduce, one segment exchange shared by the decile
+    window and the cumulative windows over the 10-row-per-segment
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    cust = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double")
+            .alias("spend_c")
+        )
+    )
+    decd = cust.select(
+        "segment",
+        "spend_c",
+        F.ntile(10)
+        .over(Window.partitionBy("segment").orderBy("spend_c", "o_custkey"))
+        .alias("decile"),
+    )
+    agg = decd.groupBy("segment", "decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend_c").alias("dec_spend"),
+    )
+    seg = Window.partitionBy("segment")
+    cum = seg.orderBy("decile")
+    return agg.select(
+        "segment",
+        "decile",
+        "n_customers",
+        F.col("dec_spend").cast("long").alias("decile_spend_cents"),
+        F.round(
+            F.sum("dec_spend").over(cum) / F.sum("dec_spend").over(seg), 6
+        ).alias("cum_share"),
+    )

@@ -147,6 +147,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "window_funnel_depths",
     "cohort_ltv_curve",
     "exact_stratified_split_manifest",
+    "position_based_attribution",
+    "lorenz_curve_points",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

@@ -395,3 +395,101 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_value"
         ),
     )
+
+
+@query(
+    "position_based_attribution",
+    ref="attribution family — U-shaped (position-based) credit next to linear_attribution_revenue: 40% first touch, 40% last, 20% split across the middle — the model marketing defaults to when journey ENDS matter more than the middle",
+    doc="Purchase value credited 40/20/40 (first / middle-split / last; 100% single-touch, 50/50 two-touch) across same-user clicks in the preceding 30 minutes, rolled up to the click's hour-of-day.",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type = 'click'
+),
+touch AS (
+    SELECT p.event_id AS pid,
+           p.value,
+           extract(hour FROM c.ts) AS hr,
+           count(*) OVER (PARTITION BY p.event_id) AS n,
+           row_number() OVER (PARTITION BY p.event_id
+               ORDER BY c.ts, c.event_id) AS pos
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 30 MINUTE
+),
+credited AS (
+    SELECT pid, hr,
+           value * CASE WHEN n = 1 THEN 1.0
+                        WHEN n = 2 THEN 0.5
+                        WHEN pos = 1 OR pos = n THEN 0.4
+                        ELSE 0.2 / (n - 2) END AS credit
+    FROM touch
+)
+SELECT CAST(hr AS INT)                      AS click_hour,
+       CAST(count(*) AS BIGINT)             AS n_touches,
+       CAST(count(DISTINCT pid) AS BIGINT)  AS n_purchases,
+       round(sum(credit), 2)                AS attributed_revenue
+FROM credited
+GROUP BY hr
+""",
+)
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear credit says every touch mattered equally; the U-shaped
+    model says the INTRODUCTION and the CLOSE did the work (40% each)
+    and the middle shared the remaining 20% — with the degenerate
+    journeys handled the way platforms define them (one touch: 100%;
+    two: 50/50, so weights always sum to exactly 1 and attributed
+    revenue reconciles to purchase revenue).  Same plan skeleton as
+    the audited linear query — the interval join on the user key, the
+    per-purchase count window — plus ONE more window (position rank)
+    riding the identical purchase-id partitioning, so the model
+    upgrade costs zero extra exchanges.  Ties in click time break on
+    event_id, keeping first/last election hash-stable."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    touch = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        "pid",
+        "value",
+        F.hour("cts").alias("hr"),
+        F.count("*").over(Window.partitionBy("pid")).alias("n"),
+        F.row_number()
+        .over(Window.partitionBy("pid").orderBy("cts", "cid"))
+        .alias("pos"),
+    )
+    w = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    return (
+        touch.select("pid", "hr", (F.col("value") * w).alias("credit"))
+        .groupBy(F.col("hr").cast("int").alias("click_hour"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.countDistinct("pid").alias("n_purchases"),
+            F.round(F.sum("credit"), 2).alias("attributed_revenue"),
+        )
+    )

@@ -490,6 +490,8 @@ SHUFFLE_BUDGET = {
     "window_funnel_depths": 9,  # user-key agg per stage + joins riding the same key
     "cohort_ltv_curve": 6,  # customer reduce x2 statically + grain agg + window
     "exact_stratified_split_manifest": 1,  # one lang exchange: rank, size, quota, census
+    "position_based_attribution": 2,  # user-key interval join + pid windows share exchanges
+    "lorenz_curve_points": 2,  # customer reduce + segment exchange for all windows
 }
 
 
