@@ -182,3 +182,44 @@ def test_allocation_sums_exactly_on_every_order(spark, sf_dir):
     # sanity: allocations are non-negative and bounded by the rebate
     assert df.where(F.col("min_line_cents") < 0).count() == 0
     assert df.where(F.col("max_line_cents") > F.col("rebate_cents")).count() == 0
+
+
+def test_attribution_models_reconcile_to_purchase_revenue(spark, sf_dir):
+    """Linear and U-shaped credit must both RECONCILE: summed
+    attributed revenue equals the summed value of purchases that had
+    at least one in-window touch (weights sum to 1 per purchase).
+    A model whose credits don't re-add to revenue is silently leaking
+    or double-counting spend."""
+    from pyspark.sql import functions as F
+
+    from shopify_youtube_etl_spark.plans.common import t
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    e = t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"), "value",
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+    )
+    touched = (
+        p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 30 MINUTE")),
+            "left_semi",
+        )
+        .agg(F.sum("value").alias("total"))
+        .collect()[0]["total"]
+    )
+    for name in ("linear_attribution_revenue", "position_based_attribution"):
+        got = (
+            specs[name]
+            .fn(spark, sf_dir)
+            .agg(F.sum("attributed_revenue").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert abs(got - touched) < 0.05, (name, got, touched)

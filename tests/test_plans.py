@@ -532,3 +532,14 @@ def test_q6_pushes_all_three_predicates(spark, sf_dir):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
     assert "partial" in plan.lower()  # map-side agg before the 1-row gather
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_headline_plans_have_no_cartesian_product(spark, sf_dir, name):
+    """No headline plan may degenerate to a CartesianProduct: every
+    join in the audited set is an equi-join, a broadcast, or an
+    explicitly-bounded nested loop (BroadcastNestedLoopJoin over a
+    broadcast side is acceptable; an unbounded CartesianProduct is
+    not).  Guards against a refactor silently dropping a join key."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
