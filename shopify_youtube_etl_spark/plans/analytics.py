@@ -5337,3 +5337,164 @@ def lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dec_spend").over(cum) / F.sum("dec_spend").over(seg), 6
         ).alias("cum_share"),
     )
+
+
+@query(
+    "hhi_market_concentration",
+    ref="concentration analytics next to gini/lorenz — the Herfindahl–Hirschman index of brand share within each region's lineitem revenue, the antitrust-grade concentration number",
+    doc="Per region: participating brand count, revenue in exact cents, and the HHI (sum of squared percentage shares, 0–10000) with the concentration verdict at the DOJ 1500/2500 thresholds.",
+    oracle="""
+WITH cell AS (
+    SELECT r.r_name AS region, p.p_brand AS brand,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               AS rev_c
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, p.p_brand
+),
+tot AS (
+    SELECT region, sum(rev_c) AS total_c FROM cell GROUP BY region
+)
+SELECT cell.region,
+       CAST(count(*) AS BIGINT)                        AS n_brands,
+       CAST(max(tot.total_c) AS BIGINT)                AS revenue_cents,
+       round(sum(pow(100.0 * rev_c / tot.total_c, 2)), 4) AS hhi,
+       CASE WHEN sum(pow(100.0 * rev_c / tot.total_c, 2)) > 2500 THEN 'high'
+            WHEN sum(pow(100.0 * rev_c / tot.total_c, 2)) > 1500 THEN 'moderate'
+            ELSE 'competitive' END                      AS concentration
+FROM cell JOIN tot USING (region)
+GROUP BY cell.region
+""",
+)
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini measures inequality among participants; HHI measures how
+    CONCENTRATED the whole market is (a monopoly scores 10000, perfect
+    25-way split 400) — the number merger review runs on.  The corpus
+    reduces to (region, brand) cells in one shuffle behind broadcast
+    dimension joins; shares square and sum over a ≤ regions×brands
+    frame with the per-region totals joined back from a 5-row
+    aggregate.  Revenue rides exact integer cents (summation-order-
+    proof), so the squared shares are identical doubles on both
+    engines before the single 4dp rounding.  Verdict thresholds are
+    the DOJ's 1500/2500 guideline bands."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cell = (
+        li.join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region").select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("double")
+            .alias("rev_c")
+        )
+    )
+    tot = cell.groupBy("region").agg(F.sum("rev_c").alias("total_c"))
+    share2 = F.pow(100.0 * F.col("rev_c") / F.col("total_c"), 2)
+    return (
+        cell.join(F.broadcast(tot), "region")
+        .groupBy("region")
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.max("total_c").cast("long").alias("revenue_cents"),
+            F.round(F.sum(share2), 4).alias("hhi"),
+            F.when(F.sum(share2) > 2500, "high")
+            .when(F.sum(share2) > 1500, "moderate")
+            .otherwise("competitive")
+            .alias("concentration"),
+        )
+    )
+
+
+@query(
+    "new_vs_returning_revenue",
+    ref="growth decomposition next to cohort_ltv_curve — each year's revenue split between first-year (new) and returning customers, the acquisition-vs-retention mix",
+    doc="Per order year: revenue in exact cents from customers whose FIRST order fell in that year vs returning customers, with the new-revenue share.",
+    oracle="""
+WITH first_order AS (
+    SELECT o_custkey,
+           min(year(CAST(o_orderdate AS TIMESTAMP))) AS first_year
+    FROM orders GROUP BY o_custkey
+),
+tagged AS (
+    SELECT year(CAST(o.o_orderdate AS TIMESTAMP)) AS yr,
+           CASE WHEN year(CAST(o.o_orderdate AS TIMESTAMP)) = f.first_year
+                THEN 'new' ELSE 'returning' END AS kind,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+),
+split AS (
+    SELECT yr,
+           CAST(sum(CASE WHEN kind = 'new' THEN cents ELSE 0 END) AS DOUBLE)
+               AS new_c,
+           CAST(sum(CASE WHEN kind = 'returning' THEN cents ELSE 0 END) AS DOUBLE)
+               AS ret_c
+    FROM tagged GROUP BY yr
+)
+SELECT yr                                  AS order_year,
+       CAST(new_c AS BIGINT)               AS new_revenue_cents,
+       CAST(ret_c AS BIGINT)               AS returning_revenue_cents,
+       round(new_c / (new_c + ret_c), 6)   AS new_share
+FROM split
+""",
+)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is growth coming from acquisition or from the base?  Tag every
+    order by whether its year IS the customer's first-order year, and
+    the yearly revenue mix answers directly.  One customer-grain
+    reduce finds first years; the tag join rides the same customer
+    key; the split is a conditional agg to a years-sized frame.
+    Revenue in exact integer cents; the only rounding is the final
+    share of two exactly-equal-both-engines sums."""
+    first_order = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min(F.year("o_orderdate")).alias("first_year"))
+    )
+    tagged = (
+        t(spark, sf_dir, "orders")
+        .join(first_order, "o_custkey")
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            (F.year("o_orderdate") == F.col("first_year")).alias("is_new"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    split = tagged.groupBy("yr").agg(
+        F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(0))
+        .cast("double")
+        .alias("new_c"),
+        F.sum(F.when(~F.col("is_new"), F.col("cents")).otherwise(0))
+        .cast("double")
+        .alias("ret_c"),
+    )
+    return split.select(
+        F.col("yr").alias("order_year"),
+        F.col("new_c").cast("long").alias("new_revenue_cents"),
+        F.col("ret_c").cast("long").alias("returning_revenue_cents"),
+        F.round(F.col("new_c") / (F.col("new_c") + F.col("ret_c")), 6).alias(
+            "new_share"
+        ),
+    )

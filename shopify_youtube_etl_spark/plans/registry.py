@@ -149,6 +149,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "exact_stratified_split_manifest",
     "position_based_attribution",
     "lorenz_curve_points",
+    "hhi_market_concentration",
+    "new_vs_returning_revenue",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

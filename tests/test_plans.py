@@ -492,6 +492,8 @@ SHUFFLE_BUDGET = {
     "exact_stratified_split_manifest": 1,  # one lang exchange: rank, size, quota, census
     "position_based_attribution": 2,  # user-key interval join + pid windows share exchanges
     "lorenz_curve_points": 2,  # customer reduce + segment exchange for all windows
+    "hhi_market_concentration": 4,  # cell reduce (x2 statically) + 5-row totals + final
+    "new_vs_returning_revenue": 2,  # customer reduce + year split on the same key
 }
 
 
