@@ -5498,3 +5498,161 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_share"
         ),
     )
+
+
+@query(
+    "duplicate_payment_audit",
+    ref="audit family next to benford_law_audit — the duplicate-payment screen: same customer, same amount, within 7 days; the blocked self-join every AP audit runs",
+    doc="Order pairs by the same customer in the same $1000 amount band within a year of each other: the pair keys, both amounts, and the day gap — ordered-pair output (earlier key first).",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS band,
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+    FROM orders
+)
+SELECT a.o_orderkey               AS orderkey_a,
+       b.o_orderkey               AS orderkey_b,
+       a.o_custkey                AS custkey,
+       round(a.o_totalprice, 2)   AS amount_a,
+       round(b.o_totalprice, 2)   AS amount_b,
+       CAST(abs(b.d - a.d) AS BIGINT) AS day_gap
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND a.band = b.band
+ AND a.o_orderkey < b.o_orderkey
+WHERE abs(b.d - a.d) <= 365
+""",
+)
+def duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounts-payable classic: two orders by the same customer
+    for a near-identical amount days apart are the screen's duplicate
+    candidates.  The join is BLOCKED on (customer, $1000 amount band) —
+    an equi-join Catalyst hashes, never an all-pairs scan (the
+    fuzzy_blocked_join discipline applied to an audit): candidate
+    pairs only form inside a block, and the 7-day gap is a cheap
+    post-filter on the block's handful of rows.  Ordered pairs
+    (earlier orderkey first) keep each duplicate reported once,
+    hash-stably.  At 100 TB the block key's cardinality is what makes
+    this linear-ish; a same-amount block bigger than a few rows is
+    itself the finding."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        epoch_day(F.col("o_orderdate").cast("date")).alias("d"),
+    )
+    o = o.withColumn("band", F.floor(F.col("o_totalprice") / 1000).cast("long"))
+    a = o.select(
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount_a"),
+        F.col("band"),
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("o_custkey").alias("ck_b"),
+        F.col("o_totalprice").alias("amount_b"),
+        F.col("band").alias("band_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("custkey") == F.col("ck_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("orderkey_a") < F.col("orderkey_b")),
+        )
+        .where(F.abs(F.col("db") - F.col("da")) <= 365)
+        .select(
+            "orderkey_a",
+            "orderkey_b",
+            "custkey",
+            F.round("amount_a", 2).alias("amount_a"),
+            F.round("amount_b", 2).alias("amount_b"),
+            F.abs(F.col("db") - F.col("da")).cast("long").alias("day_gap"),
+        )
+    )
+
+
+@query(
+    "pvm_decomposition",
+    ref="finance-analytics capstone — price/volume/mix decomposition of year-over-year revenue change per brand: WHY revenue moved, not just that it did",
+    doc="Per brand, 1997→1998: revenue delta in exact cents split into a volume effect (quantity change at old price) and a price effect (unit-price change at new quantity); the two effects sum to the delta by construction.",
+    oracle="""
+WITH yr AS (
+    SELECT p.p_brand AS brand,
+           year(CAST(l.l_shipdate AS TIMESTAMP)) AS y,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               AS rev_c,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE year(CAST(l.l_shipdate AS TIMESTAMP)) IN (1997, 1998)
+    GROUP BY p.p_brand, y
+),
+w AS (
+    SELECT brand,
+           max(CASE WHEN y = 1997 THEN rev_c END) AS r0,
+           max(CASE WHEN y = 1997 THEN qty   END) AS q0,
+           max(CASE WHEN y = 1998 THEN rev_c END) AS r1,
+           max(CASE WHEN y = 1998 THEN qty   END) AS q1
+    FROM yr GROUP BY brand
+    HAVING max(CASE WHEN y = 1997 THEN qty END) > 0
+       AND max(CASE WHEN y = 1998 THEN qty END) > 0
+)
+SELECT brand,
+       CAST(r1 - r0 AS BIGINT)                      AS delta_cents,
+       round((q1 - q0) * (r0 / q0), 2)              AS volume_effect_cents,
+       round((r1 / q1 - r0 / q0) * q1, 2)           AS price_effect_cents
+FROM w
+""",
+)
+def pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue moved — was it selling MORE (volume) or selling DEARER
+    (price)?  The standard two-factor bridge: volume effect =
+    quantity change at the OLD average unit price, price effect =
+    unit-price change at the NEW quantity; the two sum exactly to the
+    delta (delta = q1·p1 − q0·p0 = (q1−q0)·p0 + (p1−p0)·q1), so the
+    bridge reconciles by construction — an analyst's waterfall that
+    must add up.  One (brand, year) reduce behind a broadcast part
+    join, a 25-row conditional pivot, pure arithmetic after.  Revenue
+    rides exact integer cents; effects round at 2 only at output."""
+    yr = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(F.year("l_shipdate").isin(1997, 1998))
+        .groupBy(
+            F.col("p_brand").alias("brand"), F.year("l_shipdate").alias("y")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("double")
+            .alias("rev_c"),
+            F.sum("l_quantity").cast("double").alias("qty"),
+        )
+    )
+    w = (
+        yr.groupBy("brand")
+        .agg(
+            F.max(F.when(F.col("y") == 1997, F.col("rev_c"))).alias("r0"),
+            F.max(F.when(F.col("y") == 1997, F.col("qty"))).alias("q0"),
+            F.max(F.when(F.col("y") == 1998, F.col("rev_c"))).alias("r1"),
+            F.max(F.when(F.col("y") == 1998, F.col("qty"))).alias("q1"),
+        )
+        .where((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    return w.select(
+        "brand",
+        (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
+        F.round((F.col("q1") - F.col("q0")) * (F.col("r0") / F.col("q0")), 2).alias(
+            "volume_effect_cents"
+        ),
+        F.round(
+            (F.col("r1") / F.col("q1") - F.col("r0") / F.col("q0")) * F.col("q1"), 2
+        ).alias("price_effect_cents"),
+    )

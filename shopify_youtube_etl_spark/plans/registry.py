@@ -151,6 +151,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "lorenz_curve_points",
     "hhi_market_concentration",
     "new_vs_returning_revenue",
+    "duplicate_payment_audit",
+    "pvm_decomposition",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

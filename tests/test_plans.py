@@ -494,6 +494,8 @@ SHUFFLE_BUDGET = {
     "lorenz_curve_points": 2,  # customer reduce + segment exchange for all windows
     "hhi_market_concentration": 4,  # cell reduce (x2 statically) + 5-row totals + final
     "new_vs_returning_revenue": 2,  # customer reduce + year split on the same key
+    "duplicate_payment_audit": 2,  # blocked equi self-join on (customer, band)
+    "pvm_decomposition": 2,  # (brand,year) reduce + 25-row pivot
 }
 
 
