@@ -5656,3 +5656,110 @@ def pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r1") / F.col("q1") - F.col("r0") / F.col("q0")) * F.col("q1"), 2
         ).alias("price_effect_cents"),
     )
+
+
+@query(
+    "supply_concentration_risk",
+    ref="supply-chain analytics over the synthesized partsupp — per-part supplier concentration (largest supplier's share of available quantity), rolled up to brand-grain risk",
+    doc="Per brand: part count, parts whose single largest supplier holds > 40% of available quantity, and the average largest-supplier share — the single-source supply-risk screen.",
+    oracle=f"""
+WITH {_PARTSUPP_SQL},
+per_part AS (
+    SELECT ps_partkey,
+           CAST(max(ps_availqty) AS DOUBLE) / sum(ps_availqty) AS max_share
+    FROM partsupp GROUP BY ps_partkey
+)
+SELECT p_brand                                            AS brand,
+       CAST(count(*) AS BIGINT)                           AS n_parts,
+       CAST(sum(CASE WHEN max_share > 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_concentrated,
+       round(avg(max_share), 6)                           AS avg_max_share
+FROM per_part JOIN part ON ps_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def supply_concentration_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four suppliers per part is resilience only if quantity is
+    SPREAD: a part whose largest supplier holds most of the available
+    quantity fails with that one supplier.  The screen reduces
+    partsupp (the deterministic synthesized table both engines derive
+    identically — see synth_partsupp) to one max-share ratio per part
+    in a single part-key aggregate — max and sum of INTEGER quantities,
+    so the ratio is identical doubles on both engines — then rolls the
+    risk census to brand grain behind a broadcast part join.  At
+    100 TB partsupp is fact-sized; the plan touches it exactly once."""
+    per_part = (
+        synth_partsupp(spark, sf_dir)
+        .groupBy("ps_partkey")
+        .agg(
+            (
+                F.max("ps_availqty").cast("double") / F.sum("ps_availqty")
+            ).alias("max_share")
+        )
+    )
+    return (
+        per_part.join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.when(F.col("max_share") > 0.4, 1).otherwise(0)).alias(
+                "n_concentrated"
+            ),
+            F.round(F.avg("max_share"), 6).alias("avg_max_share"),
+        )
+    )
+
+
+@query(
+    "order_cycle_time_percentiles",
+    ref="SLA analytics next to conversion_lag_percentiles — the order-to-final-shipment cycle-time distribution per priority class, the fulfillment promise a priority tier is supposed to buy",
+    doc="Per order priority: completed-order count and exact p50/p90/max of days from order date to the order's LAST line shipment.",
+    oracle="""
+WITH cycle AS (
+    SELECT o.o_orderpriority AS priority,
+           date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(max(l.l_shipdate) AS DATE)) AS days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT)            AS n_orders,
+       round(quantile_cont(days, 0.5), 4)  AS p50_days,
+       round(quantile_cont(days, 0.9), 4)  AS p90_days,
+       CAST(max(days) AS BIGINT)           AS max_days
+FROM cycle GROUP BY priority
+""",
+)
+def order_cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does paying for URGENT actually ship faster?  Cycle time is
+    order date to the LAST line leaving the dock (the customer's view
+    of done), so lineitems first reduce to one max-shipdate row per
+    order on the order key the join already shuffled on; the day lags
+    then aggregate to a 5-row priority frame with exact percentiles
+    (approx_percentile at 100 TB, same plan).  Integer day arithmetic
+    end to end — no timestamp subtraction residue to round."""
+    c = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .join(
+            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days"),
+        )
+    )
+    return c.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )

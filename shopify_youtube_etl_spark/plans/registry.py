@@ -153,6 +153,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "new_vs_returning_revenue",
     "duplicate_payment_audit",
     "pvm_decomposition",
+    "supply_concentration_risk",
+    "order_cycle_time_percentiles",
     # --- stalest verified: last external record in round 1 ---
     "tumbling_window_15m",
     # --- stalest verified: last external record in round 2 ---

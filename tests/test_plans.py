@@ -496,6 +496,8 @@ SHUFFLE_BUDGET = {
     "new_vs_returning_revenue": 2,  # customer reduce + year split on the same key
     "duplicate_payment_audit": 2,  # blocked equi self-join on (customer, band)
     "pvm_decomposition": 2,  # (brand,year) reduce + 25-row pivot
+    "supply_concentration_risk": 2,  # one partsupp reduce + brand census
+    "order_cycle_time_percentiles": 2,  # order-key join/agg share a shuffle + 5-row percentiles
 }
 
 
