@@ -4468,16 +4468,21 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket") >= 0
     )
     e = lo.join(hi, "bucket")
-    joined = o.join(
-        F.broadcast(e),
+    # LEFT join from the 8-row edge frame so an EMPTY bucket (possible
+    # when tie-heavy data collapses two rounded boundaries) still
+    # emits its row with n_rows = 0 — the oracle's scalar-subquery
+    # form always returns all 8 buckets, and so must this plan.
+    joined = F.broadcast(e).join(
+        o,
         (F.col("o_totalprice") >= F.col("lo"))
         & (
             (F.col("o_totalprice") < F.col("hi"))
             | ((F.col("bucket") == 7) & (F.col("o_totalprice") <= F.col("hi")))
         ),
+        "left",
     )
     return joined.groupBy("bucket", "lo", "hi").agg(
-        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_rows"),
         F.round(F.col("hi") - F.col("lo"), 6).alias("width"),
     ).select("bucket", "lo", "hi", "n_rows", "width")
 
@@ -5502,7 +5507,7 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "duplicate_payment_audit",
-    ref="audit family next to benford_law_audit — the duplicate-payment screen: same customer, same amount, within 7 days; the blocked self-join every AP audit runs",
+    ref="audit family next to benford_law_audit — the duplicate-payment screen: same customer, same $1000 amount band, within a year; the blocked self-join every AP audit runs",
     doc="Order pairs by the same customer in the same $1000 amount band within a year of each other: the pair keys, both amounts, and the day gap — ordered-pair output (earlier key first).",
     oracle="""
 WITH o AS (

@@ -2839,25 +2839,15 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .select("doc_id", F.explode(words(F.col("text"))).alias("token"))
     )
+    from shopify_youtube_etl_spark.plans.llm_text import _bm25_score_frame
+
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dlen"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
-    )
     tf = (
         toks.where(F.col("token").isin(terms))
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
-    bm = (
-        tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
-    )
+    bm = _bm25_score_frame(tf, dl)
     text_rank = (
         bm.orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)

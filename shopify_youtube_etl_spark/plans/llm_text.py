@@ -1822,6 +1822,32 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _bm25_score_frame(tf, dl):
+    """Okapi BM25 scoring join (k1=1.2, b=0.75 — tf·(k1+1) appears as
+    tf·2.2), shared by the four retrieval queries (bm25_search_topk,
+    bm25_incremental_index, ndcg_retrieval_eval, rrf_hybrid_retrieval)
+    so the constants and idf expression exist exactly ONCE: ``tf`` is
+    (doc_id, token, tf double) already filtered to the query terms,
+    ``dl`` is (doc_id, dlen double).  n_docs/avgdl/df derive from the
+    inputs (term-count- and one-row-sized, broadcast); returns
+    (doc_id, bm25) with the 6dp round applied BEFORE any ranking so
+    float residue can't elect different winners across engines."""
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
+    )
+
+
 @query(
     "bm25_search_topk",
     ref="text retrieval scorer (north star) — BM25 ranking over the inverted-index statistics (Okapi k1=1.2, b=0.75)",
@@ -1882,24 +1908,12 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(words(F.col("text"))).alias("token"))
     )
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dlen"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
-    )
     tf = (
         toks.where(F.col("token").isin(terms))
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
-    scored = (
-        tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
-    )
+    scored = _bm25_score_frame(tf, dl)
     # orderBy+limit compiles to TakeOrderedAndProject — a per-partition
     # top-10 then a 10-row driver merge, never a global sort.
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
@@ -2920,20 +2934,8 @@ def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx["doclen"].overwrite(_upsert(idx["doclen"].read(), batch_dl, ["doc_id"]))
 
     dl = idx["doclen"].read()
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
-    )
     tf = idx["postings"].read().where(F.col("token").isin(terms))
-    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
-    scored = (
-        tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
-    )
+    scored = _bm25_score_frame(tf, dl)
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
 
 
@@ -3021,24 +3023,12 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("token").cast("double").alias("r"))
     )
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dlen"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dlen").alias("avgdl")
-    )
     tf = (
         toks.where(F.col("token").isin(terms))
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
-    scored = (
-        tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("s"))
-    )
+    scored = _bm25_score_frame(tf, dl).withColumnRenamed("bm25", "s")
     topk = (
         scored.orderBy(F.col("s").desc(), "doc_id")
         .limit(10)
@@ -3210,8 +3200,6 @@ def quality_knee_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     same polyline; the grid is descending (1 − k/200 quantiles) to
     match the exact query's orientation, and the in-repo test pins the
     grid knee's threshold against the exact knee's."""
-    from pyspark.sql.window import Window  # noqa: F401  (module convention)
-
     from shopify_youtube_etl_spark.functions.text import quality_score
 
     scored = (
