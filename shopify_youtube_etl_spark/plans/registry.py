@@ -63,60 +63,15 @@ _CANARIES = [
 # rename can't silently drop a query out of the priority window;
 # tests/test_plans.py globs CORRECTNESS_r*.json so the ordering can't
 # silently go stale.
-# Re-sorted for round 6 against CORRECTNESS_r05.json (r5 verdict #1):
+# Re-sorted for round 7 against CORRECTNESS_r06.json (r6 verdict #1):
 # canaries, then the never-verified tail, then every verified query
 # ordered by STALENESS (oldest external record first) so the driver's
 # bounded window always re-checks the rows most at risk of silent rot.
 _DRIVER_PRIORITY = _CANARIES + [
-    # --- never externally verified (no CORRECTNESS_r01-r05 row):
-    # the 7 round-5-tail queries that landed after the r05 window
-    # filled -- verifying these completes 196/196 union coverage.
-    "fuzzy_blocked_join",
-    "ivfpq_ann_topk",
-    "curation_funnel_report",
-    "erasure_cascade_apply",
-    "clustered_range_scan",
-    "pq_train_codebooks",
-    "ivf_train_centroids",
-    # --- never externally verified: round-6 additions (genuine
-    # partsupp-dependent TPC-H shapes over the synthesized partsupp) --
-    "tpch_q2_real",
-    "tpch_q11_real",
-    "tpch_q16_supplier_counts",
-    "tpch_q20_surplus_suppliers",
-    "tpch_q9_product_profit",
-    "incremental_curation_funnel",
-    "ivf_incremental_assign",
-    "zorder_multidim_scan",
-    "tpch_q4_priority_census",
-    "tpch_q12_late_lines_by_class",
-    "embedding_decontamination",
-    "column_profile_orders",
-    "incremental_funnel_two_batch",
-    "two_stage_distinct_daily_users",
-    "table_file_audit",
-    "pagestore_pruned_ingest",
-    "approx_top_terms_sketch",
-    "variant_json_analytics",
-    "stream_state_inspection",
-    "pipe_syntax_revenue",
-    "xml_roundtrip_ingest",
-    "stream_stream_join_attribution",
-    "param_sql_segment_topk",
-    "udtf_burst_sessions",
-    "sql_script_recent_rollup",
-    "ivf_hot_cell_split",
-    "bigram_lm_heldout_ppl",
-    "pseudonymize_join_integrity",
-    "incremental_hll_maintenance",
-    "ivfpq_code_refresh",
-    "linear_attribution_revenue",
-    "top_event_paths",
-    "collated_cross_source_census",
-    "debounce_events",
-    "weighted_median_price",
-    "arrow_native_quant_error",
-    "subject_access_report",
+    # --- never externally verified (no CORRECTNESS_r01-r06 row):
+    # the 38 round-6-session-4 queries that landed after the r06
+    # window ran -- verifying these completes 271/271 union coverage
+    # (each already judge-verified hash-green, VERDICT r6).
     "ansi_safe_arithmetic",
     "seasonal_decompose_daily",
     "market_basket_lift",
@@ -343,6 +298,51 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tpch_q11_important_parts",
     "incremental_rollup_maintenance",
     "bm25_search_topk",
+    # --- stalest verified: last external record in round 6 ---
+    "fuzzy_blocked_join",
+    "ivfpq_ann_topk",
+    "curation_funnel_report",
+    "erasure_cascade_apply",
+    "clustered_range_scan",
+    "pq_train_codebooks",
+    "ivf_train_centroids",
+    "tpch_q2_real",
+    "tpch_q11_real",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_surplus_suppliers",
+    "tpch_q9_product_profit",
+    "incremental_curation_funnel",
+    "ivf_incremental_assign",
+    "zorder_multidim_scan",
+    "tpch_q4_priority_census",
+    "tpch_q12_late_lines_by_class",
+    "embedding_decontamination",
+    "column_profile_orders",
+    "incremental_funnel_two_batch",
+    "two_stage_distinct_daily_users",
+    "table_file_audit",
+    "pagestore_pruned_ingest",
+    "approx_top_terms_sketch",
+    "variant_json_analytics",
+    "stream_state_inspection",
+    "pipe_syntax_revenue",
+    "xml_roundtrip_ingest",
+    "stream_stream_join_attribution",
+    "param_sql_segment_topk",
+    "udtf_burst_sessions",
+    "sql_script_recent_rollup",
+    "ivf_hot_cell_split",
+    "bigram_lm_heldout_ppl",
+    "pseudonymize_join_integrity",
+    "incremental_hll_maintenance",
+    "ivfpq_code_refresh",
+    "linear_attribution_revenue",
+    "top_event_paths",
+    "collated_cross_source_census",
+    "debounce_events",
+    "weighted_median_price",
+    "arrow_native_quant_error",
+    "subject_access_report",
 ]
 
 
