@@ -2315,18 +2315,19 @@ def ivf_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       centroids, no shuffle before the per-cell grouping);
     * the hot-cell census is a K-row aggregate (K=16), so the
       driver-side hot list is bounded by the quantizer size, not data;
-    * the bisection runs distributed via groupBy(cell).applyInPandas —
-      one Arrow group per hot cell; the Lloyd fit caps at 2048 members
-      (deterministic lowest-vec_id sample), assignment covers ALL
-      members, so a billion-row cell still fits in one executor's
-      memory budget;
+    * ONLY the Lloyd fit sample touches Python: a deterministic
+      lowest-vec_id sample of at most 2048 members per hot cell
+      (quantizer-bounded collect, like every trainer here); the
+      assignment of ALL members to their child runs map-side via JVM
+      zip_with/aggregate against the two broadcast child centroids —
+      no data-sized pandas group anywhere, so a billion-row hot cell
+      never materializes in one task (r6 verdict #2);
     * children land in the ``ivfsplit`` artifact (parent cell, child
       id, centroid, member count) — search composes cold parents +
       children; recall over the composed quantizer is pinned in
       tests/test_llm_ops.py alongside the no-silent-retrain pin on the
       base artifact."""
     import numpy as np
-    import pandas as pd
 
     split = _ivf_append_split(spark, sf_dir)
     out_schema = (
@@ -2376,49 +2377,73 @@ def ivf_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not hot:
         return spark.createDataFrame([], out_schema)
 
-    def bisect(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        cell = int(pdf["cell"].iloc[0])
-        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        fit = V[: _SPLIT_FIT_CAP]
-        c0, c1, _, _ = _two_means(fit)
-        d0 = ((V - c0) ** 2).sum(axis=1)
-        d1 = ((V - c1) ** 2).sum(axis=1)
-        lab = (d1 < d0).astype(np.int64)
-        dd = np.where(lab == 1, d1, d0)
-        rows = []
-        for child, c in ((0, c0), (1, c1)):
-            m = lab == child
-            if not m.any():
-                continue
-            rows.append(
-                {
-                    "cell": cell,
-                    "child": child,
-                    "n_members": int(m.sum()),
-                    "mean_sqdist_child": float(dd[m].mean()),
-                    "centroid_vec": [float(x) for x in c],
-                }
-            )
-        return pd.DataFrame(rows)
+    from pyspark.sql import Window
 
-    children = (
-        assigned.where(F.col("cell").isin(*hot.keys()))
-        .groupBy("cell")
-        .applyInPandas(
-            bisect,
-            "cell int, child int, n_members long, mean_sqdist_child double, "
-            "centroid_vec array<double>",
+    members = assigned.where(F.col("cell").isin(*hot.keys()))
+    # Fit sample: the lowest-vec_id <= _SPLIT_FIT_CAP members per hot
+    # cell — bounded by hot-cells x cap (quantizer-sized, never
+    # data-sized), same discipline as the PQ/IVF trainers' collects.
+    fit_rows = (
+        members.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("cell").orderBy("vec_id"))
+        )
+        .where(F.col("rn") <= _SPLIT_FIT_CAP)
+        .select("cell", "vec_id", "v")
+        .collect()
+    )
+    fit_by_cell: dict[int, list] = {}
+    for r in fit_rows:
+        fit_by_cell.setdefault(int(r["cell"]), []).append(r)
+    child_centroids: dict[int, tuple[list[float], list[float]]] = {}
+    for cell, rows in fit_by_cell.items():
+        V = np.stack([r["v"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+        c0, c1, _, _ = _two_means(V.astype(np.float64))
+        child_centroids[cell] = ([float(x) for x in c0], [float(x) for x in c1])
+
+    # Assign EVERY member map-side: broadcast the (cell, c0, c1) frame
+    # (<= K rows) and fold the two squared distances in JVM expressions;
+    # ties break toward child 0 exactly like _two_means' labeling.
+    pairs = spark.createDataFrame(
+        [(c, v[0], v[1]) for c, v in child_centroids.items()],
+        "cell int, c0 array<double>, c1 array<double>",
+    )
+
+    def sqdist(col: str) -> "F.Column":
+        diff = F.zip_with(F.col("v"), F.col(col), lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    labeled = (
+        members.join(F.broadcast(pairs), "cell")
+        .withColumn("d0", sqdist("c0"))
+        .withColumn("d1", sqdist("c1"))
+        .select(
+            "cell",
+            F.when(F.col("d1") < F.col("d0"), 1).otherwise(0).alias("child"),
+            F.when(F.col("d1") < F.col("d0"), F.col("d1"))
+            .otherwise(F.col("d0"))
+            .alias("dd"),
         )
     )
     # One bounded materialization (<= 2K rows) feeds both the persisted
     # artifact and the report — the split must not run twice.
-    child_rows = children.collect()
+    child_rows = (
+        labeled.groupBy("cell", "child")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.avg("dd").alias("mean_sqdist_child"),
+        )
+        .collect()
+    )
     tbl = _ann_artifact_table(spark, sf_dir, f"ivfsplit{split}")
     tbl.overwrite(
         spark.createDataFrame(
             [
-                (r["cell"], r["child"], r["centroid_vec"], r["n_members"])
+                (
+                    r["cell"],
+                    r["child"],
+                    child_centroids[r["cell"]][r["child"]],
+                    r["n_members"],
+                )
                 for r in child_rows
             ],
             "cell int, child int, centroid_vec array<double>, n_members long",
