@@ -5507,8 +5507,8 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "duplicate_payment_audit",
-    ref="audit family next to benford_law_audit — the duplicate-payment screen: same customer, same $1000 amount band, within a year; the blocked self-join every AP audit runs",
-    doc="Order pairs by the same customer in the same $1000 amount band within a year of each other: the pair keys, both amounts, and the day gap — ordered-pair output (earlier key first).",
+    ref="audit family next to benford_law_audit — the duplicate-payment screen: same customer, amounts within $1000, within a year; the band-blocked self-join every AP audit runs, band-straddle complete via a ±1-band probe",
+    doc="Order pairs by the same customer with amounts within $1000 of each other within a year: the pair keys, both amounts, and the day gap — ordered-pair output (earlier key first); the $1000-band block probes band±1 so a $999.99/$1000.01 straddle pair is not silently missed.",
     oracle="""
 WITH o AS (
     SELECT o_orderkey, o_custkey, o_totalprice,
@@ -5525,9 +5525,10 @@ SELECT a.o_orderkey               AS orderkey_a,
        CAST(abs(b.d - a.d) AS BIGINT) AS day_gap
 FROM o a JOIN o b
   ON a.o_custkey = b.o_custkey
- AND a.band = b.band
+ AND a.band BETWEEN b.band - 1 AND b.band + 1
  AND a.o_orderkey < b.o_orderkey
 WHERE abs(b.d - a.d) <= 365
+  AND abs(b.o_totalprice - a.o_totalprice) <= 1000
 """,
 )
 def duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5535,13 +5536,18 @@ def duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a near-identical amount days apart are the screen's duplicate
     candidates.  The join is BLOCKED on (customer, $1000 amount band) —
     an equi-join Catalyst hashes, never an all-pairs scan (the
-    fuzzy_blocked_join discipline applied to an audit): candidate
-    pairs only form inside a block, and the 7-day gap is a cheap
-    post-filter on the block's handful of rows.  Ordered pairs
-    (earlier orderkey first) keep each duplicate reported once,
-    hash-stably.  At 100 TB the block key's cardinality is what makes
-    this linear-ish; a same-amount block bigger than a few rows is
-    itself the finding."""
+    fuzzy_blocked_join discipline applied to an audit).  A single-band
+    block silently misses straddle pairs ($999.99 vs $1000.01 land in
+    adjacent bands), so the probe side explodes each row to bands
+    {b-1, b, b+1}; any pair with |Δamount| <= 1000 has bands at most 1
+    apart, so the three-probe block is COMPLETE for the tolerance, and
+    each qualifying pair matches exactly one probe value (the build
+    row's own band) — no dedup needed.  The year gap and the $1000
+    amount tolerance are cheap post-filters on the block's handful of
+    rows.  Ordered pairs (earlier orderkey first) keep each duplicate
+    reported once, hash-stably.  At 100 TB the block key's cardinality
+    is what makes this linear-ish; a same-amount block bigger than a
+    few rows is itself the finding."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -5560,17 +5566,22 @@ def duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("orderkey_b"),
         F.col("o_custkey").alias("ck_b"),
         F.col("o_totalprice").alias("amount_b"),
-        F.col("band").alias("band_b"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("probe_band"),
         F.col("d").alias("db"),
     )
     return (
         a.join(
             b,
             (F.col("custkey") == F.col("ck_b"))
-            & (F.col("band") == F.col("band_b"))
+            & (F.col("band") == F.col("probe_band"))
             & (F.col("orderkey_a") < F.col("orderkey_b")),
         )
-        .where(F.abs(F.col("db") - F.col("da")) <= 365)
+        .where(
+            (F.abs(F.col("db") - F.col("da")) <= 365)
+            & (F.abs(F.col("amount_b") - F.col("amount_a")) <= 1000)
+        )
         .select(
             "orderkey_a",
             "orderkey_b",

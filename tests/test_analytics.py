@@ -223,3 +223,62 @@ def test_attribution_models_reconcile_to_purchase_revenue(spark, sf_dir):
             .collect()[0]["s"]
         )
         assert abs(got - touched) < 0.05, (name, got, touched)
+
+
+def test_duplicate_payment_audit_band_straddle(spark, tmp_path):
+    """The ±1-band probe must catch a $999.99/$1000.01 pair that
+    straddles the $1000 band boundary (the single-band block's silent
+    miss), keep every same-band pair (superset of the old semantics),
+    and still exclude pairs beyond the $1000 amount tolerance or the
+    one-year gap — on Spark AND the DuckDB oracle identically."""
+    import duckdb
+    import pandas as pd
+
+    ts = pd.Timestamp
+    rows = [
+        # classic same-band hit
+        (1, 10, "O", 500.00, ts("1997-01-01"), "1-URGENT"),
+        (2, 10, "O", 900.00, ts("1997-03-01"), "1-URGENT"),
+        # band-straddle hit: adjacent bands, |delta| = $0.02
+        (3, 20, "O", 999.99, ts("1997-01-01"), "1-URGENT"),
+        (4, 20, "O", 1000.01, ts("1997-01-05"), "1-URGENT"),
+        # adjacent bands but |delta| > $1000 -> excluded by tolerance
+        (5, 30, "O", 100.00, ts("1997-01-01"), "1-URGENT"),
+        (6, 30, "O", 1999.99, ts("1997-01-02"), "1-URGENT"),
+        # same band but > 365 days apart -> excluded by gap
+        (7, 40, "O", 450.00, ts("1996-01-01"), "1-URGENT"),
+        (8, 40, "O", 460.00, ts("1997-06-01"), "1-URGENT"),
+        # same band+amount, different customers -> excluded by block key
+        (9, 50, "O", 750.00, ts("1997-01-01"), "1-URGENT"),
+        (10, 60, "O", 750.00, ts("1997-01-01"), "1-URGENT"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    path = str(tmp_path / "orders.parquet")
+    pdf.to_parquet(path)
+
+    got = {
+        (r["orderkey_a"], r["orderkey_b"])
+        for r in SPECS["duplicate_payment_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{path}')")
+    oracle = {
+        (a, b)
+        for a, b in con.execute(SPECS["duplicate_payment_audit"].oracle)
+        .fetchdf()[["orderkey_a", "orderkey_b"]]
+        .itertuples(index=False)
+    }
+    assert oracle == got
