@@ -1080,3 +1080,65 @@ def test_file_audit_reads_footers_not_data(spark, tmp_path):
     assert len(after) == 2  # big segment + one folded tail
     assert sum(r["n_rows"] for r in after) == 10025
     assert tbl.read().count() == 10025
+
+
+def test_delete_segment_pruning_untouched_segments_survive_by_name(spark, tmp_path):
+    """r6 verdict #3: a selective DELETE must rewrite ONLY the segments
+    that MAY match — untouched segments keep their exact file names in
+    the new manifest (the compact(max_segment_bytes) discipline applied
+    to DELETE), so a one-key erasure never rewrites the whole table."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "delprune"))
+    for lo in (0, 100, 200):
+        tbl.append(
+            spark.range(lo, lo + 100).select(F.col("id").alias("k")),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    segs_before = tbl.segments()
+    assert len(segs_before) == 3
+
+    # Join-shaped erasure whose key envelope [150, 160] touches only
+    # the middle segment.
+    n = tbl.delete_matching(
+        spark.range(150, 161).select(F.col("id").alias("k")), on="k"
+    )
+    assert n == 11
+    segs_after = set(tbl.segments())
+    untouched = {segs_before[0], segs_before[2]}
+    assert untouched <= segs_after, "disjoint segments were rewritten"
+    assert segs_before[1] not in segs_after, "matching segment must be replaced"
+    assert len(segs_after) == 3
+    assert tbl.read().count() == 289
+
+    # Range-hinted predicate DELETE: only the [200, 299] segment moves.
+    segs_before = tbl.segments()
+    spared = [s for s in segs_before if tbl._segment_stats(s)["k"]["max"] < 200]
+    n = tbl.delete_where(
+        (F.col("k") >= 250) & (F.col("k") <= 259), prune_range=("k", 250, 259)
+    )
+    assert n == 10
+    assert set(spared) <= set(tbl.segments())
+    assert tbl.read().count() == 279
+
+    # Point-hinted DELETE prunes via the Bloom sidecar.
+    segs_before = tbl.segments()
+    victims = set(tbl.segments_for_point("k", 42))
+    n = tbl.delete_where(F.col("k") == 42, prune_point=("k", 42))
+    assert n == 1
+    assert set(segs_before) - victims <= set(tbl.segments())
+    assert tbl.read().count() == 278
+
+    # Envelope fully disjoint from every segment: zero rewrites, no new
+    # generation, and the table is untouched.
+    segs_before = tbl.segments()
+    gen_before = tbl.history()[-1]
+    assert (
+        tbl.delete_matching(
+            spark.range(5_000, 5_010).select(F.col("id").alias("k")), on="k"
+        )
+        == 0
+    )
+    assert tbl.segments() == segs_before
+    assert tbl.history()[-1] == gen_before
