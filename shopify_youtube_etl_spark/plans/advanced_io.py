@@ -10,6 +10,7 @@ not just rows-only checks.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -859,22 +860,46 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     dropped at ingest (can't be watermarked / can't match — exactly
     the rows the oracle's predicates eliminate).  availableNow drives
     the streams to completion and the emitted matches must value-hash
-    against the batch interval join."""
+    against the batch interval join.
+
+    The NDJSON drop is staged ONCE per (host, sf_dir) — content-keyed
+    like the ANN artifacts — because re-landing the events on every
+    invocation was the only data-proportional cost of this query (r6
+    verdict #8); repeat calls pay only the fixed streaming overhead
+    (fresh checkpoint + the availableNow drain).  The checkpoint is
+    per-invocation by necessity: reusing one would resume from committed
+    offsets and emit nothing; spent ones are swept on entry."""
+    import shutil
+
+    from shopify_youtube_etl_spark.plans.common import (
+        mark_staged,
+        persistent_staging_dir,
+    )
     from shopify_youtube_etl_spark.plans.windows import interval_join_builder
 
-    tmp = _staging_dir("ssjoin", sf_dir)
+    tmp, staged = persistent_staging_dir("ssjoin", sf_dir)
     src = f"{tmp}/src"
-    (
-        t(spark, sf_dir, "events")
-        .where(
-            F.col("ts").isNotNull()
-            & F.col("user_id").isNotNull()
-            & F.col("event_type").isNotNull()
+    if not staged:
+        (
+            t(spark, sf_dir, "events")
+            .where(
+                F.col("ts").isNotNull()
+                & F.col("user_id").isNotNull()
+                & F.col("event_type").isNotNull()
+            )
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.unix_micros("ts").alias("ts_us"),
+            )
+            .write.mode("overwrite")
+            .json(src)
         )
-        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
-        .write.mode("overwrite")
-        .json(src)
-    )
+        mark_staged(tmp)
+    for d in os.listdir(tmp):
+        if d.startswith("cp"):
+            shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
 
     def side(event_type: str) -> DataFrame:
         return (
@@ -887,13 +912,14 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             .withWatermark("ts", "1 hour")
         )
 
-    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    run = uuid.uuid4().hex[:8]
+    sink = f"ssj_{run}"
     q = (
         interval_join_builder(side("purchase"), side("click"))
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(sink)
-        .option("checkpointLocation", f"{tmp}/cp")
+        .option("checkpointLocation", f"{tmp}/cp_{run}")
         .trigger(availableNow=True)
         .start()
     )

@@ -42,6 +42,33 @@ def staging_dir(kind: str, sf_dir: str) -> str:
     return d
 
 
+def persistent_staging_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
+    """Content-keyed staging that SURVIVES across invocations (the ANN
+    artifact discipline applied to staged source drops): returns
+    ``(dir, already_staged)``.  The caller writes its stage only when
+    ``already_staged`` is False and must call ``mark_staged(dir)`` after
+    a complete write — a crash mid-stage leaves no marker, so the next
+    call re-stages instead of reading a torn drop.  Keyed on sf_dir like
+    the ANN artifacts: a different corpus gets a different dir; the same
+    corpus pays the data-proportional staging write ONCE per host, not
+    once per query call (r6 verdict #8)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"sye_{kind}_{key}")
+    os.makedirs(d, exist_ok=True)
+    return d, os.path.exists(os.path.join(d, "_STAGED"))
+
+
+def mark_staged(d: str) -> None:
+    import os
+
+    with open(os.path.join(d, "_STAGED"), "w") as fh:
+        fh.write("ok\n")
+
+
 # (sf_dir, name, parallelism) -> whether the scan needs spreading; the
 # probe (df.rdd.getNumPartitions) costs a plan conversion, so pay it
 # once.  Parallelism is part of the key so a session with a different
