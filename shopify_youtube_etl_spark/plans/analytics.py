@@ -5093,7 +5093,7 @@ def window_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH first_order AS (
     SELECT o_custkey,
            min(year(CAST(o_orderdate AS TIMESTAMP))) AS cohort
-    FROM orders GROUP BY o_custkey
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ),
 sized AS (
     SELECT cohort, CAST(count(*) AS DOUBLE) AS cohort_size
@@ -5133,8 +5133,14 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar, never the corpus."""
     from pyspark.sql.window import Window
 
+    # The explicit null-key filter is what makes the customer-reduce
+    # exchange REUSED at runtime: the spend branch's inner join pushes
+    # IsNotNull(o_custkey) into its scan, so without the same filter on
+    # the sized branch the two scans differ and Spark executes the
+    # customer shuffle twice (caught by the ReusedExchange runtime pin).
     first_order = (
         t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").isNotNull())
         .groupBy("o_custkey")
         .agg(F.min(F.year("o_orderdate")).alias("cohort"))
     )

@@ -549,3 +549,45 @@ def test_headline_plans_have_no_cartesian_product(spark, sf_dir, name):
     not).  Guards against a refactor silently dropping a join key."""
     plan = plan_of(spark, name, sf_dir)
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+# Runtime exchange pins (r6 verdict #6): the big static SHUFFLE_BUDGET
+# ceilings are justified by "subtree reused at runtime" comments — pin
+# that claim on the EXECUTED plan so a Catalyst/AQE regression can't
+# silently double the real shuffle work while the static count stays
+# within budget.  (min_reused, max_shuffle_stages): ReusedExchange
+# occurrences required in the final adaptive plan, and the ceiling on
+# DISTINCT materialized ShuffleQueryStage ids (the true number of
+# shuffles executed — AQE broadcast conversion makes this lower than
+# the static Exchange count).
+RUNTIME_EXCHANGE_PINS = {
+    "seasonal_decompose_daily": (1, 4),
+    "market_basket_lift": (2, 8),
+    "chi_square_independence": (2, 9),
+    "ndcg_retrieval_eval": (3, 12),
+    "robust_trend_theil_sen": (1, 5),
+    "hhi_market_concentration": (1, 4),
+    "cohort_ltv_curve": (1, 6),
+    "window_funnel_depths": (0, 9),  # shares via key-riding, not subtree reuse
+}
+
+
+@pytest.mark.parametrize("name", sorted(RUNTIME_EXCHANGE_PINS))
+def test_runtime_exchange_reuse_and_stage_count(spark, sf_dir, name):
+    import re
+
+    min_reused, max_stages = RUNTIME_EXCHANGE_PINS[name]
+    df = all_queries()[name].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, f"{name}: AQE final plan not captured"
+    reused = plan.count("ReusedExchange")
+    assert reused >= min_reused, (
+        f"{name}: {reused} ReusedExchange at runtime (expected >= {min_reused}) "
+        "— a duplicated subtree now executes twice"
+    )
+    stages = len(set(re.findall(r"ShuffleQueryStage (\d+)", plan)))
+    assert stages <= max_stages, (
+        f"{name}: {stages} distinct shuffle stages executed "
+        f"(ceiling {max_stages})"
+    )
