@@ -113,6 +113,9 @@ HEADLINE = [
     # The index-served IVM twin of bm25_search_topk: first rep builds
     # the persisted postings, best-of-N reflects the warm merge+search.
     "bm25_incremental_index",
+    # Round-7: the attribution family's IVM (state build in rep 1,
+    # best-of-N is the warm batch-merge + state-served report).
+    "incremental_attribution_revenue",
 ]
 
 

@@ -1598,6 +1598,90 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "copurchase_components",
+    ref="iterative-graph family capstone — connected components of the part co-purchase graph with an EXTERNALLY-CHECKED oracle (DuckDB recursive-CTE label reachability): the first external hash proof of operators/components.py, whose other consumers (neardup_components, the funnel) are hash-family rows-only",
+    doc="Component-size census of the bulk co-purchase graph (lines with l_quantity >= 48 — bulk-order affinity, which keeps the graph sparse and the census discriminating instead of one giant component) under star edges (every part in an order links to the order's min part — same components as the all-pairs clique, O(lines) edges): per component size, the number of components; parts with no bulk line count as size-1 isolates.",
+    oracle="""
+WITH RECURSIVE li AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      AND l_quantity >= 48
+),
+anchor AS (SELECT o, min(p) AS src FROM li GROUP BY o),
+e AS (
+    SELECT DISTINCT anchor.src, li.p AS dst
+    FROM li JOIN anchor USING (o) WHERE li.p <> anchor.src
+),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (
+    SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey IS NOT NULL
+),
+reach(node, lab) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.node
+),
+labels AS (SELECT node, min(lab) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label, count(*) AS sz FROM labels GROUP BY label)
+SELECT CAST(sz AS BIGINT)       AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz
+""",
+)
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a graph whose EDGES are themselves
+    SQL-derivable, which is what finally makes the iterative operator
+    externally checkable: DuckDB reproduces the components with a
+    recursive-CTE reachability closure (min reachable seed per node),
+    while Spark runs operators/components.py — the same min-label
+    machinery every dedup-clustering query uses.  A green driver row is
+    therefore an external equivalence proof for the component operator
+    itself, not just a row count.
+
+    Star edges, not cliques: linking each part to its order's MIN part
+    yields the same connectivity as the within-order all-pairs clique
+    at O(lines) edges instead of O(Σ basket²) — the scale trick that
+    keeps a 100-item basket from minting 4950 pairs.  The bulk filter
+    (l_quantity >= 48) is the graph's semantic: bulk-bought-together
+    affinity — and the sparsity it buys is what makes the census
+    discriminating (sizes 1..10 at sf0.01) rather than one giant
+    component, and the oracle's reachability closure O(Σ size²)-cheap.
+    Size census out (sizes grain, bounded); isolates enter as size-1
+    components via the operator's node set, and the oracle seeds
+    reachability from every part identically."""
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_partkey").isNotNull()
+            & (F.col("l_quantity") >= 48)
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    anchor = li.groupBy("o").agg(F.min("p").alias("src"))
+    edges = (
+        li.join(anchor, "o")
+        .where(F.col("p") != F.col("src"))
+        .select("src", F.col("p").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey").isNotNull())
+        .select("p_partkey")
+    )
+    labels = connected_components(edges, nodes)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    return sizes.groupBy("component_size").agg(
+        F.count("*").alias("n_components")
+    )
+
+
+@query(
     "tpch_q3_shipping_priority",
     ref="TPC-H Q3 shape (filter both join sides on disjoint date ranges → star join → top-k agg) — the canonical BI plan the engine must nail",
     doc="Top-10 unshipped BUILDING-segment orders by revenue at the 1998-05-01 cutoff.",

@@ -68,6 +68,9 @@ _CANARIES = [
 # ordered by STALENESS (oldest external record first) so the driver's
 # bounded window always re-checks the rows most at risk of silent rot.
 _DRIVER_PRIORITY = _CANARIES + [
+    # --- never externally verified: round-7 additions ---
+    "incremental_attribution_revenue",
+    "copurchase_components",
     # --- never externally verified (no CORRECTNESS_r01-r06 row):
     # the 38 round-6-session-4 queries that landed after the r06
     # window ran -- verifying these completes 271/271 union coverage

@@ -493,3 +493,152 @@ def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("credit"), 2).alias("attributed_revenue"),
         )
     )
+
+
+def _attr_split(spark: SparkSession, sf_dir: str) -> int:
+    """History/batch boundary for attribution IVM: events with
+    event_id below the split are the already-credited history, the top
+    20% of the id range is the newly-landed batch — a FRACTION, not a
+    constant, for the same reason as llm_text._funnel_split (the batch
+    must stay batch-proportional as the corpus scales)."""
+    mx = t(spark, sf_dir, "events").agg(F.max("event_id").alias("m")).first()["m"]
+    return int((mx + 1) * 4 // 5) if mx is not None else 0
+
+
+def _attr_state(spark: SparkSession, sf_dir: str, split: int) -> "object":
+    """Persisted credited-touch state for attribution IVM — one
+    ParquetTable of (pid, cid, click_hour, value, n) rows, keyed by
+    (corpus dir, split) like the funnel/BM25/IVF state stores so a
+    moved boundary rebuilds instead of pairing stale history with a
+    different batch slice."""
+    import hashlib
+    import os
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    key = hashlib.md5(f"{sf_dir}|attr|{split}".encode()).hexdigest()[:8]
+    return ParquetTable(
+        spark, os.path.join(tempfile.gettempdir(), f"sye_attrivm_{key}")
+    )
+
+
+def _attr_touches(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Credited-touch rows for the given purchase set against the given
+    click set: the 30-minute interval join plus the per-purchase touch
+    count (the 1/n linear-credit denominator).  Shared by the history
+    build and every batch merge so increment and rebuild are the same
+    expression by construction."""
+    from pyspark.sql.window import Window
+
+    touch = purchases.join(
+        clicks,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("pid", "cid", "value", F.hour("cts").alias("click_hour"))
+    return touch.withColumn(
+        "n", F.count("*").over(Window.partitionBy("pid"))
+    )
+
+
+@query(
+    "incremental_attribution_revenue",
+    ref="IVM of the attribution family (the bm25_incremental_index discipline applied to linear_attribution_revenue) — credited-touch state persisted per batch instead of re-joining the full event history per report; the oracle recomputes linear attribution from scratch over all events, so a green row externally proves maintenance ≡ rebuild",
+    doc="Linear multi-touch attribution by click hour-of-day served FROM persisted credited-touch state: the base 80% of the event-id range is credited once, the top-20% batch updates only the purchases it can affect (new purchases, plus old purchases whose 30-minute window a new click landed in) — byte-identical to the from-scratch recompute.",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'purchase' AND event_id IS NOT NULL
+),
+c AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type = 'click' AND event_id IS NOT NULL
+),
+touch AS (
+    SELECT p.event_id AS pid,
+           p.value,
+           extract(hour FROM c.ts) AS hr,
+           count(*) OVER (PARTITION BY p.event_id) AS n
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 30 MINUTE
+)
+SELECT CAST(hr AS INT)                      AS click_hour,
+       CAST(count(*) AS BIGINT)             AS n_touches,
+       CAST(count(DISTINCT pid) AS BIGINT)  AS n_purchases,
+       round(sum(value / n), 2)             AS attributed_revenue
+FROM touch
+GROUP BY hr
+""",
+)
+def incremental_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution family was the last heavy recompute-only
+    pipeline (r6 verdict #7): every report re-ran the interval join
+    over ALL events.  This is the steady-state answer — persisted
+    (pid, cid, click_hour, value, n) credited-touch state, with each
+    batch updating only the purchases it can possibly affect:
+
+    * NEW purchases join against the full click timeline (their touch
+      sets are born complete);
+    * OLD purchases are re-credited ONLY if a new click landed inside
+      their 30-minute window — the subtle IVM trap: that click changes
+      the 1/n denominator of every sibling touch, so the affected
+      purchase's whole touch set refreshes (touch sets only grow, so
+      the (pid, cid)-keyed upsert needs no deletes);
+    * everything else in state is untouched — per-batch work is
+      O(batch x window traffic), never O(history).
+
+    The report aggregates the STATE, not the events, and the oracle
+    recomputes linear attribution from scratch over the full corpus —
+    a green external record is the maintenance ≡ rebuild proof (the
+    bm25_incremental_index discipline).  Credit conservation vs the
+    live linear query, the poison pin (state is consumed, not
+    rebuilt), and the planted cross-boundary re-credit live in
+    tests/test_analytics.py."""
+    from shopify_youtube_etl_spark.operators.upsert import upsert as _upsert
+
+    split = _attr_split(spark, sf_dir)
+    e = t(spark, sf_dir, "events").where(F.col("event_id").isNotNull())
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    state = _attr_state(spark, sf_dir, split)
+    if state.current_manifest() is None:
+        state.overwrite(
+            _attr_touches(p.where(F.col("pid") < split), c.where(F.col("cid") < split))
+        )
+
+    # Purchases the batch can affect: the batch's own purchases, plus
+    # old purchases with a new click inside their window (semi join —
+    # batch-bounded, never O(history)).
+    new_c = c.where(F.col("cid") >= split)
+    affected_old = p.where(F.col("pid") < split).join(
+        new_c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    )
+    recompute = p.where(F.col("pid") >= split).unionByName(affected_old)
+    updates = _attr_touches(recompute, c)
+    state.overwrite(_upsert(state.read(), updates, ["pid", "cid"]))
+
+    return (
+        state.read()
+        .groupBy(F.col("click_hour").cast("int").alias("click_hour"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.countDistinct("pid").alias("n_purchases"),
+            money(F.sum(F.col("value") / F.col("n"))).alias("attributed_revenue"),
+        )
+    )

@@ -282,3 +282,100 @@ def test_duplicate_payment_audit_band_straddle(spark, tmp_path):
         .itertuples(index=False)
     }
     assert oracle == got
+
+
+def test_incremental_attribution_matches_live_and_consumes_state(spark, sf_dir):
+    """IVM pin for the attribution family (r6 verdict #7): (1) the
+    state-served report is row-identical to the live recompute
+    (linear_attribution_revenue); (2) poisoning the persisted
+    credited-touch state changes the report — proof the query consumes
+    state rather than silently rebuilding it."""
+    import glob
+    import shutil
+    import tempfile
+
+    from shopify_youtube_etl_spark.plans import windows as W
+
+    for d in glob.glob(f"{tempfile.gettempdir()}/sye_attrivm_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    inc = SPECS["incremental_attribution_revenue"].fn(spark, sf_dir).toPandas()
+    live = SPECS["linear_attribution_revenue"].fn(spark, sf_dir).toPandas()
+    key = ["click_hour"]
+    inc = inc.sort_values(key).reset_index(drop=True)
+    live = live.sort_values(key).reset_index(drop=True)
+    assert inc.values.tolist() == live.values.tolist()
+
+    # Poison: zero out the credited value of every HISTORY purchase.
+    # The batch merge refreshes only new/affected purchases, so at
+    # least the unaffected history rows must surface the poison.
+    split = W._attr_split(spark, sf_dir)
+    state = W._attr_state(spark, sf_dir, split)
+    poisoned = state.read().withColumn(
+        "value",
+        F.when(F.col("pid") < split, F.lit(0.0)).otherwise(F.col("value")),
+    )
+    state.overwrite(poisoned)
+    rerun = SPECS["incremental_attribution_revenue"].fn(spark, sf_dir).toPandas()
+    assert (
+        rerun["attributed_revenue"].sum() < inc["attributed_revenue"].sum()
+    ), "poisoned state did not surface — the query rebuilt instead of reading it"
+
+    # Clean up so later runs rebuild honest state.
+    for d in glob.glob(f"{tempfile.gettempdir()}/sye_attrivm_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_attribution_batch_click_recredits_old_purchase(
+    spark, tmp_path
+):
+    """The IVM trap the increment must handle: a BATCH click landing
+    inside a HISTORY purchase's 30-minute window changes that
+    purchase's 1/n denominator, so its whole touch set must refresh.
+    Planted scenario — purchase id 7 (history) with one history touch
+    (n=1) gains a batch touch (n=2); the maintained answer must equal
+    the from-scratch oracle on the same table."""
+    import duckdb
+    import glob
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    ts = pd.Timestamp
+    rows = [
+        # history: user 1 clicks at 09:55, purchases at 10:00 -> 1 touch
+        (3, ts("1997-01-01 09:55:00"), 1, "click", 0.0, "{}"),
+        (7, ts("1997-01-01 10:00:00"), 1, "purchase", 100.0, "{}"),
+        # history padding so split = (9+1)*4//5 = 8 keeps ids 8,9 in batch
+        (5, ts("1997-01-01 12:00:00"), 2, "view", 0.0, "{}"),
+        # batch: a LATE-ARRIVING click by user 1 inside the old window
+        (8, ts("1997-01-01 09:50:00"), 1, "click", 0.0, "{}"),
+        # batch: a new purchase by user 2 with no clicks -> no credit
+        (9, ts("1997-01-01 12:30:00"), 2, "purchase", 50.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+
+    for d in glob.glob(f"{tempfile.gettempdir()}/sye_attrivm_*"):
+        shutil.rmtree(d, ignore_errors=True)
+    spec = SPECS["incremental_attribution_revenue"]
+    got = spec.fn(spark, str(tmp_path)).toPandas().sort_values("click_hour")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(spec.oracle).fetchdf().sort_values("click_hour")
+    assert got.values.tolist() == want.values.tolist()
+    # The planted purchase's value must now be split 50/50 across the
+    # 09:00-hour touches (two clicks at 09:50 and 09:55).
+    hr9 = got[got["click_hour"] == 9].iloc[0]
+    assert hr9["n_touches"] == 2
+    assert hr9["attributed_revenue"] == 100.0
+    for d in glob.glob(f"{tempfile.gettempdir()}/sye_attrivm_*"):
+        shutil.rmtree(d, ignore_errors=True)
