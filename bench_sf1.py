@@ -12,7 +12,7 @@ A query is flagged ``superlinear`` when its sf1 min exceeds ~12× its
 sf0.1 min (10× data + scheduling slack); every flag needs a written
 disposition in the artifact before the round closes.
 
-Usage: python bench_sf1.py  → writes BENCH_SF1_r06.json and prints it.
+Usage: python bench_sf1.py  → writes BENCH_SF1_r07.json and prints it.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ from shopify_youtube_etl_spark.plans.registry import all_queries
 from shopify_youtube_etl_spark.session import get_spark
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SF1 = "/tmp/sye_sf1"
+SF1 = "/tmp/sye_sf1_v2"
 COPIES = 10
 REPS = 4
 
@@ -80,17 +80,32 @@ HEAVY = [
     "matryoshka_truncation_recall",
     "gini_segment_inequality",
     "seasonal_decompose_daily",
+    # Round-7 (r6 verdict #4): events now scales (event_id AND user_id
+    # shift per copy — 10x independent users, same per-user traffic, so
+    # interval-join state grows linearly, the realistic 100 TB shape),
+    # and orders copies shift o_custkey in lockstep with the customer
+    # copies, so the blocked self-join and cohort queries see 10x
+    # CUSTOMERS rather than 10x orders per customer.  That makes these
+    # certifiable: the heaviest bench entry (the real stream-stream
+    # join), the 9-shuffle funnel, the Σ|block|² audit, the LTV curve,
+    # and the new attribution IVM (state build in rep 1; min-of-4 is
+    # the warm incremental cost).
+    "stream_stream_join_attribution",
+    "window_funnel_depths",
+    "duplicate_payment_audit",
+    "cohort_ltv_curve",
+    "incremental_attribution_revenue",
 ]
 
 # Tables the HEAVY set reads; the rest are copied unscaled.
-SCALED = {"documents", "embeddings", "orders", "lineitem", "customer"}
+SCALED = {"documents", "embeddings", "orders", "lineitem", "customer", "events"}
 ALL_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 SHIFT = {"documents": "doc_id", "embeddings": "vec_id",
          "orders": "o_orderkey", "lineitem": "l_orderkey",
-         "customer": "c_custkey"}
+         "customer": "c_custkey", "events": "event_id"}
 OFFSET = 100_000_000
 
 
@@ -112,6 +127,17 @@ def build_sf1(spark) -> None:
                 # neardup queries on their intended workload instead of
                 # a degenerate 10-way exact-dup lattice.
                 c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" copytok{k}")))
+            if name == "events":
+                # Independent user populations per copy: the same users
+                # 10x-duplicated at identical timestamps would square
+                # every interval-join pair count instead of scaling it.
+                c = c.withColumn("user_id", F.col("user_id") + F.lit(k * OFFSET))
+            if name == "orders":
+                # Customer base scales WITH the customer table (same
+                # per-copy offset, FK-consistent), so per-customer blocks
+                # stay constant-sized — growth adds customers, not
+                # duplicate payments per customer.
+                c = c.withColumn("o_custkey", F.col("o_custkey") + F.lit(k * OFFSET))
             if name == "customer":
                 # Distinct name prefix per copy, so fuzzy-join blocking
                 # keys stay ~10 names per block (linear growth) instead
@@ -167,7 +193,7 @@ def main() -> None:
         "queries": results,
         "dispositions": {},
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r06.json"), "w") as fh:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r07.json"), "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps(artifact))
 

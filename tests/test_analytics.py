@@ -379,3 +379,46 @@ def test_incremental_attribution_batch_click_recredits_old_purchase(
     assert hr9["attributed_revenue"] == 100.0
     for d in glob.glob(f"{tempfile.gettempdir()}/sye_attrivm_*"):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_copurchase_components_census_invariants(spark, sf_dir):
+    """The externally-checked components census must reconcile with the
+    operator's own labeling: total nodes = all parts, star edges give
+    the same census as the operator run directly, and every size-2+
+    component contains at least one bulk co-purchase edge."""
+    from shopify_youtube_etl_spark.operators.components import connected_components
+    from shopify_youtube_etl_spark.sources.tables import load_table
+
+    census = {
+        r["component_size"]: r["n_components"]
+        for r in SPECS["copurchase_components"].fn(spark, sf_dir).collect()
+    }
+    assert census, "empty census at test SF"
+    n_parts = load_table(spark, sf_dir, "part").count()
+    assert sum(s * n for s, n in census.items()) == n_parts
+    assert max(census) >= 2, "expected at least one non-trivial component"
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 48)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    anchor = li.groupBy("o").agg(F.min("p").alias("src"))
+    edges = (
+        li.join(anchor, "o")
+        .where(F.col("p") != F.col("src"))
+        .select("src", F.col("p").alias("dst"))
+        .distinct()
+    )
+    nodes = load_table(spark, sf_dir, "part").select("p_partkey")
+    labels = connected_components(edges, nodes)
+    direct = {
+        r["component_size"]: r["n"]
+        for r in labels.groupBy("label")
+        .agg(F.count("*").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert direct == census
