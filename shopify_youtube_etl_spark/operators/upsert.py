@@ -333,10 +333,21 @@ class ParquetTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        layout: list[str] | None = None,
     ) -> str:
         seg = f"seg-{uuid.uuid4().hex}"
         seg_path = os.path.join(self.path, seg)
         df.write.mode("overwrite").parquet(seg_path)
+        if layout:
+            # Layout sidecar: records that this segment was written
+            # range-partitioned + sorted on these columns, so
+            # cluster_by_incremental can skip already-clustered
+            # segments (the OPTIMIZE bookkeeping Delta keeps in its
+            # transaction log).
+            import json as _json
+
+            with open(os.path.join(seg_path, "_layout.json"), "w") as fh:
+                _json.dump({"sorted_by": list(layout)}, fh)
         if bloom_cols:
             self._write_bloom(seg_path, bloom_cols)
         if stats_cols:
@@ -583,8 +594,11 @@ class ParquetTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        layout: list[str] | None = None,
     ) -> None:
-        seg = self._write_segment(df, stats_cols=stats_cols, bloom_cols=bloom_cols)
+        seg = self._write_segment(
+            df, stats_cols=stats_cols, bloom_cols=bloom_cols, layout=layout
+        )
         self._commit(lambda prior: [seg])
 
     def append(
@@ -1103,7 +1117,70 @@ class ParquetTable:
             laid_out,
             stats_cols=stats_cols or None,
             bloom_cols=prior_bloom or None,
+            layout=cols,
         )
+
+    def _segment_layout(self, seg_path: str) -> list[str] | None:
+        import json as _json
+
+        try:
+            with open(os.path.join(seg_path, "_layout.json")) as fh:
+                return list(_json.load(fh).get("sorted_by") or []) or None
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def cluster_by_incremental(
+        self, cols: list[str], stats: bool = True, num_files: int | None = None
+    ) -> list[str]:
+        """OPTIMIZE for append streams (the size-tiered-compact
+        discipline applied to clustering): fold ONLY the live segments
+        that are not already laid out on ``cols`` — the appends that
+        landed since the last clustering — into one new
+        range-partitioned, sorted run; every already-clustered segment
+        survives in the manifest by name.  A table maintained this way
+        is a small set of sorted runs, each with disjoint-envelope
+        parquet files and min/max sidecars, which is exactly what
+        ``read_range`` and footer-stat skipping consume — global
+        ordering across runs is NOT required for pruning, the same
+        reason LSM trees and Delta's OPTIMIZE leave sorted runs
+        unmerged until size tiers say otherwise.  Per-call cost is
+        O(new data), never O(table).  Returns the names of the
+        replaced segments (empty = everything was already clustered;
+        the call was metadata-only).  Commit semantics as ``compact``:
+        rewrite outside the lock, abort-and-raise if a conflicting
+        commit replaced a victim meanwhile."""
+        victims = [
+            s for s in self.segments() if self._segment_layout(s) != list(cols)
+        ]
+        if not victims:
+            return []
+        victim_names = {os.path.basename(s) for s in victims}
+        cur = self._read_segments(victims)
+        if num_files is None:
+            num_files = max(
+                2, sum(map(self._segment_bytes, victims)) // (128 << 20) + 1
+            )
+        laid_out = cur.repartitionByRange(num_files, *cols).sortWithinPartitions(*cols)
+        prior_stats, prior_bloom = self._tracked_cols(self.segments())
+        stats_cols = sorted(set(prior_stats) | (set(cols) if stats else set()))
+        seg = self._write_segment(
+            laid_out,
+            stats_cols=stats_cols or None,
+            bloom_cols=prior_bloom or None,
+            layout=cols,
+        )
+        committed = self._commit(
+            lambda prior: [p for p in prior if p not in victim_names] + [seg]
+            if victim_names <= set(prior)
+            else None
+        )
+        if not committed:
+            shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
+            raise RuntimeError(
+                f"cluster_by_incremental on {self.path} lost a commit race — "
+                "retry against the new state"
+            )
+        return sorted(victim_names)
 
     _ZORDER_SAMPLE = 100_000  # RangePartitioner-style bounded boundary sample
 

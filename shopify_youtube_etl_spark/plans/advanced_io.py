@@ -794,25 +794,53 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(stream).  The state-metadata twin (operator names, batch id
     ranges) is asserted en route; an empty source leaves no committed
     state, which surfaces as the empty aggregate — same as the oracle
-    over zero rows."""
-    tmp = _staging_dir("statereader", sf_dir)
+    over zero rows.
+
+    Staging and state-width follow the stream_stream_join_attribution
+    discipline: the NDJSON drop lands once per corpus, and the
+    aggregate's state-store width is sized for the drain (8) rather
+    than inherited from the batch session — fewer state files to
+    commit AND to read back."""
+    import shutil
+
+    from shopify_youtube_etl_spark.plans.common import (
+        mark_staged,
+        persistent_staging_dir,
+    )
+
+    tmp, staged = persistent_staging_dir("statereader", sf_dir)
     src = f"{tmp}/src"
-    cp = f"{tmp}/cp"
-    t(spark, sf_dir, "events").select("user_id", "value").write.mode("overwrite").json(src)
+    if not staged:
+        (
+            t(spark, sf_dir, "events")
+            .select("user_id", "value")
+            .write.mode("overwrite")
+            .json(src)
+        )
+        mark_staged(tmp)
+    for d in os.listdir(tmp):
+        if d.startswith("cp"):
+            shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+    cp = f"{tmp}/cp_{uuid.uuid4().hex[:8]}"
 
     stream = spark.readStream.schema("user_id BIGINT, value DOUBLE").json(src)
     agg = stream.groupBy("user_id").agg(
         F.count("*").alias("n_events"), F.sum("value").alias("total_value")
     )
     sink = f"statein_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(300)
 
     empty = spark.createDataFrame([], "user_id BIGINT, n_events BIGINT, total_value DOUBLE")
@@ -914,15 +942,28 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
     run = uuid.uuid4().hex[:8]
     sink = f"ssj_{run}"
-    q = (
-        interval_join_builder(side("purchase"), side("click"))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{tmp}/cp_{run}")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # State-store width is a per-STREAM sizing decision, not something
+    # to inherit from the batch session: every shuffle partition mints
+    # two join-state stores per side whose open/commit cost dominates a
+    # bounded drain (32 batch partitions = 9s of state bookkeeping for
+    # <1s of data here; 8 = 3.8s, same rows).  The count is baked into
+    # the checkpoint at first start, so it is set only for this query's
+    # planning and restored immediately after start; at 100 TB traffic
+    # you raise it to match join-state volume, not scan width.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            interval_join_builder(side("purchase"), side("click"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/cp_{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(300)
     return spark.table(sink)
 

@@ -1146,6 +1146,59 @@ def clustered_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_cluster_maintenance",
+    ref="layout maintenance made INCREMENTAL (the size-tiered-compact discipline applied to OPTIMIZE, r7) — cluster_by_incremental folds only the appends that landed since the last clustering; already-clustered segments survive by name",
+    doc="Orders base-clustered on the date string, a 20%-of-id-range batch appended unsorted, then cluster_by_incremental folds ONLY the append into a second sorted run; a one-year read_range over the two-run layout must equal the oracle's plain date-slice aggregate.",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)     AS n_orders,
+       round(sum(o_totalprice), 2)  AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <= TIMESTAMP '1997-12-31'
+GROUP BY o_orderstatus
+""",
+)
+def incremental_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-OPTIMIZE shape a 100 TB append stream actually
+    needs: ``cluster_by`` re-sorts the WHOLE table, so running it per
+    batch is O(table) forever; ``cluster_by_incremental`` reads the
+    layout sidecars and folds only segments not already sorted on the
+    key — O(new data) per call, already-clustered runs surviving in
+    the manifest by name (pinned in tests/test_operators.py).  The
+    result is a small set of sorted runs; ``read_range`` prunes across
+    runs by min/max sidecar and inside runs by parquet footer stats,
+    so global ordering is never required.  Oracle equality proves the
+    two-run layout is row-preserving and the pruned read returns
+    exactly the plain date-slice answer."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    mx = src.agg(F.max("o_orderkey").alias("m")).first()["m"]
+    split = int((mx + 1) * 4 // 5) if mx is not None else 0
+    tbl = ParquetTable(spark, staging_dir("cluincr", sf_dir) + "/orders")
+    tbl.overwrite(src.where(F.col("o_orderkey") < split))
+    tbl.cluster_by(["d"], num_files=4)
+    # Null order keys ride the batch (a split predicate must not lose
+    # the rows NEITHER side of it matches).
+    tbl.append(
+        src.where(
+            (F.col("o_orderkey") >= split) | F.col("o_orderkey").isNull()
+        ),
+        stats_cols=["d"],
+    )
+    tbl.cluster_by_incremental(["d"], num_files=4)
+    sliced = tbl.read_range("d", "1997-01-01", "1997-12-31")
+    return sliced.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("revenue"),
+    )
+
+
+@query(
     "zorder_multidim_scan",
     ref="N-D Z-order layout maintenance verified end-to-end (r5 verdict #8) — cluster_by_zorder over (string, int, int) dims + read_range pruning on the engine's table format",
     doc="Orders re-clustered by a 3-D Morton layout over (order date string, customer bucket, price band), then a one-year read_range + customer-band slice off the committed layout; per-status profile must equal the oracle's plain filtered aggregate.",

@@ -1142,3 +1142,56 @@ def test_delete_segment_pruning_untouched_segments_survive_by_name(spark, tmp_pa
     )
     assert tbl.segments() == segs_before
     assert tbl.history()[-1] == gen_before
+
+
+def test_cluster_by_incremental_rewrites_only_new_segments(spark, tmp_path):
+    """OPTIMIZE must be O(new data): after a base clustering, appended
+    segments fold into ONE new sorted run while the already-clustered
+    run survives in the manifest by name; a second call with nothing
+    to do is a metadata-only no-op (no new generation)."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "cluincr"))
+    tbl.overwrite(
+        spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+    )
+    tbl.cluster_by(["k"], num_files=4)
+    (base_seg,) = tbl.segments()
+    assert tbl._segment_layout(base_seg) == ["k"]
+
+    for lo in (10_000, 20_000):
+        tbl.append(
+            spark.range(lo, lo + 1_000).select(
+                F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+            ),
+            stats_cols=["k"],
+        )
+    appended = [s for s in tbl.segments() if s != base_seg]
+    assert len(appended) == 2
+
+    replaced = tbl.cluster_by_incremental(["k"], num_files=2)
+    assert sorted(replaced) == sorted(os.path.basename(s) for s in appended)
+    segs = tbl.segments()
+    assert base_seg in segs, "clustered base segment was rewritten"
+    assert len(segs) == 2
+    new_run = next(s for s in segs if s != base_seg)
+    assert tbl._segment_layout(new_run) == ["k"]
+    assert tbl.read().count() == 12_000
+
+    # Nothing left to fold: metadata-only no-op, no new generation.
+    gen = tbl.history()[-1]
+    assert tbl.cluster_by_incremental(["k"]) == []
+    assert tbl.history()[-1] == gen
+
+    # Pruning works across the two sorted runs: a range wholly inside
+    # the appends must skip the base run.
+    pruned = tbl.segments_for_range("k", 10_500, 10_600)
+    assert base_seg not in pruned
+    assert tbl.read_range("k", 10_500, 10_600).count() == 101
+
+    # A different cluster key invalidates BOTH runs (layout mismatch).
+    replaced = tbl.cluster_by_incremental(["v"])
+    assert len(replaced) == 2
+    assert tbl.read().count() == 12_000
