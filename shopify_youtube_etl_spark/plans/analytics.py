@@ -1662,13 +1662,7 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    anchor = li.groupBy("o").agg(F.min("p").alias("src"))
-    edges = (
-        li.join(anchor, "o")
-        .where(F.col("p") != F.col("src"))
-        .select("src", F.col("p").alias("dst"))
-        .distinct()
-    )
+    edges = _bulk_star_edges(li)
     nodes = (
         t(spark, sf_dir, "part")
         .where(F.col("p_partkey").isNotNull())
@@ -5868,4 +5862,158 @@ def order_cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
         F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
         F.max("days").cast("long").alias("max_days"),
+    )
+
+
+def _ccl_split(spark: SparkSession, sf_dir: str) -> int:
+    """History/batch boundary for component IVM: orders with
+    l_orderkey below the split are the already-labeled history, the
+    top 20% of the id range is the newly-landed batch (a fraction, not
+    a constant — the llm_text._funnel_split rationale)."""
+    mx = (
+        t(spark, sf_dir, "lineitem")
+        .agg(F.max("l_orderkey").alias("m"))
+        .first()["m"]
+    )
+    return int((mx + 1) * 4 // 5) if mx is not None else 0
+
+
+def _ccl_state(spark: SparkSession, sf_dir: str, split: int):
+    """Persisted (node, label) component state for the bulk co-purchase
+    graph, keyed by (corpus dir, split) like every other IVM state
+    store here."""
+    import hashlib
+    import os
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    key = hashlib.md5(f"{sf_dir}|ccl|{split}".encode()).hexdigest()[:8]
+    return ParquetTable(
+        spark, os.path.join(tempfile.gettempdir(), f"sye_cclivm_{key}")
+    )
+
+
+def _bulk_star_edges(li: DataFrame) -> DataFrame:
+    """Star edges of the bulk co-purchase graph for the given line
+    set — shared by the full build and the batch path so increment and
+    rebuild derive edges from the same expression."""
+    anchor = li.groupBy("o").agg(F.min("p").alias("src"))
+    return (
+        li.join(anchor, "o")
+        .where(F.col("p") != F.col("src"))
+        .select("src", F.col("p").alias("dst"))
+        .distinct()
+    )
+
+
+@query(
+    "incremental_component_maintenance",
+    ref="IVM of the graph family (the bm25/funnel/attribution discipline applied to copurchase_components) — persisted labels updated by contracting each batch's edges onto them and merging at the LABEL level; the oracle recomputes components from scratch over the full corpus, so a green row externally proves increment ≡ rebuild for the graph operator",
+    doc="Component-size census of the bulk co-purchase graph served FROM persisted (node, label) state: the base 80% of the order-id range is labeled once; a batch's star edges are contracted onto current labels, the label-level graph (batch-bounded) is union-found, and only nodes in merged components relabel — byte-identical to the from-scratch recursive-CTE answer.",
+    oracle="""
+WITH RECURSIVE li AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      AND l_quantity >= 48
+),
+anchor AS (SELECT o, min(p) AS src FROM li GROUP BY o),
+e AS (
+    SELECT DISTINCT anchor.src, li.p AS dst
+    FROM li JOIN anchor USING (o) WHERE li.p <> anchor.src
+),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (
+    SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey IS NOT NULL
+),
+reach(node, lab) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.node
+),
+labels AS (SELECT node, min(lab) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label, count(*) AS sz FROM labels GROUP BY label)
+SELECT CAST(sz AS BIGINT)       AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz
+""",
+)
+def incremental_component_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adding edges can only MERGE components — that monotonicity is
+    what makes graph labeling incrementally maintainable without
+    deletes.  The batch path never touches history edges:
+
+    * the batch's star edges map each endpoint to its CURRENT label
+      (two broadcast-friendly joins against state);
+    * the CONTRACTED graph — edges between distinct labels — is
+      batch-bounded (at most one node per touched component), and
+      union-finding it yields an (old label → merged label) mapping;
+    * only rows whose label appears in that mapping relabel (a
+      broadcast join + keyed upsert); every other (node, label) row in
+      state is untouched — per-batch work is O(batch + touched
+      components), never O(graph).
+
+    The census aggregates STATE, while the oracle recomputes the
+    components from scratch with the recursive-CTE closure — the
+    increment ≡ rebuild proof, externally hash-checked (the same
+    discipline as bm25_incremental_index / incremental_attribution_
+    revenue, applied to the one operator family that had no IVM path).
+    Pytest adds a state poison and a planted batch order that BRIDGES
+    two history components (tests/test_analytics.py)."""
+    from shopify_youtube_etl_spark.operators.components import connected_components
+    from shopify_youtube_etl_spark.operators.upsert import upsert as _upsert
+
+    split = _ccl_split(spark, sf_dir)
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_partkey").isNotNull()
+            & (F.col("l_quantity") >= 48)
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    nodes = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey").isNotNull())
+        .select("p_partkey")
+    )
+    state = _ccl_state(spark, sf_dir, split)
+    if state.current_manifest() is None:
+        base = connected_components(
+            _bulk_star_edges(li.where(F.col("o") < split)), nodes
+        )
+        state.overwrite(base)
+
+    batch_edges = _bulk_star_edges(li.where(F.col("o") >= split))
+    cur = state.read()
+    lab_of = lambda side: cur.select(  # noqa: E731 — two aliased probes
+        F.col("node").alias(side), F.col("label").alias(f"{side}_lab")
+    )
+    contracted = (
+        batch_edges.join(lab_of("src"), "src")
+        .join(lab_of("dst"), "dst")
+        .where(F.col("src_lab") != F.col("dst_lab"))
+        .select(F.col("src_lab").alias("src"), F.col("dst_lab").alias("dst"))
+        .distinct()
+    )
+    merged = connected_components(
+        contracted,
+        contracted.select(F.col("src").alias("n"))
+        .unionByName(contracted.select(F.col("dst").alias("n")))
+        .distinct(),
+    )
+    mapping = merged.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("old_label"), F.col("label").alias("new_label")
+    )
+    relabeled = (
+        cur.join(F.broadcast(mapping), cur["label"] == mapping["old_label"])
+        .select("node", F.col("new_label").alias("label"))
+    )
+    state.overwrite(_upsert(cur, relabeled, ["node"]))
+
+    sizes = state.read().groupBy("label").agg(F.count("*").alias("component_size"))
+    return sizes.groupBy("component_size").agg(
+        F.count("*").alias("n_components")
     )

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "incremental_attribution_revenue",
     "copurchase_components",
     "incremental_cluster_maintenance",
+    "incremental_component_maintenance",
     # --- never externally verified (no CORRECTNESS_r01-r06 row):
     # the 38 round-6-session-4 queries that landed after the r06
     # window ran -- verifying these completes 271/271 union coverage

@@ -422,3 +422,86 @@ def test_copurchase_components_census_invariants(spark, sf_dir):
         .collect()
     }
     assert direct == census
+
+
+def test_incremental_components_bridge_and_poison(spark, sf_dir, tmp_path):
+    """Graph IVM pins: (1) on the real corpus the state-served census
+    equals the live copurchase_components recompute; (2) poisoning the
+    persisted labels changes the census — state is consumed, not
+    rebuilt; (3) a planted BATCH order that bridges two history
+    components merges them (the label-cascade case), matching the
+    from-scratch oracle on the same table."""
+    import glob
+    import shutil
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from shopify_youtube_etl_spark.plans import analytics as A
+
+    def census(name, sf):
+        return sorted(
+            (r["component_size"], r["n_components"])
+            for r in SPECS[name].fn(spark, sf).collect()
+        )
+
+    for d in glob.glob(f"{tempfile.gettempdir()}/sye_cclivm_*"):
+        shutil.rmtree(d, ignore_errors=True)
+    inc = census("incremental_component_maintenance", sf_dir)
+    live = census("copurchase_components", sf_dir)
+    assert inc == live
+
+    # Poison: move one node of a size-1 component onto another label.
+    split = A._ccl_split(spark, sf_dir)
+    state = A._ccl_state(spark, sf_dir, split)
+    rows = state.read().collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["node"])
+    singles = sorted(lab for lab, ms in by_label.items() if len(ms) == 1)
+    assert len(singles) >= 2
+    victim, target = singles[0], singles[1]
+    poisoned = state.read().withColumn(
+        "label",
+        F.when(F.col("node") == victim, F.lit(target)).otherwise(F.col("label")),
+    )
+    state.overwrite(poisoned)
+    assert census("incremental_component_maintenance", sf_dir) != inc, (
+        "poisoned labels did not surface — the query rebuilt state"
+    )
+    for d in glob.glob(f"{tempfile.gettempdir()}/sye_cclivm_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # Planted bridge: orders 1 and 2 are history ({1,2} and {3,4}),
+    # batch order 8 links parts 2 and 3 -> one component of 4 plus the
+    # never-purchased part 5 as an isolate.
+    li_rows = [
+        (1, 1, 50.0), (1, 2, 50.0),
+        (2, 3, 50.0), (2, 4, 50.0),
+        (8, 2, 50.0), (8, 3, 50.0),
+        # sub-threshold line must NOT create an edge
+        (8, 5, 1.0),
+    ]
+    pd.DataFrame(
+        li_rows, columns=["l_orderkey", "l_partkey", "l_quantity"]
+    ).to_parquet(str(tmp_path / "lineitem.parquet"))
+    pd.DataFrame({"p_partkey": [1, 2, 3, 4, 5]}).to_parquet(
+        str(tmp_path / "part.parquet")
+    )
+    got = census("incremental_component_maintenance", str(tmp_path))
+    assert got == [(1, 1), (4, 1)]
+    con = duckdb.connect()
+    for name in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{name}.parquet')"
+        )
+    want = sorted(
+        map(tuple, con.execute(
+            SPECS["incremental_component_maintenance"].oracle
+        ).fetchall())
+    )
+    assert got == want
+    for d in glob.glob(f"{tempfile.gettempdir()}/sye_cclivm_*"):
+        shutil.rmtree(d, ignore_errors=True)
