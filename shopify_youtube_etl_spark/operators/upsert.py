@@ -1090,6 +1090,141 @@ class ParquetTable:
             victims, lambda cur: cur.join(keys, on=on, how="left_anti")
         )
 
+    def upsert_matching(
+        self,
+        staging: DataFrame,
+        on: list[str] | str,
+        order_col: str | None = None,
+        broadcast: bool = True,
+    ) -> dict:
+        """Segment-pruned keyed MERGE — the write-side sibling of
+        ``delete_matching`` (r7 verdict #1): by value this equals
+        ``overwrite(upsert(read(), staging, on, order_col))``, but the
+        physical write is O(intersecting segments + batch), never
+        O(table).
+
+        Why it exists: every IVM state store (components, attribution,
+        BM25 postings, HLL day sketches) ends its batch with a keyed
+        merge into persisted state.  ``overwrite(upsert(...))`` rewrites
+        the WHOLE state table per micro-batch — at 100 TB the write,
+        not the batch compute, is the bottleneck, the exact cost class
+        ``delete_where(prune_*)`` removed from DELETE.  Here:
+
+        * each live segment with min/max sidecar stats on ``on[0]`` is
+          probed EXACTLY: one bounded aggregate over the batch computes,
+          per segment, whether ANY batch key falls inside the segment's
+          recorded envelope (per-segment conditions, not one global
+          batch envelope — a batch of {5, 9_000_000} must not drag in
+          every segment between the two).  Stats-less segments always
+          rewrite (safe-by-default, as on the read side);
+        * only possibly-matching segments rewrite, as a LEFT ANTI
+          equi-join against the (broadcast) batch key set — removing the
+          rows the merge replaces;
+        * the deduped batch lands as its own fresh segment, with min/max
+          stats on ``on[0]`` (plus whatever the replaced segments
+          tracked), so FUTURE merges prune against it;
+        * one atomic commit publishes replacement + survivors + batch —
+          readers never observe the keys deleted-but-not-reinserted.
+
+        Untouched segments survive in the manifest BY NAME (the
+        ``compact``/``delete_matching`` discipline).  Conflict handling
+        as ``_rewrite_victims``: rewrite runs outside the lock against a
+        snapshot; if a victim was replaced concurrently the merge aborts
+        and raises.  ``order_col`` picks the latest batch row per key
+        (else full-row DISTINCT, exactly ``upsert``'s reference
+        semantics, shopify_etl.py:575).  Returns
+        ``{"rewritten": [...], "survivors": [...], "appended": name}``
+        so callers/tests can assert what the merge physically touched.
+        """
+        on = [on] if isinstance(on, str) else list(on)
+        key0 = on[0]
+        if order_col is not None:
+            w = Window.partitionBy(*on).orderBy(F.col(order_col).desc())
+            staged = (
+                staging.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            staged = staging.distinct()
+        if not self.exists():
+            self.overwrite(staged, stats_cols=[key0])
+            return {"rewritten": [], "survivors": [], "appended": None}
+        table_cols = self.read().columns
+        staged = staged.select(*table_cols)
+
+        segs = self.segments()
+        statless: list[str] = []
+        ranged: list[tuple[str, object, object]] = []
+        for sp in segs:
+            rng = (self._segment_stats(sp) or {}).get(key0)
+            if rng is None or rng["min"] is None or rng["max"] is None:
+                statless.append(sp)
+            else:
+                ranged.append((sp, rng["min"], rng["max"]))
+
+        def hit(lo, hi) -> Column:
+            # Sidecars store numerics raw and everything else as str(v)
+            # (ISO for timestamps — lexicographic == temporal), so the
+            # probe compares in the same encoding the writer used.
+            numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+            c = F.col(key0) if numeric else F.col(key0).cast("string")
+            return (c >= F.lit(lo)) & (c <= F.lit(hi))
+
+        flags = staged.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.max(hit(lo, hi)).alias(f"_h{i}") for i, (_s, lo, hi) in enumerate(ranged)],
+        ).first()
+        if flags["_n"] == 0:  # empty batch: the merge is a no-op
+            return {
+                "rewritten": [],
+                "survivors": sorted(os.path.basename(s) for s in segs),
+                "appended": None,
+            }
+        victims = statless + [
+            s for i, (s, _lo, _hi) in enumerate(ranged) if flags[f"_h{i}"]
+        ]
+        victim_names = {os.path.basename(s) for s in victims}
+        stats_cols, bloom_cols = self._tracked_cols(segs)
+        stats_cols = sorted(set(stats_cols) | {key0})
+
+        keys = staged.select(*on).dropDuplicates(on)
+        if broadcast:
+            keys = F.broadcast(keys)
+        new_segs: list[str] = []
+        if victims:
+            kept = self._read_segments(victims).join(keys, on=on, how="left_anti")
+            new_segs.append(
+                self._write_segment(
+                    kept, stats_cols=stats_cols, bloom_cols=bloom_cols or None
+                )
+            )
+        batch_seg = self._write_segment(
+            staged, stats_cols=stats_cols, bloom_cols=bloom_cols or None
+        )
+        new_segs.append(batch_seg)
+        committed = self._commit(
+            lambda prior: new_segs[:-1]
+            + [p for p in prior if p not in victim_names]
+            + [batch_seg]
+            if victim_names <= set(prior)
+            else None
+        )
+        if not committed:
+            for seg in new_segs:
+                shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
+            raise RuntimeError(
+                f"upsert_matching on {self.path} lost a commit race (a victim "
+                "segment was replaced concurrently) — retry against the new state"
+            )
+        return {
+            "rewritten": sorted(victim_names),
+            "survivors": sorted(
+                os.path.basename(s) for s in segs if os.path.basename(s) not in victim_names
+            ),
+            "appended": batch_seg,
+        }
+
     def cluster_by(
         self, cols: list[str], stats: bool = True, num_files: int | None = None
     ) -> None:

@@ -1195,3 +1195,86 @@ def test_cluster_by_incremental_rewrites_only_new_segments(spark, tmp_path):
     replaced = tbl.cluster_by_incremental(["v"])
     assert len(replaced) == 2
     assert tbl.read().count() == 12_000
+
+
+def test_upsert_matching_prunes_untouched_segments_by_name(spark, tmp_path):
+    """r7 verdict #1: the keyed MERGE must rewrite ONLY the segments the
+    batch's keys can touch — the delete_matching discipline applied to
+    the WRITE side.  The probe is per-segment (a batch of {150s, 500s}
+    must not drag in the [200, 300) segment a single global envelope
+    would cover), untouched segments keep their exact names, and the
+    result is byte-equal to overwrite(upsert(...))."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
+
+    tbl = ParquetTable(spark, str(tmp_path / "um"))
+    for lo in (0, 100, 200):
+        tbl.append(
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            stats_cols=["k"],
+        )
+    segs_before = tbl.segments()
+    assert len(segs_before) == 3
+    expected = upsert(
+        tbl.read(),
+        spark.createDataFrame(
+            [(150 + i, -1) for i in range(5)] + [(500 + i, -2) for i in range(5)],
+            "k long, v long",
+        ),
+        ["k"],
+    ).collect()
+
+    batch = spark.createDataFrame(
+        [(150 + i, -1) for i in range(5)] + [(500 + i, -2) for i in range(5)],
+        "k long, v long",
+    )
+    res = tbl.upsert_matching(batch, on="k")
+    # Straddling envelope [150, 504]: only the middle segment intersects
+    # the batch's ACTUAL keys — the [0,100) and [200,300) segments must
+    # survive by name even though 200..299 sits inside the envelope.
+    names_before = [s.split("/")[-1] for s in segs_before]
+    assert res["rewritten"] == [names_before[1]]
+    assert set(res["survivors"]) == {names_before[0], names_before[2]}
+    segs_after = {s.split("/")[-1] for s in tbl.segments()}
+    assert {names_before[0], names_before[2]} <= segs_after
+    assert names_before[1] not in segs_after
+    assert sorted(map(tuple, tbl.read().collect())) == sorted(map(tuple, expected))
+    assert tbl.read().count() == 305  # 300 - 5 updated + 5 updated + 5 new
+
+    # The batch segment carries min/max stats on k, so the NEXT merge
+    # prunes against it: keys in [700, 704] touch nothing -> pure append,
+    # every live segment survives by name.
+    segs_before2 = {s.split("/")[-1] for s in tbl.segments()}
+    res2 = tbl.upsert_matching(
+        spark.createDataFrame([(700 + i, -3) for i in range(5)], "k long, v long"),
+        on="k",
+    )
+    assert res2["rewritten"] == []
+    assert set(res2["survivors"]) == segs_before2
+    assert segs_before2 <= {s.split("/")[-1] for s in tbl.segments()}
+    assert tbl.read().count() == 310
+
+    # Empty batch: metadata no-op — no new generation, no rewrites.
+    gen_before = tbl.history()[-1]
+    res3 = tbl.upsert_matching(tbl.read().limit(0), on="k")
+    assert res3["rewritten"] == [] and res3["appended"] is None
+    assert tbl.history()[-1] == gen_before
+
+    # Without order_col, distinct same-key rows BOTH land (upsert()'s
+    # reference SELECT DISTINCT semantics)...
+    tbl.upsert_matching(
+        spark.createDataFrame([(700, 111), (700, 222)], "k long, v long"),
+        on="k",
+    )
+    assert tbl.read().where("k = 700").count() == 2
+    # ...while order_col picks the latest batch row per key.
+    tbl2 = ParquetTable(spark, str(tmp_path / "um2"))
+    tbl2.upsert_matching(
+        spark.createDataFrame(
+            [(1, 111, 1), (1, 222, 2)], "k long, v long, seq long"
+        ),
+        on="k",
+        order_col="seq",
+    )
+    assert [tuple(r) for r in tbl2.read().collect()] == [(1, 222, 2)]
