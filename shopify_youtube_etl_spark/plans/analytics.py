@@ -5961,7 +5961,6 @@ def incremental_component_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     Pytest adds a state poison and a planted batch order that BRIDGES
     two history components (tests/test_analytics.py)."""
     from shopify_youtube_etl_spark.operators.components import connected_components
-    from shopify_youtube_etl_spark.operators.upsert import upsert as _upsert
 
     split = _ccl_split(spark, sf_dir)
     li = (
@@ -5984,7 +5983,7 @@ def incremental_component_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         base = connected_components(
             _bulk_star_edges(li.where(F.col("o") < split)), nodes
         )
-        state.overwrite(base)
+        state.overwrite(base, stats_cols=["node"])
 
     batch_edges = _bulk_star_edges(li.where(F.col("o") >= split))
     cur = state.read()
@@ -6011,7 +6010,13 @@ def incremental_component_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         cur.join(F.broadcast(mapping), cur["label"] == mapping["old_label"])
         .select("node", F.col("new_label").alias("label"))
     )
-    state.overwrite(_upsert(cur, relabeled, ["node"]))
+    # Segment-pruned keyed MERGE (r7 verdict #1): only state segments
+    # whose node envelope a relabeled node actually hits are rewritten;
+    # every other (node, label) segment survives in the manifest by
+    # name — the write is O(touched segments + batch), matching the
+    # O(batch + touched components) compute.  An empty relabel batch
+    # (no merging edges) is a metadata no-op instead of a full rewrite.
+    state.upsert_matching(relabeled, ["node"])
 
     sizes = state.read().groupBy("label").agg(F.count("*").alias("component_size"))
     return sizes.groupBy("component_size").agg(

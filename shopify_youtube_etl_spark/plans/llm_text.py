@@ -2920,18 +2920,18 @@ def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = _funnel_split(spark, sf_dir)
     idx = _bm25_index_tables(spark, sf_dir, split)
 
-    from shopify_youtube_etl_spark.operators.upsert import upsert as _upsert
-
     if idx["postings"].current_manifest() is None:
         base_tf, base_dl = _index_rows(docs.where(F.col("doc_id") < split))
-        idx["postings"].overwrite(base_tf)
-        idx["doclen"].overwrite(base_dl)
+        idx["postings"].overwrite(base_tf, stats_cols=["doc_id"])
+        idx["doclen"].overwrite(base_dl, stats_cols=["doc_id"])
 
     batch_tf, batch_dl = _index_rows(docs.where(F.col("doc_id") >= split))
-    idx["postings"].overwrite(
-        _upsert(idx["postings"].read(), batch_tf, ["doc_id", "token"])
-    )
-    idx["doclen"].overwrite(_upsert(idx["doclen"].read(), batch_dl, ["doc_id"]))
+    # Segment-pruned keyed MERGE (r7 verdict #1): batch doc_ids are all
+    # >= split while the base index segments record doc_id < split, so
+    # in steady state the base postings/norms survive in the manifest
+    # by name and the merge writes O(batch postings), never O(index).
+    idx["postings"].upsert_matching(batch_tf, ["doc_id", "token"])
+    idx["doclen"].upsert_matching(batch_dl, ["doc_id"])
 
     dl = idx["doclen"].read()
     tf = idx["postings"].read().where(F.col("token").isin(terms))

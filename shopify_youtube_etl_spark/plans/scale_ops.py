@@ -433,7 +433,7 @@ def _hll_state_table(spark: SparkSession, sf_dir: str, split: int):
 @query(
     "incremental_hll_maintenance",
     ref="sketch-state IVM — the incremental_rollup_maintenance pattern applied to MERGEABLE SKETCHES: per-day HLL state + batch-delta sketches unioned, never a raw re-scan; exact estimate equality with the full recompute pinned in pytest (HLL union is associative)",
-    doc="Per-day distinct-user estimates maintained incrementally: persisted history sketches (event_id < 80% split) unioned with batch-delta sketches; rows-only (Datasketches binary not oracle-portable); full-recompute equality and state-genuinely-read pinned in tests/test_scale.py.",
+    doc="Per-day distinct-user estimates maintained incrementally: persisted history sketches (event_id < 80% split) unioned with batch-delta sketches for the batch's days only, then merged back via the segment-pruned keyed upsert (untouched day segments survive by name); rows-only (Datasketches binary not oracle-portable); full-recompute equality, state-genuinely-read, and O(batch-days) write shape pinned in tests/test_scale.py.",
     oracle=None,
 )
 def incremental_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,7 +467,7 @@ def incremental_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("day")
             .agg(F.hll_sketch_agg("user_id").alias("sk"))
         )
-        st.overwrite(hist)
+        st.overwrite(hist, stats_cols=["day"])
     batch = (
         t(spark, sf_dir, "events")
         .where(F.col("event_id") >= split)
@@ -475,16 +475,25 @@ def incremental_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
     )
-    merged = (
+    # True sketch-state IVM (r7 verdict #1): union the batch's delta
+    # sketches with the persisted sketches FOR THE BATCH'S DAYS ONLY
+    # (broadcast semi join — batch-bounded), then MERGE just those day
+    # rows back via the segment-pruned keyed upsert.  Day segments the
+    # batch doesn't touch survive in the manifest by name, so the write
+    # is O(batch days), never O(history days) — and because HLL union
+    # is idempotent (re-unioning the same users leaves the registers
+    # unchanged), re-running the merge is a no-op by value.
+    touched = (
         st.read()
+        .join(F.broadcast(batch.select("day")), "day", "left_semi")
         .select("day", "sk")
         .unionByName(batch)
         .groupBy("day")
         .agg(F.hll_union_agg("sk").alias("sk"))
     )
+    st.upsert_matching(touched, ["day"])
     return (
-        merged.select(
-            "day", F.hll_sketch_estimate("sk").cast("long").alias("users_est")
-        )
+        st.read()
+        .select("day", F.hll_sketch_estimate("sk").cast("long").alias("users_est"))
         .orderBy("day")
     )

@@ -1186,11 +1186,36 @@ def test_bm25_incremental_index_equals_from_scratch(spark, sf_dir):
         for r in specs["bm25_incremental_index"].fn(spark, sf_dir).collect()
     ]
     assert served == scratch
+
+    # Steady-state write shape (r7 verdict #1): the warm re-merge's
+    # batch doc_ids are all >= split while the base index segments
+    # record doc_id < split, so every base segment must survive the
+    # second run in the manifest BY NAME — the merge writes O(batch),
+    # never O(index).
+    from shopify_youtube_etl_spark.plans import llm_text as lt
+
+    split = lt._funnel_split(spark, sf_dir)
+    idx = lt._bm25_index_tables(spark, sf_dir, split)
+
+    def base_segments(tbl):
+        return {
+            s
+            for s in tbl.segments()
+            if (tbl._segment_stats(s) or {}).get("doc_id", {}).get("max", split)
+            < split
+        }
+
+    before = {k: base_segments(idx[k]) for k in ("postings", "doclen")}
+    assert all(before.values()), "expected stats-bearing base segments"
     warm = [
         tuple(r)
         for r in specs["bm25_incremental_index"].fn(spark, sf_dir).collect()
     ]
     assert warm == scratch
+    for k in ("postings", "doclen"):
+        assert before[k] <= set(idx[k].segments()), (
+            f"base {k} segments were rewritten by a disjoint batch merge"
+        )
 
 
 def test_grid_knee_tracks_exact_knee(spark, sf_dir):
