@@ -56,298 +56,293 @@ _CANARIES = [
 # Queries surfaced FIRST in ``all_queries()`` iteration order.
 #
 # The per-round correctness harness samples queries in registration order
-# with a bounded window (observed: first ~50).  Union coverage across
-# rounds spans the whole registry only if never-verified queries lead and
-# already-verified queries rotate through by staleness.  Names listed
-# here must exist in the registry (enforced in ``all_queries``) so a
-# rename can't silently drop a query out of the priority window;
-# tests/test_plans.py globs CORRECTNESS_r*.json so the ordering can't
-# silently go stale.
-# Re-sorted for round 7 against CORRECTNESS_r06.json (r6 verdict #1):
-# canaries, then the never-verified tail, then every verified query
-# ordered by STALENESS (oldest external record first) so the driver's
-# bounded window always re-checks the rows most at risk of silent rot.
+# with a bounded window (observed: first ~50).  With 275/275 union
+# coverage reached in round 7, the priority is now a pure STALENESS
+# rotation (r7 verdict #2): canaries stay pinned, any never-verified
+# newcomer leads, and every verified query follows ordered by the round
+# of its most recent external record (oldest first, ties by name) — so
+# each round's bounded window re-greens the records most at risk of
+# silent rot under an evolved codebase.  Names listed here must exist in
+# the registry (enforced in ``all_queries``) so a rename can't silently
+# drop a query out of the priority window; tests/test_plans.py globs
+# CORRECTNESS_r*.json so the ordering can't silently go stale.
+# Re-sorted for round 8 against CORRECTNESS_r01-r07 latest-green rounds.
 _DRIVER_PRIORITY = _CANARIES + [
-    # --- never externally verified: round-7 additions ---
-    "incremental_attribution_revenue",
-    "copurchase_components",
-    "incremental_cluster_maintenance",
-    "incremental_component_maintenance",
-    # --- never externally verified (no CORRECTNESS_r01-r06 row):
-    # the 38 round-6-session-4 queries that landed after the r06
-    # window ran -- verifying these completes 271/271 union coverage
-    # (each already judge-verified hash-green, VERDICT r6).
-    "ansi_safe_arithmetic",
-    "seasonal_decompose_daily",
-    "market_basket_lift",
-    "skyline_pareto_parts",
-    "matryoshka_truncation_recall",
-    "rrf_hybrid_retrieval",
-    "cusum_daily_drift",
-    "gini_segment_inequality",
-    "ab_test_conversion",
-    "benford_law_audit",
-    "chi_square_independence",
-    "bm25_incremental_index",
-    "ndcg_retrieval_eval",
-    "quality_threshold_knee",
-    "quality_knee_quantile_grid",
-    "survivorship_golden_record",
-    "sql_scalar_udf_revenue",
-    "dictionary_encode_types",
-    "conversion_lag_percentiles",
-    "equi_depth_histogram",
-    "robust_trend_theil_sen",
-    "winsorized_mean_profile",
-    "allocation_proportional",
-    "bom_explosion",
-    "rfm_segmentation",
-    "percent_of_parent_share",
-    "price_elasticity_by_brand",
-    "window_funnel_depths",
-    "cohort_ltv_curve",
-    "exact_stratified_split_manifest",
-    "position_based_attribution",
-    "lorenz_curve_points",
-    "hhi_market_concentration",
-    "new_vs_returning_revenue",
-    "duplicate_payment_audit",
-    "pvm_decomposition",
-    "supply_concentration_risk",
-    "order_cycle_time_percentiles",
-    # --- stalest verified: last external record in round 1 ---
-    "tumbling_window_15m",
-    # --- stalest verified: last external record in round 2 ---
-    "filter_conjunction",
-    "scalar_functions",
+    # --- last external record: round 2 ---
+    "approx_distinct_profile",
+    "array_functions",
+    "asof_click_attribution",
+    "below_avg_quantity_revenue",
+    "cube_status_priority",
+    "customers_without_orders",
+    "datetime_functions",
+    "day_over_day_delta",
     "distinct_projection",
     "duplicate_inspection",
-    "events_daily_rollup",
-    "status_priority_rollup",
-    "approx_distinct_profile",
-    "customers_without_orders",
-    "orders_without_lineitems",
-    "star_join_revenue_by_nation",
-    "latest_event",
-    "topk_orders",
-    "latest_order_per_customer",
-    "keep_first_dedup",
-    "union_append",
-    "cube_status_priority",
-    "grouping_sets_revenue",
-    "running_revenue_by_day",
-    "day_over_day_delta",
-    "ranked_customers_per_segment",
-    "pivot_status_counts",
-    "percentile_order_value",
-    "asof_click_attribution",
-    "range_join_value_bands",
-    "union_distinct_active_keys",
-    "intersect_repeat_buyers",
-    "except_churned_buyers",
-    "below_avg_quantity_revenue",
-    "order_count_distribution",
-    "sql_nation_rank",
-    "moving_average_7d",
     "edit_distance_pairs",
-    "datetime_functions",
-    "array_functions",
-    "json_extraction",
-    "stats_profile",
-    "posexplode_tokens",
-    "semi_join_urgent_customers",
-    "nested_explode_roundtrip",
+    "events_daily_rollup",
+    "except_churned_buyers",
     "explode_outer_guard",
-    "struct_extract_roundtrip",
-    "json_roundtrip_ingest",
-    "upsert_idempotency",
-    "verify_uniqueness",
-    "verify_fk_integrity",
+    "grouping_sets_revenue",
     "incremental_rollup_merge",
-    # --- stalest verified: last external record in round 3 ---
-    "run_ledger_daily_summary",
-    "sliding_window_30m_15m",
-    "session_window_30m",
-    "interval_join_clicks_before_purchase",
-    "dedup_exact",
-    "doc_fingerprint",
-    "lang_id_confusion",
-    "quality_scores",
-    "stable_sample_split",
-    "doc_chunking",
-    "tfidf_top_terms",
-    "pii_redaction",
-    "stratified_sample_by_lang",
-    "groupwise_quality_zscore",
-    "sequence_packing",
-    "mixture_rebalance",
-    "source_lang_entropy",
-    "vocab_top_tokens",
-    "embedding_near_dup",
-    "embedding_lsh_neardup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_neardup",
-    "simhash_neardup",
-    "char_ngram_neardup",
-    "benchmark_contamination",
-    "repetition_profile",
-    "neardup_components",
+    "intersect_repeat_buyers",
+    "json_extraction",
+    "json_roundtrip_ingest",
+    "keep_first_dedup",
+    "latest_event",
+    "latest_order_per_customer",
+    "moving_average_7d",
+    "nested_explode_roundtrip",
+    "order_count_distribution",
+    "orders_without_lineitems",
+    "percentile_order_value",
+    "pivot_status_counts",
+    "posexplode_tokens",
+    "range_join_value_bands",
+    "ranked_customers_per_segment",
+    "running_revenue_by_day",
+    "scalar_functions",
+    "semi_join_urgent_customers",
+    "sql_nation_rank",
+    "star_join_revenue_by_nation",
+    "stats_profile",
+    "status_priority_rollup",
+    "struct_extract_roundtrip",
+    "topk_orders",
+    "union_append",
+    "union_distinct_active_keys",
+    "upsert_idempotency",
+    "verify_fk_integrity",
+    "verify_uniqueness",
+    # --- last external record: round 3 ---
     "ann_ivf_topk",
-    "media_payload_features",
-    "media_frame_sample",
-    "resize_media",
-    "pagestore_ingest",
-    "pagestore_distributed_ingest",
-    "stateful_user_totals",
-    "salted_join_revenue",
-    "funnel_conversion",
-    "rolling_distinct_users_7d",
-    "lateral_top3_orders_per_customer",
-    "bigram_top_terms",
-    "token_length_histogram",
-    "dedup_representative_pick",
     "anti_join_decontaminate",
-    "embedding_centroid_per_label",
-    "knn_label_accuracy",
+    "benchmark_contamination",
+    "bigram_top_terms",
+    "char_ngram_neardup",
     "csv_roundtrip_ingest",
-    "tpch_q1_pricing_summary",
-    "order_value_extremes_per_segment",
+    "dedup_exact",
+    "dedup_representative_pick",
+    "doc_chunking",
+    "doc_fingerprint",
+    "embedding_centroid_per_label",
+    "embedding_lsh_neardup",
+    "embedding_near_dup",
     "except_all_multiset_diff",
-    # --- stalest verified: last external record in round 4 ---
-    "reconcile_tables",
-    "scd2_status_history",
-    "temperature_resample_weights",
-    "leakage_safe_split",
-    "zorder_locality_profile",
-    "orc_roundtrip_ingest",
-    "bloom_prefilter_join",
-    "pagerank_nation_trade",
-    "weighted_sample_per_group",
-    "approx_quantiles_profile",
-    "gap_fill_daily_revenue",
-    "cohort_retention",
-    "event_transition_matrix",
-    "regr_price_by_size",
-    "ntile_value_quartiles",
-    "unpivot_part_metrics",
-    "iqr_outlier_profile",
-    "value_histogram",
-    "triangle_count_copurchase",
-    "bigram_pmi_top",
-    "key_skew_profile",
-    "hll_daily_users_rollup",
+    "funnel_conversion",
+    "groupwise_quality_zscore",
+    "interval_join_clicks_before_purchase",
+    "knn_label_accuracy",
+    "lang_id_confusion",
+    "lateral_top3_orders_per_customer",
+    "media_frame_sample",
+    "media_payload_features",
+    "minhash_lsh_neardup",
+    "mixture_rebalance",
+    "neardup_components",
+    "ngram_jaccard_pairs",
+    "order_value_extremes_per_segment",
+    "pagestore_distributed_ingest",
+    "pagestore_ingest",
+    "pii_redaction",
+    "quality_scores",
+    "repetition_profile",
+    "resize_media",
+    "rolling_distinct_users_7d",
+    "run_ledger_daily_summary",
+    "salted_join_revenue",
+    "sequence_packing",
+    "session_window_30m",
+    "simhash_neardup",
+    "sliding_window_30m_15m",
+    "source_lang_entropy",
+    "stable_sample_split",
+    "stateful_user_totals",
+    "stratified_sample_by_lang",
+    "tfidf_top_terms",
+    "token_length_histogram",
+    "tpch_q1_pricing_summary",
+    "vocab_top_tokens",
+    # --- last external record: round 4 ---
     "adaptive_join_revenue",
+    "approx_quantiles_profile",
+    "bigram_pmi_top",
+    "bloom_prefilter_join",
     "bpe_sequence_packing",
-    "quality_quantile_filter",
-    "cross_source_dup_matrix",
-    "containment_pairs",
-    "tpch_q3_shipping_priority",
-    "tpch_q18_large_orders",
-    "daily_anomaly_mad",
-    "int8_ann_topk",
-    "embedding_norm_profile",
-    "source_token_kl",
-    "deletion_propagation_report",
-    "segment_price_quantiles",
-    "schema_evolution_union",
-    "partition_pruned_ingest",
-    "incremental_dedup_report",
-    "tpch_q5_local_supplier_volume",
     "cdc_apply_changes",
-    "scd2_pointintime_join",
-    "expectations_report",
-    "tpch_q10_returned_items",
+    "cohort_retention",
+    "containment_pairs",
+    "cross_source_dup_matrix",
+    "daily_anomaly_mad",
+    "deletion_propagation_report",
+    "embedding_norm_profile",
+    "event_transition_matrix",
     "exists_late_shipment_priority",
-    # --- stalest verified: last external record in round 5 ---
+    "expectations_report",
+    "gap_fill_daily_revenue",
+    "hll_daily_users_rollup",
+    "incremental_dedup_report",
+    "int8_ann_topk",
+    "iqr_outlier_profile",
+    "key_skew_profile",
+    "leakage_safe_split",
+    "ntile_value_quartiles",
+    "orc_roundtrip_ingest",
+    "pagerank_nation_trade",
+    "partition_pruned_ingest",
+    "quality_quantile_filter",
+    "reconcile_tables",
+    "regr_price_by_size",
+    "scd2_pointintime_join",
+    "scd2_status_history",
+    "schema_evolution_union",
+    "segment_price_quantiles",
+    "source_token_kl",
+    "temperature_resample_weights",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "triangle_count_copurchase",
+    "unpivot_part_metrics",
+    "value_histogram",
+    "weighted_sample_per_group",
+    "zorder_locality_profile",
+    # --- last external record: round 5 ---
     "acctbal_rank_profile",
-    "duplicated_span_profile",
-    "snapshot_time_travel",
-    "pagestore_stream_ingest",
-    "expectation_gated_ingest",
-    "stateful_sessionize",
-    "unigram_logprob_score",
-    "bpe_train_merges",
-    "pq_ann_topk",
-    "interval_left_join_attribution",
-    "theta_audience_overlap",
-    "kll_daily_value_quantiles",
-    "recursive_nation_reach",
-    "pagestore_write_roundtrip",
-    "hashed_linear_quality_score",
-    "table_change_feed",
-    "two_level_window_hourly",
-    "media_payload_dedup",
-    "dynamic_partition_overwrite",
-    "bpe_encode_stats",
-    "semantic_cluster_dedup",
-    "segment_skipping_scan",
-    "pagestore_stream_sink_roundtrip",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_revenue",
-    "zipf_alpha_fit",
-    "range_sorted_layout",
-    "observed_pipeline_metrics",
     "bloom_indexed_point_lookup",
+    "bm25_search_topk",
+    "bpe_encode_stats",
+    "bpe_train_merges",
+    "duplicated_span_profile",
+    "dynamic_partition_overwrite",
+    "expectation_gated_ingest",
+    "hashed_linear_quality_score",
+    "incremental_rollup_maintenance",
+    "interval_left_join_attribution",
+    "kll_daily_value_quantiles",
+    "media_header_decode",
+    "media_payload_dedup",
+    "observed_pipeline_metrics",
+    "pagestore_stream_ingest",
+    "pagestore_stream_sink_roundtrip",
+    "pagestore_write_roundtrip",
+    "pq_ann_topk",
+    "range_sorted_layout",
+    "recursive_nation_reach",
+    "repeated_span_removal",
+    "segment_skipping_scan",
+    "semantic_cluster_dedup",
+    "snapshot_time_travel",
+    "stateful_sessionize",
+    "table_change_feed",
+    "targeted_reprocess",
+    "theta_audience_overlap",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_rich_customers",
-    "media_header_decode",
-    "repeated_span_removal",
-    "targeted_reprocess",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
     "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    "incremental_rollup_maintenance",
-    "bm25_search_topk",
-    # --- stalest verified: last external record in round 6 ---
-    "fuzzy_blocked_join",
-    "ivfpq_ann_topk",
-    "curation_funnel_report",
-    "erasure_cascade_apply",
-    "clustered_range_scan",
-    "pq_train_codebooks",
-    "ivf_train_centroids",
-    "tpch_q2_real",
-    "tpch_q11_real",
-    "tpch_q16_supplier_counts",
-    "tpch_q20_surplus_suppliers",
-    "tpch_q9_product_profit",
-    "incremental_curation_funnel",
-    "ivf_incremental_assign",
-    "zorder_multidim_scan",
-    "tpch_q4_priority_census",
-    "tpch_q12_late_lines_by_class",
-    "embedding_decontamination",
-    "column_profile_orders",
-    "incremental_funnel_two_batch",
-    "two_stage_distinct_daily_users",
-    "table_file_audit",
-    "pagestore_pruned_ingest",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "two_level_window_hourly",
+    "unigram_logprob_score",
+    "zipf_alpha_fit",
+    # --- last external record: round 6 ---
     "approx_top_terms_sketch",
-    "variant_json_analytics",
-    "stream_state_inspection",
-    "pipe_syntax_revenue",
-    "xml_roundtrip_ingest",
-    "stream_stream_join_attribution",
-    "param_sql_segment_topk",
-    "udtf_burst_sessions",
-    "sql_script_recent_rollup",
-    "ivf_hot_cell_split",
+    "arrow_native_quant_error",
     "bigram_lm_heldout_ppl",
-    "pseudonymize_join_integrity",
+    "clustered_range_scan",
+    "collated_cross_source_census",
+    "column_profile_orders",
+    "curation_funnel_report",
+    "debounce_events",
+    "embedding_decontamination",
+    "erasure_cascade_apply",
+    "fuzzy_blocked_join",
+    "incremental_curation_funnel",
+    "incremental_funnel_two_batch",
     "incremental_hll_maintenance",
+    "ivf_hot_cell_split",
+    "ivf_incremental_assign",
+    "ivf_train_centroids",
+    "ivfpq_ann_topk",
     "ivfpq_code_refresh",
     "linear_attribution_revenue",
-    "top_event_paths",
-    "collated_cross_source_census",
-    "debounce_events",
-    "weighted_median_price",
-    "arrow_native_quant_error",
+    "pagestore_pruned_ingest",
+    "param_sql_segment_topk",
+    "pipe_syntax_revenue",
+    "pq_train_codebooks",
+    "pseudonymize_join_integrity",
+    "sql_script_recent_rollup",
+    "stream_state_inspection",
+    "stream_stream_join_attribution",
     "subject_access_report",
+    "table_file_audit",
+    "top_event_paths",
+    "tpch_q11_real",
+    "tpch_q12_late_lines_by_class",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_surplus_suppliers",
+    "tpch_q2_real",
+    "tpch_q4_priority_census",
+    "tpch_q9_product_profit",
+    "two_stage_distinct_daily_users",
+    "udtf_burst_sessions",
+    "variant_json_analytics",
+    "weighted_median_price",
+    "xml_roundtrip_ingest",
+    "zorder_multidim_scan",
+    # --- last external record: round 7 ---
+    "ab_test_conversion",
+    "allocation_proportional",
+    "ansi_safe_arithmetic",
+    "benford_law_audit",
+    "bm25_incremental_index",
+    "bom_explosion",
+    "chi_square_independence",
+    "cohort_ltv_curve",
+    "conversion_lag_percentiles",
+    "copurchase_components",
+    "cusum_daily_drift",
+    "dictionary_encode_types",
+    "duplicate_payment_audit",
+    "equi_depth_histogram",
+    "exact_stratified_split_manifest",
+    "filter_conjunction",
+    "gini_segment_inequality",
+    "hhi_market_concentration",
+    "incremental_attribution_revenue",
+    "incremental_cluster_maintenance",
+    "incremental_component_maintenance",
+    "lorenz_curve_points",
+    "market_basket_lift",
+    "matryoshka_truncation_recall",
+    "ndcg_retrieval_eval",
+    "new_vs_returning_revenue",
+    "order_cycle_time_percentiles",
+    "percent_of_parent_share",
+    "position_based_attribution",
+    "price_elasticity_by_brand",
+    "pvm_decomposition",
+    "quality_knee_quantile_grid",
+    "quality_threshold_knee",
+    "rfm_segmentation",
+    "robust_trend_theil_sen",
+    "rrf_hybrid_retrieval",
+    "seasonal_decompose_daily",
+    "skyline_pareto_parts",
+    "sql_scalar_udf_revenue",
+    "supply_concentration_risk",
+    "survivorship_golden_record",
+    "tumbling_window_15m",
+    "window_funnel_depths",
+    "winsorized_mean_profile",
 ]
 
 
