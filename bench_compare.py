@@ -59,7 +59,9 @@ DISPOSITIONS = {
     "ivfpq_code_refresh": (
         "host-variance (r7): 6-rep floor 3.22s vs r06 2.58s, no code "
         "change to the refresh; it consumes the split artifact, whose "
-        "r7 rewrite produces identical membership (pinned)."
+        "r7 rewrite is pinned self-consistent (rerun-identical); vs the "
+        "old numpy path membership is equal up to floating-point "
+        "tie-breaks (sequential vs pairwise summation ulps)."
     ),
     "bm25_incremental_index": (
         "host-variance (r7): 6-rep floor 2.10s vs r06 1.58s, no code "

@@ -764,6 +764,30 @@ def pagestore_pruned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CP_SWEEP_AGE_S = 1800.0  # spent-checkpoint grace period
+
+
+def _sweep_spent_checkpoints(staging_dir: str) -> None:
+    """Remove SPENT per-invocation streaming checkpoints from a shared
+    staging dir.  Only checkpoints older than a grace period go
+    (ADVICE r7): a blanket sweep could delete a CONCURRENT invocation's
+    live checkpoint mid-drain.  Each drain takes seconds, so a cp dir
+    older than 30 minutes is abandoned with certainty; anything younger
+    is left for a later call to collect."""
+    import shutil
+    import time
+
+    cutoff = time.time() - _CP_SWEEP_AGE_S
+    for d in os.listdir(staging_dir):
+        full = os.path.join(staging_dir, d)
+        if d.startswith("cp") and os.path.isdir(full):
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+            except FileNotFoundError:
+                pass  # a peer swept it first
+
+
 @query(
     "stream_state_inspection",
     ref="§2.10 operations extension — Spark 4 state-store reader: the streaming checkpoint's internal state as a queryable DataFrame",
@@ -801,26 +825,26 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate's state-store width is sized for the drain (8) rather
     than inherited from the batch session — fewer state files to
     commit AND to read back."""
-    import shutil
-
     from shopify_youtube_etl_spark.plans.common import (
         mark_staged,
         persistent_staging_dir,
+        staging_lock,
     )
 
     tmp, staged = persistent_staging_dir("statereader", sf_dir)
     src = f"{tmp}/src"
     if not staged:
-        (
-            t(spark, sf_dir, "events")
-            .select("user_id", "value")
-            .write.mode("overwrite")
-            .json(src)
-        )
-        mark_staged(tmp)
-    for d in os.listdir(tmp):
-        if d.startswith("cp"):
-            shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+        with staging_lock(tmp):  # double-checked: a peer may have staged
+            _, staged = persistent_staging_dir("statereader", sf_dir)
+            if not staged:
+                (
+                    t(spark, sf_dir, "events")
+                    .select("user_id", "value")
+                    .write.mode("overwrite")
+                    .json(src)
+                )
+                mark_staged(tmp)
+    _sweep_spent_checkpoints(tmp)
     cp = f"{tmp}/cp_{uuid.uuid4().hex[:8]}"
 
     stream = spark.readStream.schema("user_id BIGINT, value DOUBLE").json(src)
@@ -897,37 +921,37 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     (fresh checkpoint + the availableNow drain).  The checkpoint is
     per-invocation by necessity: reusing one would resume from committed
     offsets and emit nothing; spent ones are swept on entry."""
-    import shutil
-
     from shopify_youtube_etl_spark.plans.common import (
         mark_staged,
         persistent_staging_dir,
+        staging_lock,
     )
     from shopify_youtube_etl_spark.plans.windows import interval_join_builder
 
     tmp, staged = persistent_staging_dir("ssjoin", sf_dir)
     src = f"{tmp}/src"
     if not staged:
-        (
-            t(spark, sf_dir, "events")
-            .where(
-                F.col("ts").isNotNull()
-                & F.col("user_id").isNotNull()
-                & F.col("event_type").isNotNull()
-            )
-            .select(
-                "event_id",
-                "user_id",
-                "event_type",
-                F.unix_micros("ts").alias("ts_us"),
-            )
-            .write.mode("overwrite")
-            .json(src)
-        )
-        mark_staged(tmp)
-    for d in os.listdir(tmp):
-        if d.startswith("cp"):
-            shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+        with staging_lock(tmp):  # double-checked: a peer may have staged
+            _, staged = persistent_staging_dir("ssjoin", sf_dir)
+            if not staged:
+                (
+                    t(spark, sf_dir, "events")
+                    .where(
+                        F.col("ts").isNotNull()
+                        & F.col("user_id").isNotNull()
+                        & F.col("event_type").isNotNull()
+                    )
+                    .select(
+                        "event_id",
+                        "user_id",
+                        "event_type",
+                        F.unix_micros("ts").alias("ts_us"),
+                    )
+                    .write.mode("overwrite")
+                    .json(src)
+                )
+                mark_staged(tmp)
+    _sweep_spent_checkpoints(tmp)
 
     def side(event_type: str) -> DataFrame:
         return (

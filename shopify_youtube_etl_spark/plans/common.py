@@ -42,16 +42,41 @@ def staging_dir(kind: str, sf_dir: str) -> str:
     return d
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of a testdata corpus: name, size, and
+    mtime of every parquet file under ``sf_dir``.  O(#files) stats, no
+    data read — enough to catch the real hazard (ADVICE r7): the SAME
+    path regenerated with different contents (a rebuilt SF1 dir, fresh
+    testdata), which a path-keyed marker would silently serve stale."""
+    import hashlib
+    import os
+
+    parts = []
+    try:
+        for f in sorted(os.listdir(sf_dir)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    except FileNotFoundError:
+        parts.append("missing")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def persistent_staging_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
     """Content-keyed staging that SURVIVES across invocations (the ANN
     artifact discipline applied to staged source drops): returns
     ``(dir, already_staged)``.  The caller writes its stage only when
     ``already_staged`` is False and must call ``mark_staged(dir)`` after
-    a complete write — a crash mid-stage leaves no marker, so the next
-    call re-stages instead of reading a torn drop.  Keyed on sf_dir like
-    the ANN artifacts: a different corpus gets a different dir; the same
+    a complete write — a crash mid-stage leaves no (valid) marker, so
+    the next call re-stages instead of reading a torn drop.  The dir is
+    keyed on the sf_dir PATH; the ``_STAGED`` marker additionally
+    records the corpus FINGERPRINT (file names/sizes/mtimes), so a
+    corpus regenerated in place at the same path invalidates the stage
+    instead of silently serving the old drop (ADVICE r7).  The same
     corpus pays the data-proportional staging write ONCE per host, not
-    once per query call (r6 verdict #8)."""
+    once per query call (r6 verdict #8).  Concurrent stagers of the
+    same dir should wrap the write+mark in ``staging_lock`` and
+    re-check ``already_staged`` under the lock."""
     import hashlib
     import os
     import tempfile
@@ -59,14 +84,64 @@ def persistent_staging_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"sye_{kind}_{key}")
     os.makedirs(d, exist_ok=True)
-    return d, os.path.exists(os.path.join(d, "_STAGED"))
+    fp = _corpus_fingerprint(sf_dir)
+    _PENDING_FP[d] = fp
+    try:
+        with open(os.path.join(d, "_STAGED")) as fh:
+            # A legacy "ok" marker (pre-fingerprint) re-stages once.
+            return d, fh.read().strip() == fp
+    except FileNotFoundError:
+        return d, False
+
+
+# Fingerprint computed by the last persistent_staging_dir call per dir,
+# consumed by mark_staged (same process, same call site).
+_PENDING_FP: dict[str, str] = {}
 
 
 def mark_staged(d: str) -> None:
+    """Publish the stage: write the corpus fingerprint atomically (tmp
+    file + rename) so a concurrent reader never sees a torn marker."""
     import os
+    import uuid
 
-    with open(os.path.join(d, "_STAGED"), "w") as fh:
-        fh.write("ok\n")
+    tmp = os.path.join(d, f"_STAGED.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(_PENDING_FP.get(d, "ok") + "\n")
+    os.replace(tmp, os.path.join(d, "_STAGED"))
+
+
+class staging_lock:
+    """Exclusive flock over a staging dir for the write+mark critical
+    section (ADVICE r7: two concurrent invocations could read a
+    half-written stage).  Usage::
+
+        tmp, staged = persistent_staging_dir(kind, sf_dir)
+        if not staged:
+            with staging_lock(tmp):
+                _, staged = persistent_staging_dir(kind, sf_dir)
+                if not staged:          # double-checked: a peer may have
+                    ...write stage...   # finished while we waited
+                    mark_staged(tmp)
+    """
+
+    def __init__(self, d: str):
+        import os
+
+        self._path = os.path.join(d, "_STAGE_LOCK")
+        self._fh = None
+
+    def __enter__(self):
+        import fcntl
+
+        self._fh = open(self._path, "w")
+        fcntl.flock(self._fh, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        self._fh.close()
+        self._fh = None
+        return False
 
 
 # (sf_dir, name, parallelism) -> whether the scan needs spreading; the
