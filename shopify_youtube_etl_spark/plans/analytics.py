@@ -6022,3 +6022,154 @@ def incremental_component_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     return sizes.groupBy("component_size").agg(
         F.count("*").alias("n_components")
     )
+
+
+def _ccd_split(spark: SparkSession, sf_dir: str) -> int:
+    """Tombstone boundary for delete-capable component IVM: orders with
+    l_orderkey at or above the top 10% of the id range are the DELETED
+    batch (returns/erasures) — a fraction, not a constant, for the same
+    reason as _ccl_split."""
+    mx = (
+        t(spark, sf_dir, "lineitem")
+        .agg(F.max("l_orderkey").alias("m"))
+        .first()["m"]
+    )
+    return int((mx + 1) * 9 // 10) if mx is not None else 0
+
+
+def _ccd_state(spark: SparkSession, sf_dir: str, split: int):
+    import hashlib
+    import os
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    key = hashlib.md5(f"{sf_dir}|ccd|{split}".encode()).hexdigest()[:8]
+    return ParquetTable(
+        spark, os.path.join(tempfile.gettempdir(), f"sye_ccdivm_{key}")
+    )
+
+
+@query(
+    "incremental_component_delete",
+    ref="delete-capable graph IVM (r7 verdict #4) — edge REMOVALS can SPLIT components, which monotone merge-only IVM (incremental_component_maintenance) cannot express; the touched components are recomputed from the surviving edge set and every untouched component's labels persist; the oracle recomputes components from scratch over the post-delete edges, so a green row externally proves delete-maintenance ≡ rebuild",
+    doc="Component-size census of the bulk co-purchase graph AFTER a tombstone batch (orders in the top 10% of the id range are returned/erased), served from persisted (node, label) state: only components that lost an edge are recomputed from the surviving edges and relabeled via the segment-pruned keyed merge — byte-identical to the from-scratch recursive-CTE answer over the post-delete graph.",
+    oracle="""
+WITH RECURSIVE dsplit AS (
+    SELECT (max(l_orderkey) + 1) * 9 // 10 AS s FROM lineitem
+),
+li AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    FROM lineitem, dsplit WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      AND l_quantity >= 48 AND l_orderkey < dsplit.s
+),
+anchor AS (SELECT o, min(p) AS src FROM li GROUP BY o),
+e AS (
+    SELECT DISTINCT anchor.src, li.p AS dst
+    FROM li JOIN anchor USING (o) WHERE li.p <> anchor.src
+),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (
+    SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey IS NOT NULL
+),
+reach(node, lab) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.node
+),
+labels AS (SELECT node, min(lab) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label, count(*) AS sz FROM labels GROUP BY label)
+SELECT CAST(sz AS BIGINT)       AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz
+""",
+)
+def incremental_component_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feeds this engine applies carry DELETES
+    (apply_changes 'D', operators/upsert.py) — and edge removal is the
+    one graph mutation merge-monotone IVM cannot absorb, because losing
+    a bridge SPLITS a component.  The delete path bounds the damage to
+    the components that actually lost an edge:
+
+    * the tombstone batch's candidate edges (stars of the deleted
+      orders) are anti-joined against the SURVIVING edge set — an edge
+      also contributed by a surviving order is not really gone;
+    * the labels of the truly-deleted edges' endpoints name the
+      touched components (batch-bounded: <= 2 labels per deleted edge);
+    * ONLY those components' surviving edges and member nodes are
+      re-labeled from scratch (connected_components over the touched
+      subgraph — O(touched), never O(graph));
+    * the relabeled members merge back via the segment-pruned keyed
+      upsert; every untouched component's (node, label) rows — and at
+      scale, their state segments — persist by name.
+
+    The census aggregates STATE while the oracle recomputes components
+    over the post-delete edge set from scratch: a green row is the
+    external delete-maintenance ≡ rebuild proof.  A planted
+    bridge-delete (one tombstone order whose removal splits a
+    component in two) is pinned in tests/test_analytics.py.
+
+    Scale note: the surviving-star recompute here derives per-order
+    stars only for orders that still exist; at 100 TB the candidate
+    anti-join and the touched-subgraph filter are the only joins that
+    touch the edge universe, and both are key-pruned (order ids /
+    component labels)."""
+    from shopify_youtube_etl_spark.operators.components import connected_components
+
+    dsplit = _ccd_split(spark, sf_dir)
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_partkey").isNotNull()
+            & (F.col("l_quantity") >= 48)
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    nodes = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey").isNotNull())
+        .select("p_partkey")
+    )
+    state = _ccd_state(spark, sf_dir, dsplit)
+    if state.current_manifest() is None:
+        full = connected_components(_bulk_star_edges(li), nodes)
+        state.overwrite(full, stats_cols=["node"])
+
+    # Surviving edges are consumed twice (anti-join probe + touched-
+    # subgraph filter): checkpoint once so the star derivation runs once.
+    keep_edges = _bulk_star_edges(li.where(F.col("o") < dsplit)).localCheckpoint()
+    cand = _bulk_star_edges(li.where(F.col("o") >= dsplit))
+    deleted = cand.join(keep_edges, ["src", "dst"], "left_anti")
+
+    cur = state.read()
+    touched_labels = (
+        deleted.select(F.col("src").alias("node"))
+        .unionByName(deleted.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(cur, "node")
+        .select("label")
+        .distinct()
+        .localCheckpoint()  # two consumers: member pull + edge filter
+    )
+    touched_nodes = cur.join(F.broadcast(touched_labels), "label").select("node")
+    sub_edges = (
+        keep_edges.join(
+            cur.select(F.col("node").alias("src"), F.col("label").alias("src_lab")),
+            "src",
+        )
+        .join(
+            F.broadcast(touched_labels.withColumnRenamed("label", "src_lab")),
+            "src_lab",
+            "left_semi",
+        )
+        .select("src", "dst")
+    )
+    relabeled = connected_components(sub_edges, touched_nodes)
+    state.upsert_matching(relabeled, ["node"])
+
+    sizes = state.read().groupBy("label").agg(F.count("*").alias("component_size"))
+    return sizes.groupBy("component_size").agg(
+        F.count("*").alias("n_components")
+    )

@@ -859,36 +859,81 @@ def temperature_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-engine deterministic uniform for the weighted sampler: a
+# golden-ratio Weyl hash (Knuth multiplicative hashing) composed of
+# NOTHING but IEEE-754 double multiply/add/floor, which Spark and DuckDB
+# evaluate bit-identically — unlike xxhash64, which only Spark has.
+# Two mixing rounds decorrelate consecutive doc_ids; the GREATEST guard
+# keeps u strictly positive so -ln(u) is finite.
+_WS_PHI = "0.6180339887498949"
+_WS_SEED = "0.1370000000000000"
+
+
+def _weyl_uniform_spark(idcol: Column) -> Column:
+    x = idcol.cast("double") * F.lit(float(_WS_PHI))
+    f1 = x - F.floor(x)
+    y = f1 * F.lit(30269.0) + F.lit(float(_WS_SEED))
+    return F.greatest(y - F.floor(y), F.lit(1e-12))
+
+
+_WS_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(doc_id AS DOUBLE) * {_WS_PHI} AS x
+    FROM documents
+    WHERE n_chars > 0 AND doc_id IS NOT NULL
+),
+m AS (
+    SELECT doc_id, lang, n_chars,
+           (x - floor(x)) * 30269.0 + {_WS_SEED} AS y
+    FROM d
+),
+pri AS (
+    SELECT lang, doc_id, n_chars,
+           -ln(greatest(y - floor(y), 1e-12)) / CAST(n_chars AS DOUBLE) AS p
+    FROM m
+),
+rk AS (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS rank
+    FROM pri
+)
+SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars
+FROM rk WHERE rank <= 5
+"""
+
+
 @query(
     "weighted_sample_per_group",
-    ref="extension — Efraimidis-Spirakis weighted sampling, the seeded per-group draw a mixture builder uses (rows-only: the hash-uniform is engine-specific)",
-    doc="Deterministic weighted k=5 sample per lang, priority -ln(u)/w with u from xxhash64(doc_id); invariants pytest-checked.",
-    oracle=None,
+    ref="extension — Efraimidis-Spirakis weighted sampling, the seeded per-group draw a mixture builder uses; oracle-checked (r7 verdict #5): the hash-uniform is pure IEEE double arithmetic both engines reproduce bit-identically",
+    doc="Deterministic weighted k=5 sample per lang, priority -ln(u)/w with u from a golden-ratio Weyl hash of doc_id; DuckDB recomputes the identical sample.",
+    oracle=_WS_ORACLE,
 )
 def weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement, distributed and
-    REPRODUCIBLE: each doc draws priority ``-ln(u) / w`` where ``u``
-    is a uniform derived from ``xxhash64(doc_id, seed)`` — the
+    REPRODUCIBLE: each doc draws priority ``-ln(u) / w`` — the
     Efraimidis-Spirakis exponential trick — and the k smallest
-    priorities per group win.  Because u is content-addressed, the
-    sample is identical across runs, partitionings, and cluster
-    sizes — the property rand()-based sampling loses the moment AQE
-    re-splits a stage.  One window shuffle on (lang); at 100 TB the
-    rank-k cutoff per group can instead be a two-pass quantile probe,
-    but the window form is exact and the partition count per lang is
-    the corpus's lang cardinality, not row count."""
+    priorities per group win.  ``u`` is content-addressed from doc_id
+    via multiplicative (golden-ratio Weyl) hashing built from plain
+    IEEE double ops, so the sample is identical across runs,
+    partitionings, cluster sizes, AND engines — which upgrades this
+    from a rows-only check to a full value-hash oracle (r7 verdict
+    #5) and pins the sampler's distribution contract externally.
+    One window shuffle on (lang); at 100 TB the rank-k cutoff per
+    group can instead be a two-pass quantile probe, but the window
+    form is exact and the partition count per lang is the corpus's
+    lang cardinality, not row count."""
     # Efraimidis-Spirakis requires strictly positive weights: zero- or
     # null-weight docs are unsampleable by definition (and -ln(u)/0 is
     # an ANSI divide-by-zero), so they are excluded up front.
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id", "lang", "n_chars")
-        .where(F.col("n_chars") > 0)
+        .where((F.col("n_chars") > 0) & F.col("doc_id").isNotNull())
     )
-    u = (F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(1 << 31)) + 0.5) / F.lit(
-        float(1 << 31)
+    pri = -F.log(_weyl_uniform_spark(F.col("doc_id"))) / F.col("n_chars").cast(
+        "double"
     )
-    pri = -F.log(u) / F.col("n_chars").cast("double")
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(F.col("__pri").asc(), F.col("doc_id").asc())

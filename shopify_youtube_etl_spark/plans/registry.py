@@ -68,6 +68,8 @@ _CANARIES = [
 # CORRECTNESS_r*.json so the ordering can't silently go stale.
 # Re-sorted for round 8 against CORRECTNESS_r01-r07 latest-green rounds.
 _DRIVER_PRIORITY = _CANARIES + [
+    # --- never externally verified: round-8 additions ---
+    "incremental_component_delete",
     # --- last external record: round 2 ---
     "approx_distinct_profile",
     "array_functions",

@@ -505,3 +505,82 @@ def test_incremental_components_bridge_and_poison(spark, sf_dir, tmp_path):
     assert got == want
     for d in glob.glob(f"{tempfile.gettempdir()}/sye_cclivm_*"):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_component_delete_splits_and_consumes_state(
+    spark, sf_dir, tmp_path
+):
+    """Delete-capable graph IVM pins (r7 verdict #4): (1) a planted
+    tombstone order whose bridge edge is removed SPLITS one component
+    into two multi-node pieces, matching the from-scratch recursive-CTE
+    oracle over the post-delete edges; (2) an edge contributed by BOTH
+    a deleted and a surviving order survives (the candidate anti-join);
+    (3) poisoning the persisted labels changes the census — state is
+    consumed, not rebuilt."""
+    import glob
+    import shutil
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from shopify_youtube_etl_spark.plans import analytics as A
+
+    def census(sf):
+        return sorted(
+            (r["component_size"], r["n_components"])
+            for r in SPECS["incremental_component_delete"].fn(spark, sf).collect()
+        )
+
+    # Planted graph: history orders 1:(1,2), 2:(3,4), 3:(4,5); deleted
+    # orders 9:(2,3) [the bridge] and 10:(4,5) [duplicate of order 3's
+    # edge -- must survive the delete].  max=10 -> dsplit=9.
+    li_rows = [
+        (1, 1, 50.0), (1, 2, 50.0),
+        (2, 3, 50.0), (2, 4, 50.0),
+        (3, 4, 50.0), (3, 5, 50.0),
+        (9, 2, 50.0), (9, 3, 50.0),
+        (10, 4, 50.0), (10, 5, 50.0),
+        # sub-threshold line must NOT create (or delete) an edge
+        (9, 6, 1.0),
+    ]
+    pd.DataFrame(
+        li_rows, columns=["l_orderkey", "l_partkey", "l_quantity"]
+    ).to_parquet(str(tmp_path / "lineitem.parquet"))
+    pd.DataFrame({"p_partkey": [1, 2, 3, 4, 5, 6]}).to_parquet(
+        str(tmp_path / "part.parquet")
+    )
+    for d in glob.glob(f"{tempfile.gettempdir()}/sye_ccdivm_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    got = census(str(tmp_path))
+    # Pre-delete the graph is one component {1..5}; removing the bridge
+    # (2,3) splits it into {1,2} and {3,4,5}; part 6 is an isolate.
+    assert got == [(1, 1), (2, 1), (3, 1)]
+    con = duckdb.connect()
+    for name in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{name}.parquet')"
+        )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(SPECS["incremental_component_delete"].oracle).fetchall(),
+        )
+    )
+    assert got == want
+
+    # Poison: DROP the untouched isolate (node 6) from state.  The
+    # delete path recomputes only components that lost an edge, so a
+    # genuinely-read state keeps node 6 missing; a silent rebuild
+    # would resurrect it.  (Poisoning a TOUCHED component would
+    # legitimately self-heal — that's the recompute working.)
+    dsplit = A._ccd_split(spark, str(tmp_path))
+    state = A._ccd_state(spark, str(tmp_path), dsplit)
+    state.overwrite(state.read().where(F.col("node") != 6))
+    assert census(str(tmp_path)) == [(2, 1), (3, 1)], (
+        "dropped untouched node was rebuilt from raw edges"
+    )
+    for d in glob.glob(f"{tempfile.gettempdir()}/sye_ccdivm_*"):
+        shutil.rmtree(d, ignore_errors=True)
