@@ -70,6 +70,7 @@ _CANARIES = [
 _DRIVER_PRIORITY = _CANARIES + [
     # --- never externally verified: round-8 additions ---
     "incremental_component_delete",
+    "incremental_kll_maintenance",
     # --- last external record: round 2 ---
     "approx_distinct_profile",
     "array_functions",

@@ -497,3 +497,87 @@ def incremental_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.hll_sketch_estimate("sk").cast("long").alias("users_est"))
         .orderBy("day")
     )
+
+
+def _kll_state_table(spark: SparkSession, sf_dir: str, split: int):
+    import hashlib
+    import os
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    key = hashlib.md5(f"{sf_dir}|kll|{split}".encode()).hexdigest()[:8]
+    return ParquetTable(
+        spark, os.path.join(tempfile.gettempdir(), f"sye_kllstate_{key}")
+    )
+
+
+@query(
+    "incremental_kll_maintenance",
+    ref="sketch-state IVM completing the family (HLL/BM25/funnel/attribution/components/clustering all have one) — per-(batch, day) KLL quantile partials persisted as a ledger and merged at read; rows-only (sketch binaries not oracle-portable); error band vs exact percentiles, poison, idempotent re-merge, and history-segment-survives-by-name pinned in tests/test_scale.py",
+    doc="Per-day value-quantile estimates (n, p50, p95) maintained incrementally: persisted history partials (event_id < 80% split, batch_id -1) plus the batch's per-day delta sketches keyed (batch_id, day), merged per day at read time; raw history is never re-scanned.",
+    oracle=None,
+)
+def incremental_kll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles are not additive, but KLL sketches MERGE — so per-day
+    p50/p95 dashboards over 100 TB maintain a sketch table, not raw
+    history.  Unlike HLL union, KLL merge is NOT idempotent (merging
+    the same batch twice double-counts its values), so the state is a
+    PARTIALS LEDGER rather than a merged snapshot: one row per
+    (batch_id, day) delta sketch, with history at batch_id = -1.  A
+    re-run of the same batch REPLACES its own (batch_id, day) rows via
+    the keyed merge — idempotent by construction — and because batch
+    ids are disjoint from the history id, the segment-pruned upsert
+    probe proves the history segment untouched and it survives in the
+    manifest by name: the write is O(batch days), never O(history).
+    The report merges the ledger per day at read time (O(days x
+    retained batches) sketch bytes — compaction folds old partials,
+    exactly the LSM discipline ParquetTable.compact already provides).
+
+    Execution shape: batch scan -> one partial-agg shuffle on day
+    (sketch build, bounded bytes per group); the read-merge shuffles
+    sketch BYTES keyed by day, never values.  Error-band equality with
+    the exact percentiles, the state poison, and the write-shape pin
+    live in tests/test_scale.py."""
+    from shopify_youtube_etl_spark.plans.common import day_str
+
+    split = _hll_split(spark, sf_dir)  # same 80% event-id convention
+    st = _kll_state_table(spark, sf_dir, split)
+
+    def day_sketches(ev, batch_id: int):
+        return (
+            ev.where(F.col("value").isNotNull())
+            .select(day_str(F.col("ts")).alias("day"), "value")
+            .groupBy("day")
+            .agg(
+                F.expr("kll_sketch_agg_double(value)").alias("sk"),
+                F.count("*").alias("n"),
+            )
+            .select(F.lit(batch_id).cast("long").alias("batch_id"), "day", "sk", "n")
+        )
+
+    if not st.exists():
+        hist = day_sketches(
+            t(spark, sf_dir, "events").where(F.col("event_id") < split), -1
+        )
+        st.overwrite(hist, stats_cols=["batch_id"])
+
+    batch = day_sketches(
+        t(spark, sf_dir, "events").where(F.col("event_id") >= split), split
+    )
+    st.upsert_matching(batch, ["batch_id", "day"])
+
+    merged = (
+        st.read()
+        .groupBy("day")
+        .agg(
+            F.expr("kll_merge_agg_double(sk)").alias("msk"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    return merged.select(
+        "day",
+        "n_events",
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.95)"), 4).alias("p95"),
+    ).orderBy("day")

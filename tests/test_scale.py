@@ -408,3 +408,108 @@ def test_incremental_hll_maintenance_equals_full_and_reads_state(spark, sf_dir):
         assert got2 == unpoisoned
     finally:
         shutil.rmtree(st.path, ignore_errors=True)
+
+
+def test_incremental_kll_maintenance_band_poison_and_write_shape(spark, sf_dir):
+    """KLL sketch-state IVM pins: (1) per-day maintained p50/p95 sit
+    inside the KLL rank-error band of the exact percentiles (exact at
+    these per-day cardinalities, where the sketch stores all values);
+    (2) n_events is EXACT and totals the corpus; (3) a re-run is
+    idempotent (the partials ledger replaces its own batch rows rather
+    than double-merging); (4) the history partials segment (batch_id
+    -1, disjoint from every batch id) survives the re-run in the
+    manifest BY NAME; (5) poison: dropping a history day's partial
+    makes the day's counts shrink to the batch's contribution — state
+    is read, never rebuilt."""
+    import shutil
+
+    from shopify_youtube_etl_spark.plans import scale_ops as so
+    from shopify_youtube_etl_spark.plans.common import day_str
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    split = so._hll_split(spark, sf_dir)
+    st = so._kll_state_table(spark, sf_dir, split)
+    shutil.rmtree(st.path, ignore_errors=True)
+    try:
+        got = {
+            r["day"]: r
+            for r in specs["incremental_kll_maintenance"].fn(spark, sf_dir).collect()
+        }
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(day_str(F.col("ts")).alias("day"), "value")
+        )
+        exact = {
+            r["day"]: r
+            for r in ev.groupBy("day")
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("percentile(value, 0.5)").alias("p50"),
+                F.expr("percentile(value, 0.95)").alias("p95"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for day, r in got.items():
+            e = exact[day]
+            assert r["n_events"] == e["n"], (day, r, e)
+            # KLL k=200 normalized rank error ~1.65%; per-day counts here
+            # are far below the exact-mode threshold, so the estimate
+            # must land within a couple of ranks of the true quantile.
+            vals = sorted(
+                v["value"] for v in ev.where(F.col("day") == day).collect()
+            )
+            for q, col in ((0.5, "p50"), (0.95, "p95")):
+                n = len(vals)
+                lo = vals[max(0, int((q - 0.04) * n) - 1)]
+                hi = vals[min(n - 1, int((q + 0.04) * n) + 1)]
+                assert lo <= r[col] <= hi, (day, col, r[col], lo, hi)
+
+        hist_segs = {
+            s
+            for s in st.segments()
+            if (st._segment_stats(s) or {}).get("batch_id", {}).get("max") == -1
+        }
+        assert hist_segs, "expected a stats-bearing history partials segment"
+        rerun = {
+            r["day"]: r
+            for r in specs["incremental_kll_maintenance"].fn(spark, sf_dir).collect()
+        }
+        assert {d: tuple(r) for d, r in rerun.items()} == {
+            d: tuple(r) for d, r in got.items()
+        }, "re-merge double-counted the batch"
+        assert hist_segs <= set(st.segments()), (
+            "history partials were rewritten by a disjoint batch merge"
+        )
+
+        # Poison: drop the earliest day's HISTORY partial.  The day had
+        # history events, so a genuinely-read state under-counts it now;
+        # a silent rebuild would restore the full count.
+        first_day = min(got)
+        st.overwrite(
+            st.read().where(
+                ~((F.col("batch_id") == -1) & (F.col("day") == first_day))
+            )
+        )
+        got2 = {
+            r["day"]: r
+            for r in specs["incremental_kll_maintenance"].fn(spark, sf_dir).collect()
+        }
+        hist_n = (
+            load_table(spark, sf_dir, "events")
+            .where(
+                (F.col("event_id") < split)
+                & F.col("value").isNotNull()
+                & (day_str(F.col("ts")) == first_day)
+            )
+            .count()
+        )
+        assert hist_n > 0, "poison day has no history contribution to lose"
+        if first_day in got2:
+            assert got2[first_day]["n_events"] == got[first_day]["n_events"] - hist_n
+        else:
+            assert got[first_day]["n_events"] == hist_n
+    finally:
+        shutil.rmtree(st.path, ignore_errors=True)
