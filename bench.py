@@ -116,6 +116,11 @@ HEADLINE = [
     # Round-7: the attribution family's IVM (state build in rep 1,
     # best-of-N is the warm batch-merge + state-served report).
     "incremental_attribution_revenue",
+    # Round-8: the graph family's delete path (touched-component
+    # recompute + segment-pruned relabel) and the KLL partials-ledger
+    # IVM — both carry real per-rep state-merge work worth tracking.
+    "incremental_component_delete",
+    "incremental_kll_maintenance",
 ]
 
 

@@ -1151,7 +1151,12 @@ class ParquetTable:
             self.overwrite(staged, stats_cols=[key0])
             return {"rewritten": [], "survivors": [], "appended": None}
         table_cols = self.read().columns
-        staged = staged.select(*table_cols)
+        # Three consumers follow (probe aggregate, victim anti-join,
+        # batch segment write): checkpoint the deduped batch once so a
+        # potentially expensive staging plan doesn't execute three
+        # times — O(batch) local materialization, the same discipline
+        # as the composed-plan queries.
+        staged = staged.select(*table_cols).localCheckpoint()
 
         segs = self.segments()
         statless: list[str] = []
@@ -1412,14 +1417,9 @@ class ParquetTable:
 
     def merge_from(self, staging: "ParquetTable", keys: list[str], order_col: str | None = None) -> None:
         """merge_staging_to_final (shopify_etl.py:558-590): upsert then
-        truncate staging — one call per table per micro-batch."""
-        stg = staging.read()
-        if self.exists():
-            merged = upsert(self.read(), stg, keys, order_col=order_col)
-        else:
-            merged = upsert(stg.limit(0), stg, keys, order_col=order_col)
-        # overwrite() writes the new generation while the old one still
-        # exists (the merged plan scans it), then flips the pointer and
-        # only then deletes the old dir — safe ordering, no cache needed.
-        self.overwrite(merged)
+        truncate staging — one call per table per micro-batch.  The
+        write side is the segment-pruned keyed merge, so a micro-batch
+        against a large final table rewrites O(intersecting segments),
+        not O(table)."""
+        self.upsert_matching(staging.read(), keys, order_col=order_col)
         staging.truncate()

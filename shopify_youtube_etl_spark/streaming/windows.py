@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
-from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
+from shopify_youtube_etl_spark.operators.upsert import ParquetTable
 from shopify_youtube_etl_spark.plans.windows import tumbling_agg
 
 
@@ -58,15 +58,17 @@ def streaming_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
 def foreach_batch_upsert(table: ParquetTable, keys: list[str]):
     """foreachBatch sink: MERGE each micro-batch into a parquet table —
     idempotent on re-delivery (exactly-once effect on keys), the Spark
-    form of the reference's staging→MERGE discipline (:558-590)."""
+    form of the reference's staging→MERGE discipline (:558-590).
+
+    The write is the segment-pruned keyed merge (r7 verdict #1): each
+    micro-batch rewrites only the segments its keys can touch and lands
+    itself as a fresh stats-bearing segment, so the per-batch sink cost
+    is O(batch + intersecting segments) — a streaming sink that
+    rewrote the whole table per micro-batch would be the exact write
+    amplification the merge exists to remove."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates(keys)
-        if table.exists():
-            merged = upsert(table.read(), batch_df, keys)
-        else:
-            merged = batch_df
-        table.overwrite(merged)
+        table.upsert_matching(batch_df.dropDuplicates(keys), keys)
 
     return _sink
 
