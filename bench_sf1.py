@@ -242,7 +242,7 @@ def main() -> None:
         "queries": results,
         "dispositions": {},
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r07.json"), "w") as fh:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r08.json"), "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps(artifact))
 

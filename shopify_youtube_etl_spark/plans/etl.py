@@ -713,7 +713,7 @@ def targeted_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem_ids = tbl.read().where(F.col("o_totalprice") <= 0).select("o_orderkey")
     n_reproc = problem_ids.count()
     reload = src.join(F.broadcast(problem_ids), "o_orderkey", "left_semi")
-    tbl.overwrite(upsert(tbl.read(), reload, keys=["o_orderkey"]))
+    tbl.upsert_matching(reload, ["o_orderkey"])
 
     return tbl.read().agg(
         F.count("*").alias("n_rows"),
@@ -774,7 +774,8 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     rollup_tbl.overwrite(
         v0.groupBy(day("o_orderdate").alias("day")).agg(
             F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue")
-        )
+        ),
+        stats_cols=["day"],  # lets the delta-day repair verbs prune
     )
 
     upd = F.col("o_orderkey") % 7 == 0
@@ -812,22 +813,32 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         minus.unionByName(plus)
         .groupBy("day")
         .agg(F.sum("dn").alias("dn"), F.sum("dr").alias("dr"))
+        .localCheckpoint()  # change-feed diff feeds probe AND repair
     )
-    merged = (
-        rollup_tbl.read()
-        .join(deltas, "day", "full_outer")
+    # Repair ONLY the delta days (r7 verdict #1 applied to the rollup):
+    # days untouched by the wave never rewrite.  A day whose order
+    # count reaches zero is a rollup DELETE (upsert can't express it);
+    # both verbs are day-pruned against the rollup's segment sidecars.
+    # Pull the touched rollup rows with a broadcast SEMI join (the
+    # rollup scans once, map-side pruned), then join the two
+    # batch-sized frames; broadcasting the preserved side of a
+    # left_outer directly is not plannable.
+    touched = rollup_tbl.read().join(
+        F.broadcast(deltas.select("day")), "day", "left_semi"
+    )
+    updates = (
+        deltas.join(touched, "day", "left_outer")
         .select(
             "day",
-            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
-                "n_orders"
-            ),
-            (
-                F.coalesce("revenue", F.lit(0.0)) + F.coalesce("dr", F.lit(0.0))
-            ).alias("revenue"),
+            (F.coalesce("n_orders", F.lit(0)) + F.col("dn")).alias("n_orders"),
+            (F.coalesce("revenue", F.lit(0.0)) + F.col("dr")).alias("revenue"),
         )
-        .where(F.col("n_orders") > 0)
+        .localCheckpoint()  # two consumers: dead-day split + live upsert
     )
-    rollup_tbl.overwrite(merged)
+    dead = updates.where(F.col("n_orders") <= 0).select("day")
+    if not dead.isEmpty():
+        rollup_tbl.delete_matching(dead, on="day")
+    rollup_tbl.upsert_matching(updates.where(F.col("n_orders") > 0), ["day"])
     return rollup_tbl.read().select(
         "day",
         F.col("n_orders").cast("long").alias("n_orders"),
