@@ -1533,3 +1533,97 @@ def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_segment").alias("golden_segment"),
         F.col("g_nation").cast("long").alias("golden_nation"),
     )
+
+
+@query(
+    "tpch_refresh_q1",
+    ref="TPC-H refresh streams (RF1/RF2) run through the engine's own DML verbs — the benchmark's insert/delete waves applied via delete_matching + upsert_matching (both segment-pruned), then Q1 over the REFRESHED table; the oracle reconstructs the refreshed relation in SQL, so a green row proves the full DML round-trip, not just the read path",
+    doc="TPC-H Q1 pricing summary AFTER a refresh: RF2 deletes every order with l_orderkey % 37 = 0 (join-shaped pruned DELETE), RF1 updates surviving % 41 = 0 orders (returnflag 'R', quantity + 5) and inserts % 43 = 0 orders shifted +1e8 with linestatus 'I' (one keyed pruned MERGE); byte-identical to the SQL reconstruction.",
+    oracle="""
+WITH survived AS (
+    SELECT * FROM lineitem WHERE l_orderkey % 37 <> 0
+),
+refreshed AS (
+    SELECT * FROM survived WHERE l_orderkey % 41 <> 0
+    UNION ALL
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           l_quantity + 5 AS l_quantity, l_extendedprice, l_discount,
+           l_tax, 'R' AS l_returnflag, l_linestatus, l_shipdate
+    FROM survived WHERE l_orderkey % 41 = 0
+    UNION ALL
+    SELECT l_orderkey + 100000000 AS l_orderkey, l_partkey, l_suppkey,
+           l_linenumber, l_quantity, l_extendedprice, l_discount,
+           l_tax, l_returnflag, 'I' AS l_linestatus, l_shipdate
+    FROM lineitem WHERE l_orderkey % 43 = 0
+)
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT)                     AS sum_qty,
+       round(sum(l_extendedprice), 2)                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(count(*) AS BIGINT)                            AS count_order
+FROM refreshed
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_refresh_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H's refresh functions are the benchmark's own test that an
+    engine's DML keeps analytics correct — most analytical stacks run
+    only Q1-Q22 and skip them.  Here both waves run through the
+    engine's real table format and its segment-pruned verbs:
+
+    * RF2 (delete wave): the doomed order keys ship as a DataFrame into
+      ``delete_matching`` — broadcast anti-join rewrite of only the
+      segments whose key envelope intersects the doomed range;
+    * RF1 (insert+update wave): one ``upsert_matching`` keyed on
+      (l_orderkey, l_linenumber) carries BOTH the updated rows (same
+      keys — replace) and the inserted rows (new keys — land in the
+      fresh batch segment);
+    * Q1 then aggregates the COMMITTED refreshed table, and the oracle
+      reconstructs the refreshed relation declaratively — hash equality
+      proves the committed bytes, not a cached plan.
+
+    Scale shape: at 100 TB the base table is key-clustered, so RF2
+    rewrites O(doomed segments) and RF1 lands O(wave); Q1 itself stays
+    the canonical map-side partial aggregate.  (The avg_* columns of
+    stock Q1 are dropped here: averages over a refreshed double column
+    can land on true half-ulp rounding ties between engines — the sums
+    and counts pin the same correctness without the tie risk.)"""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    li = t(spark, sf_dir, "lineitem")
+    tbl = ParquetTable(spark, staging_dir("tpchrf", sf_dir) + "/lineitem")
+    tbl.overwrite(li, stats_cols=["l_orderkey"])
+
+    # RF2: delete wave (join-shaped, segment-pruned).
+    doomed = (
+        li.where(F.col("l_orderkey") % 37 == 0).select("l_orderkey").distinct()
+    )
+    tbl.delete_matching(doomed, on="l_orderkey")
+
+    # RF1: update + insert in ONE keyed merge.
+    upd = (
+        li.where((F.col("l_orderkey") % 41 == 0) & (F.col("l_orderkey") % 37 != 0))
+        .withColumn("l_returnflag", F.lit("R"))
+        .withColumn("l_quantity", F.col("l_quantity") + 5)
+    )
+    ins = (
+        li.where(F.col("l_orderkey") % 43 == 0)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.lit(100_000_000))
+        .withColumn("l_linestatus", F.lit("I"))
+    )
+    tbl.upsert_matching(upd.unionByName(ins), ["l_orderkey", "l_linenumber"])
+
+    refreshed = tbl.read().where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return refreshed.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        money(F.sum("l_extendedprice")).alias("sum_base_price"),
+        money(F.sum(disc)).alias("sum_disc_price"),
+        money(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )

@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     # --- never externally verified: round-8 additions ---
     "incremental_component_delete",
     "incremental_kll_maintenance",
+    "tpch_refresh_q1",
     # --- last external record: round 2 ---
     "approx_distinct_profile",
     "array_functions",
