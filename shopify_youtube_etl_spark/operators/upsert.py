@@ -645,6 +645,19 @@ class ParquetTable:
         if auto_compact_at is not None and len(self.segments()) >= auto_compact_at:
             self.compact()
 
+    def _segment_rows(self, seg: str) -> int:
+        """Row count of a segment from parquet FOOTERS (no Spark job) —
+        used by the rewrite verbs to drop empty replacement segments
+        instead of committing stats-less always-a-victim husks."""
+        import pyarrow.parquet as pq
+
+        seg_path = os.path.join(self.path, seg)
+        return sum(
+            pq.ParquetFile(os.path.join(seg_path, f)).metadata.num_rows
+            for f in os.listdir(seg_path)
+            if f.endswith(".parquet")
+        )
+
     def _segment_bytes(self, seg_path: str) -> int:
         return sum(
             os.path.getsize(os.path.join(root, f))
@@ -985,8 +998,18 @@ class ParquetTable:
             keep, stats_cols=stats_cols or None, bloom_cols=bloom_cols or None
         )
         n_after = self.spark.read.parquet(os.path.join(self.path, seg)).count()
+        drop_empty = n_after == 0 and len(victims) < len(self.segments())
+        if drop_empty:
+            # Every victim row was deleted and other segments remain:
+            # don't commit an empty, stats-less replacement (it would
+            # probe as a possible match forever) — just drop the
+            # victims from the manifest.  When the victims were the
+            # WHOLE table the empty segment stays as the schema carrier
+            # (truncate semantics: the table reads back empty).
+            shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
+        rep = [] if drop_empty else [seg]
         committed = self._commit(
-            lambda prior: [seg] + [p for p in prior if p not in victim_names]
+            lambda prior: rep + [p for p in prior if p not in victim_names]
             if victim_names <= set(prior)
             else None
         )
@@ -1199,11 +1222,17 @@ class ParquetTable:
         new_segs: list[str] = []
         if victims:
             kept = self._read_segments(victims).join(keys, on=on, how="left_anti")
-            new_segs.append(
-                self._write_segment(
-                    kept, stats_cols=stats_cols, bloom_cols=bloom_cols or None
-                )
+            rep = self._write_segment(
+                kept, stats_cols=stats_cols, bloom_cols=bloom_cols or None
             )
+            if self._segment_rows(rep) == 0:
+                # The batch replaced every victim row: committing an
+                # empty, stats-less replacement would leave a husk that
+                # probes as a victim forever (observed via the streaming
+                # sink's redelivery path).  Drop the victims outright.
+                shutil.rmtree(os.path.join(self.path, rep), ignore_errors=True)
+            else:
+                new_segs.append(rep)
         batch_seg = self._write_segment(
             staged, stats_cols=stats_cols, bloom_cols=bloom_cols or None
         )

@@ -1278,3 +1278,91 @@ def test_upsert_matching_prunes_untouched_segments_by_name(spark, tmp_path):
         order_col="seq",
     )
     assert [tuple(r) for r in tbl2.read().collect()] == [(1, 222, 2)]
+
+
+def test_concurrent_mixed_writers_never_lose_rows(spark, tmp_path):
+    """Commit-protocol stress: appends, pruned merges, and a pruned
+    DELETE racing from threads must serialize through the flock without
+    losing a commit — final row accounting must balance exactly, and
+    every generation's manifest must reference only existing segments.
+    (delete/merge may legitimately ABORT with a raise on a commit race;
+    aborts are retried here, mirroring the documented caller contract.)"""
+    import threading
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "race"))
+    tbl.overwrite(
+        spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+        stats_cols=["k"],
+    )
+    errors = []
+
+    def retry(fn, attempts=6):
+        for i in range(attempts):
+            try:
+                return fn()
+            except RuntimeError:
+                if i == attempts - 1:
+                    raise
+        return None
+
+    def appender(lo):
+        try:
+            tbl.append(
+                spark.range(lo, lo + 100).select(
+                    F.col("id").alias("k"), F.lit(1).alias("v")
+                ),
+                stats_cols=["k"],
+            )
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errors.append(e)
+
+    def merger(lo):
+        try:
+            retry(
+                lambda: tbl.upsert_matching(
+                    spark.range(lo, lo + 50).select(
+                        F.col("id").alias("k"), F.lit(2).alias("v")
+                    ),
+                    on="k",
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def deleter():
+        try:
+            retry(
+                lambda: tbl.delete_matching(
+                    spark.range(900, 950).select(F.col("id").alias("k")), on="k"
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = (
+        [threading.Thread(target=appender, args=(lo,)) for lo in (2000, 3000)]
+        + [threading.Thread(target=merger, args=(lo,)) for lo in (100, 5000)]
+        + [threading.Thread(target=deleter)]
+    )
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    # Accounting: 1000 base - 50 deleted + 200 appended + 50 new merge
+    # keys (5000-5049; the 100-149 merge replaced existing keys).
+    assert tbl.read().count() == 1000 - 50 + 200 + 50
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert all(got[k] == 2 for k in range(100, 150))
+    assert all(got[k] == 2 for k in range(5000, 5050))
+    assert all(k not in got for k in range(900, 950))
+    assert all(got[k] == 1 for k in range(2000, 2100))
+    # Every retained manifest must reference only on-disk segments.
+    import os
+
+    for seq in tbl.history():
+        for seg in tbl._manifest_segments(f"manifest-{seq:016d}.txt"):
+            assert os.path.isdir(os.path.join(tbl.path, seg)), (seq, seg)

@@ -70,6 +70,34 @@ def test_foreach_batch_upsert_sink(spark, event_json_dir, tmp_path_factory):
     assert table.read().count() == n_events
     assert table.read().select("event_id").distinct().count() == n_events
 
+    # Write shape (r8): the sink merges via upsert_matching, so a later
+    # micro-batch with key-disjoint event_ids must leave the existing
+    # stats-bearing segments in the manifest BY NAME — the streaming
+    # sink never rewrites the whole table per micro-batch.
+    segs_before = set(table.segments())
+    assert segs_before
+    shifted = str(tmp_path_factory.mktemp("shifted_events"))
+    (
+        spark.read.schema(EVENT_SCHEMA)
+        .json(event_json_dir)
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+        .write.mode("overwrite")
+        .json(shifted)
+    )
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).json(shifted)
+    q2 = (
+        write_with_upsert(
+            stream2, table, ["event_id"], str(tmp_path_factory.mktemp("cp3"))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert table.read().count() == 2 * n_events
+    assert segs_before <= set(table.segments()), (
+        "disjoint micro-batch rewrote existing segments"
+    )
+
 
 def test_streaming_dedup(spark, event_json_dir, tmp_path_factory):
     """streaming_dedup (dropDuplicatesWithinWatermark) == the reference's
