@@ -1119,6 +1119,7 @@ class ParquetTable:
         on: list[str] | str,
         order_col: str | None = None,
         broadcast: bool = True,
+        evolve_schema: bool = False,
     ) -> dict:
         """Segment-pruned keyed MERGE — the write-side sibling of
         ``delete_matching`` (r7 verdict #1): by value this equals
@@ -1174,12 +1175,35 @@ class ParquetTable:
             self.overwrite(staged, stats_cols=[key0])
             return {"rewritten": [], "survivors": [], "appended": None}
         table_cols = self.read().columns
+        if evolve_schema:
+            # Delta mergeSchema-on-MERGE semantics: columns new in the
+            # batch land in its segment and surface as NULL on old
+            # segments via the mergeSchema read; table columns missing
+            # from the batch read as NULL on its rows.  Without the
+            # flag a schema drift raises via the strict select below —
+            # silent widening is a governance decision, not a default
+            # (same contract as append/upsert).
+            batch_cols = staged.columns
+            tbl_types = {f.name: f.dataType for f in self.read().schema.fields}
+            staged = staged.select(
+                *[
+                    (
+                        F.col(c)
+                        if c in batch_cols
+                        else F.lit(None).cast(tbl_types[c])  # void can't write
+                    ).alias(c)
+                    for c in table_cols
+                ],
+                *[F.col(c) for c in batch_cols if c not in table_cols],
+            )
+        else:
+            staged = staged.select(*table_cols)
         # Three consumers follow (probe aggregate, victim anti-join,
         # batch segment write): checkpoint the deduped batch once so a
         # potentially expensive staging plan doesn't execute three
         # times — O(batch) local materialization, the same discipline
         # as the composed-plan queries.
-        staged = staged.select(*table_cols).localCheckpoint()
+        staged = staged.localCheckpoint()
 
         segs = self.segments()
         statless: list[str] = []

@@ -1366,3 +1366,27 @@ def test_concurrent_mixed_writers_never_lose_rows(spark, tmp_path):
     for seq in tbl.history():
         for seg in tbl._manifest_segments(f"manifest-{seq:016d}.txt"):
             assert os.path.isdir(os.path.join(tbl.path, seg)), (seq, seg)
+
+
+def test_upsert_matching_schema_evolution(spark, tmp_path):
+    """evolve_schema=True: batch columns new to the table land in the
+    batch segment and read as NULL on old segments (mergeSchema);
+    table columns missing from the batch read as NULL on its rows;
+    without the flag a drifted batch raises via the strict column
+    select — the append/upsert governance contract on the MERGE verb."""
+    import pytest
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    tbl = ParquetTable(spark, str(tmp_path / "evo"))
+    tbl.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        stats_cols=["k"],
+    )
+    drifted = spark.createDataFrame([(2, 9.5), (3, 7.0)], "k long, score double")
+    with pytest.raises(Exception):
+        tbl.upsert_matching(drifted, on="k")
+
+    tbl.upsert_matching(drifted, on="k", evolve_schema=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in tbl.read().collect()}
+    assert got == {1: ("a", None), 2: (None, 9.5), 3: (None, 7.0)}
