@@ -72,6 +72,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",
+    "pivot_revenue_matrix",
+    "unpivot_charge_components",
     # --- last external record: round 2 ---
     "approx_distinct_profile",
     "array_functions",

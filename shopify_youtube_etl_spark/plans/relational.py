@@ -949,3 +949,93 @@ def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(unit), 2).alias("avg_adjusted_unit_price"),
         )
     )
+
+
+@query(
+    "pivot_revenue_matrix",
+    ref="§2.4 extension — PIVOT (wide reshaping aggregate): per-priority revenue split across order-status columns; Spark plans pivot as ONE pass of conditional partial aggregates, the portable form the oracle states explicitly",
+    doc="Order priority x order status revenue matrix: one row per o_orderpriority with status columns (O/F/P) as conditional revenue sums plus a row total.",
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS revenue_o,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS revenue_f,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS revenue_p,
+       round(sum(o_totalprice), 2)                                               AS revenue_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — the wide-reshaping aggregate every BI surface exports.
+    The VALUES ARE PINNED ('O'/'F'/'P', TPC-H's order-status domain):
+    an unpinned pivot must first run a distinct scan to discover the
+    column set AND produces a data-dependent schema, both of which are
+    wrong at 100 TB (the discovery scan reads the table twice; a
+    drifting schema breaks every downstream consumer).  With pinned
+    values Catalyst compiles the pivot to one pass of conditional
+    partial aggregates — exactly the CASE-WHEN form the oracle states —
+    so the reshape costs the same single shuffle as a plain GROUP BY."""
+    o = t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        money(F.coalesce(F.col("O"), F.lit(0.0))).alias("revenue_o"),
+        money(F.coalesce(F.col("F"), F.lit(0.0))).alias("revenue_f"),
+        money(F.coalesce(F.col("P"), F.lit(0.0))).alias("revenue_p"),
+        money(
+            F.coalesce(F.col("O"), F.lit(0.0))
+            + F.coalesce(F.col("F"), F.lit(0.0))
+            + F.coalesce(F.col("P"), F.lit(0.0))
+        ).alias("revenue_total"),
+    )
+
+
+@query(
+    "unpivot_charge_components",
+    ref="§2.4 extension — UNPIVOT/melt (wide-to-long reshaping): lineitem's three charge components stacked into (component, amount) rows; Spark plans it as Expand, the zero-shuffle dual of pivot",
+    doc="Per (l_returnflag, component) totals after melting base price, discount amount, and tax amount into long form: component in {base, discount, tax}.",
+    oracle="""
+SELECT l_returnflag, component, round(sum(amount), 2) AS total_amount,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+    SELECT l_returnflag, 'base' AS component, l_extendedprice AS amount FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'discount', l_extendedprice * l_discount FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'tax', l_extendedprice * (1 - l_discount) * l_tax FROM lineitem
+)
+GROUP BY l_returnflag, component
+""",
+)
+def unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the wide-to-long dual of pivot, the reshape
+    that turns per-column metrics into a tidy (key, metric, value)
+    stream for generic downstream aggregation.  Spark's ``unpivot``
+    plans an Expand node (each input row emits one row per value
+    column, map-side, ZERO extra shuffle) — the oracle's UNION ALL of
+    three scans states the same multiset declaratively, but the Expand
+    form reads the table ONCE; at 100 TB that is a 3x scan saving, the
+    same physics as grouping-sets.  Derived amount columns are
+    projected first so the melt carries the final metrics."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("base"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")
+        ).alias("tax"),
+    )
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["base", "discount", "tax"],
+        variableColumnName="component",
+        valueColumnName="amount",
+    )
+    return long.groupBy("l_returnflag", "component").agg(
+        money(F.sum("amount")).alias("total_amount"),
+        F.count("*").alias("n_rows"),
+    )
