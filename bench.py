@@ -121,6 +121,11 @@ HEADLINE = [
     # IVM — both carry real per-rep state-merge work worth tracking.
     "incremental_component_delete",
     "incremental_kll_maintenance",
+    # Round-8 session-2: the consecutive-day streak census is the one
+    # new query with events-scale work (distinct + windows + census on
+    # the user key); the day-grain smoothing/ACF/backtest/hazard
+    # additions reduce to ~thousand-row frames and aren't worth a slot.
+    "longest_active_streak",
 ]
 
 

@@ -114,6 +114,11 @@ HEAVY = [
     "incremental_cluster_maintenance",
     "incremental_hll_maintenance",
     "incremental_kll_maintenance",
+    # Round-8 session-2: the consecutive-day streak census — distinct
+    # (user, day) + islands windows + census on the scaled events
+    # table; 10x users at constant per-user traffic should scale ~10x
+    # in the distinct and stay flat in the per-user window frames.
+    "longest_active_streak",
 ]
 
 # Persisted IVM/ANN state swept before timing so rep 1 is the honest

@@ -6173,3 +6173,316 @@ def incremental_component_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("component_size").agg(
         F.count("*").alias("n_components")
     )
+
+
+# ---------------------------------------------------------------------------
+# Smoothing / stochastic-process / survival extensions (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ewma_daily_revenue",
+    ref="smoothing family next to moving_average_7d — exponentially weighted moving average of daily revenue (RiskMetrics/Hunter EWMA), the standard recency-weighted trend line",
+    doc="Daily order revenue with a 30-lag truncated EWMA (decay 0.8 per day of distance, gap-aware): weights pow(0.8, day distance), missing days contribute nothing to numerator or denominator.",
+    oracle="""
+WITH daily AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+           sum(o_totalprice) AS rev
+    FROM orders GROUP BY 1, 2
+),
+contrib AS (
+    SELECT d.day_num + gs.off      AS target_num,
+           d.rev * pow(0.8, gs.off) AS wx,
+           pow(0.8, gs.off)         AS w
+    FROM daily d, generate_series(0, 29) AS gs(off)
+)
+SELECT d.day,
+       round(min(d.rev), 2)           AS daily_revenue,
+       round(sum(c.wx) / sum(c.w), 2) AS ewma_30d
+FROM daily d JOIN contrib c ON c.target_num = d.day_num
+GROUP BY d.day
+""",
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA looks recursive (S_t = αx_t + (1-α)S_{t-1}) — a sequential
+    trap at scale.  Truncating at 29 lags (residual mass 0.8^30 ≈ 0.1%)
+    turns it into pure relational algebra, and the bounded INTERVAL
+    join it implies is rewritten as an EQUI-join: each source day
+    explodes into 30 (target_day, weight) contributions via
+    ``sequence(0, 29)``, so Catalyst plans a plain hash join instead of
+    a BroadcastNestedLoopJoin range probe — the standard
+    bounded-range-join-to-equijoin rewrite.  Decay is GAP-AWARE: the
+    lag distance is calendar days (day_num delta), not row index, so a
+    quiet day genuinely ages the history out; days absent from the
+    series contribute to neither numerator nor denominator and the
+    weight sum renormalizes.  At 100 TB the day-grain reduction
+    happens FIRST (one shuffle), and the 30× fan-out touches only the
+    ~365·years-row series — constant work regardless of input scale."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(day_str(F.col("o_orderdate")).alias("day"))
+        .agg(
+            epoch_day(F.min(F.col("o_orderdate").cast("date"))).alias("day_num"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    contrib = daily.select(
+        "day_num", "rev", F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off")
+    ).select(
+        (F.col("day_num") + F.col("off")).alias("target_num"),
+        (F.col("rev") * F.pow(F.lit(0.8), F.col("off"))).alias("wx"),
+        F.pow(F.lit(0.8), F.col("off")).alias("w"),
+    )
+    return (
+        daily.join(contrib, daily["day_num"] == contrib["target_num"])
+        .groupBy("day")
+        .agg(
+            money(F.min("rev")).alias("daily_revenue"),
+            money(F.sum("wx") / F.sum("w")).alias("ewma_30d"),
+        )
+    )
+
+
+@query(
+    "daily_revenue_autocorr",
+    ref="time-series-diagnostics family next to seasonal_decompose_daily / cusum_daily_drift — lag-k autocorrelation of the daily revenue series (the ACF values an ARIMA order pick or seasonality check reads first)",
+    doc="Pearson autocorrelation of daily order revenue at lags 1, 7, and 28 days, computed over calendar-aligned pairs (both days present), with the pair count per lag.",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01',
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+           sum(o_totalprice) AS rev
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT k.lag_days, cur.rev AS rev_t, prev.rev AS rev_lag
+    FROM (SELECT UNNEST([1, 7, 28]) AS lag_days) k
+    JOIN daily cur ON TRUE
+    JOIN daily prev ON prev.day_num = cur.day_num - k.lag_days
+)
+SELECT CAST(lag_days AS BIGINT)      AS lag_days,
+       CAST(count(*) AS BIGINT)      AS n_pairs,
+       round(corr(rev_t, rev_lag), 6) AS autocorr
+FROM pairs GROUP BY lag_days
+""",
+)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACF question — does today's revenue echo yesterday's, last
+    week's, last month's? — as pure relational algebra: the lag pairing
+    is a SELF-EQUI-JOIN on day_num − k (calendar-aligned, so a missing
+    day drops the pair instead of silently shifting the series the way
+    a row-offset lag would), and Pearson r is the SQL:2003 ``corr``
+    aggregate — single-pass mergeable moments, no centering pass, no
+    driver math.  The three lags fan out from a 3-row inline table, so
+    one scan of the day-grain series serves all of them.  At 100 TB
+    the day-grain reduction is the only big shuffle; the self-join
+    touches ~365·years rows regardless of input scale and the output
+    is exactly 3 rows."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(epoch_day(F.col("o_orderdate").cast("date")).alias("day_num"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(28))).alias("lag_days")
+    )
+    cur = daily.select(
+        F.col("day_num"), F.col("rev").alias("rev_t")
+    ).crossJoin(F.broadcast(lags))
+    prev = daily.select(
+        F.col("day_num").alias("prev_num"), F.col("rev").alias("rev_lag")
+    )
+    pairs = cur.join(
+        prev, cur["day_num"] - cur["lag_days"] == prev["prev_num"]
+    )
+    return pairs.groupBy(F.col("lag_days").cast("long").alias("lag_days")).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.corr("rev_t", "rev_lag"), 6).alias("autocorr"),
+    )
+
+
+@query(
+    "longest_active_streak",
+    ref="gaps-and-islands family next to sessionize_gaps_islands — longest consecutive-active-day streak per user, censused; the engagement metric every retention dashboard carries",
+    doc="Census of users by their longest run of consecutive active calendar days (distinct event days; islands via day_num minus row_number).",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id,
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(ts AS DATE)) AS BIGINT) AS day_num
+    FROM events WHERE ts IS NOT NULL
+),
+isl AS (
+    SELECT user_id,
+           day_num - row_number() OVER (PARTITION BY user_id
+               ORDER BY day_num) AS grp
+    FROM days
+),
+streaks AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len
+    FROM isl GROUP BY user_id, grp
+),
+longest AS (
+    SELECT user_id, max(streak_len) AS longest_streak
+    FROM streaks GROUP BY user_id
+)
+SELECT longest_streak, CAST(count(*) AS BIGINT) AS n_users
+FROM longest GROUP BY longest_streak
+""",
+)
+def longest_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar-grain sibling of sessionization: a streak is an
+    island of CONSECUTIVE day numbers, found by the classic constant-
+    difference trick (day_num − row_number is invariant exactly while
+    days are consecutive — no lag, no flag, no cumulative sum).  The
+    DISTINCT collapses intraday volume first, so the window runs over
+    at most one row per (user, day); every stage shares the user_id
+    partition key, so Catalyst plans ONE shuffle for distinct + window
+    + both per-user reductions, then a final tiny census shuffle.
+    All-integer output — no float residue anywhere.  At 100 TB: work
+    is bounded by active (user, day) pairs, output by the longest
+    streak in the corpus."""
+    days = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", epoch_day(F.col("ts").cast("date")).alias("day_num"))
+        .distinct()
+    )
+    by_user = Window.partitionBy("user_id").orderBy("day_num")
+    streaks = (
+        days.withColumn("grp", F.col("day_num") - F.row_number().over(by_user))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("streak_len"))
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak")
+    )
+    return longest.groupBy("longest_streak").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "repeat_purchase_hazard",
+    ref="survival-analysis family next to cohort_ltv_curve / conversion_lag_percentiles — discrete-time hazard of the next repeat order by 30-day bucket (life-table method), the reorder-propensity curve",
+    doc="For each 30-day gap bucket (capped at 12): repeat-order events landing in the bucket, customers-at-risk (reverse cumulative count), and the discrete hazard rate events/at_risk.",
+    oracle="""
+WITH gaps AS (
+    SELECT date_diff('day',
+               CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+),
+b AS (
+    SELECT CAST(least(gap_days // 30, 12) AS BIGINT) AS bucket
+    FROM gaps WHERE gap_days IS NOT NULL
+),
+ev AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_events
+    FROM b GROUP BY bucket
+)
+SELECT bucket,
+       n_events,
+       sum(n_events) OVER (ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk,
+       round(n_events * 1.0 / sum(n_events) OVER (ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS hazard
+FROM ev
+""",
+)
+def repeat_purchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Life-table survival analysis without a stats library: each
+    inter-order gap is an observed 'death' (the repeat purchase
+    happened) in its 30-day bucket; at-risk for bucket b is everyone
+    whose gap reached b — a REVERSE cumulative sum over the bucket
+    census, so hazard(b) = events(b) / at_risk(b) is the discrete
+    Kaplan-Meier hazard.  The lag runs inside one customer-keyed
+    shuffle; buckets cap at 12 (360+ days pools into the tail), so the
+    windows after the census run over ≤13 rows.  Ratio of exact
+    counts — bit-stable across engines.  At 100 TB: one shuffle on
+    o_custkey, one ≤13-row reduction; the curve is the output."""
+    by_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate")).over(by_cust).cast("date"),
+        ).alias("gap_days")
+    )
+    ev = (
+        gaps.where(F.col("gap_days").isNotNull())
+        .groupBy(
+            F.least(F.floor(F.col("gap_days") / 30), F.lit(12))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    rev_cum = Window.orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return ev.select(
+        "bucket",
+        "n_events",
+        F.sum("n_events").over(rev_cum).alias("at_risk"),
+        F.round(F.col("n_events") / F.sum("n_events").over(rev_cum), 6).alias(
+            "hazard"
+        ),
+    )
+
+
+@query(
+    "seasonal_naive_backtest",
+    ref="forecast-evaluation family next to seasonal_decompose_daily / daily_revenue_autocorr — per-weekday backtest of the seasonal-naive forecast (ŷ_t = y_{t-7}), the accuracy floor any real revenue forecast must beat",
+    doc="Per weekday: calendar-aligned (t, t-7) revenue pairs, MAPE, RMSE, and mean bias of the seasonal-naive one-week-ahead forecast.",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01',
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+           sum(o_totalprice) AS rev
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT cur.day_num % 7 AS weekday, cur.rev AS actual, prev.rev AS forecast
+    FROM daily cur JOIN daily prev ON prev.day_num = cur.day_num - 7
+)
+SELECT CAST(weekday AS BIGINT)                                   AS weekday,
+       CAST(count(*) AS BIGINT)                                  AS n_pairs,
+       round(avg(abs(actual - forecast) / actual) * 100, 4)      AS mape_pct,
+       round(sqrt(avg((actual - forecast) * (actual - forecast))), 2) AS rmse,
+       round(avg(forecast - actual), 2)                          AS mean_bias
+FROM pairs GROUP BY weekday
+""",
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every forecasting effort needs its null model scored first:
+    seasonal-naive (predict this day with the same weekday last week)
+    is the standard baseline, and its backtest is pure relational
+    algebra — a calendar-aligned self-equi-join on day_num − 7 (a
+    missing day drops the pair rather than mis-aligning the season the
+    way a row-offset lag would), then mergeable error aggregates per
+    weekday slot.  Revenue is never zero on a trading day, so MAPE's
+    division is safe; weekday derives from the epoch-day modulus so
+    both engines bucket identically with no locale-dependent dayname.
+    At 100 TB: the day-grain reduction is the only input-sized
+    shuffle; the join and aggregates touch ~365·years rows and the
+    output is exactly 7."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(epoch_day(F.col("o_orderdate").cast("date")).alias("day_num"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    cur = daily.select("day_num", F.col("rev").alias("actual"))
+    prev = daily.select(
+        F.col("day_num").alias("prev_num"), F.col("rev").alias("forecast")
+    )
+    pairs = cur.join(prev, cur["day_num"] - F.lit(7) == prev["prev_num"]).select(
+        (F.col("day_num") % 7).alias("weekday"), "actual", "forecast"
+    )
+    err = F.col("actual") - F.col("forecast")
+    return pairs.groupBy(F.col("weekday").cast("long").alias("weekday")).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.abs(err) / F.col("actual")) * 100, 4).alias("mape_pct"),
+        F.round(F.sqrt(F.avg(err * err)), 2).alias("rmse"),
+        F.round(F.avg(F.col("forecast") - F.col("actual")), 2).alias("mean_bias"),
+    )

@@ -69,6 +69,11 @@ _CANARIES = [
 # Re-sorted for round 8 against CORRECTNESS_r01-r07 latest-green rounds.
 _DRIVER_PRIORITY = _CANARIES + [
     # --- never externally verified: round-8 additions ---
+    "ewma_daily_revenue",
+    "daily_revenue_autocorr",
+    "longest_active_streak",
+    "repeat_purchase_hazard",
+    "seasonal_naive_backtest",
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",

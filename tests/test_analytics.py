@@ -584,3 +584,83 @@ def test_incremental_component_delete_splits_and_consumes_state(
     )
     for d in glob.glob(f"{tempfile.gettempdir()}/sye_ccdivm_*"):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ewma_gap_aware_renormalization(spark, tmp_path):
+    """EWMA decay must follow CALENDAR distance, not row offset: with a
+    planted hole (days 1, 2, 4) the day-4 smoother weights day 2 by
+    0.8^2 and day 1 by 0.8^3, and renormalizes by the weights of the
+    days actually present.  A row-offset lag would produce 255.74 for
+    day 4; calendar decay produces 269.14 — the assert separates the
+    two implementations."""
+    import datetime as dt
+
+    rows = [
+        (1, 1, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", 200.0, dt.datetime(2024, 1, 2), "1-URGENT"),
+        (3, 2, "O", 400.0, dt.datetime(2024, 1, 4), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["day"]: r
+        for r in SPECS["ewma_daily_revenue"].fn(spark, str(tmp_path)).collect()
+    }
+    assert sorted(got) == ["2024-01-01", "2024-01-02", "2024-01-04"]
+    assert got["2024-01-01"]["ewma_30d"] == 100.0
+    # (200 + 0.8*100) / 1.8
+    assert got["2024-01-02"]["ewma_30d"] == 155.56
+    # (400 + 0.64*200 + 0.512*100) / (1 + 0.64 + 0.512) — NOT the
+    # row-offset value (400 + 0.8*200 + 0.64*100) / 2.44 = 255.74
+    assert got["2024-01-04"]["ewma_30d"] == 269.14
+
+
+def test_longest_streak_census_planted(spark, tmp_path):
+    """Planted streaks: user 1 active Jan 1-3 and Jan 5-6 (longest 3,
+    with intraday duplicates that the DISTINCT must collapse), user 2
+    active Jan 1 only (longest 1)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 8), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"),  # same day dup
+        (3, dt.datetime(2024, 1, 2, 8), 1, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 3, 8), 1, "view", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 5, 8), 1, "view", 1.0, "{}"),
+        (6, dt.datetime(2024, 1, 6, 8), 1, "view", 1.0, "{}"),
+        (7, dt.datetime(2024, 1, 1, 8), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["longest_streak"]: r["n_users"]
+        for r in SPECS["longest_active_streak"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {3: 1, 1: 1}
+
+
+def test_repeat_hazard_life_table_identities(spark, sf_dir):
+    """Life-table accounting over the real corpus: at_risk is strictly
+    the reverse cumulative event count (at_risk(b) = n_events(b) +
+    at_risk(next)), the first bucket's at_risk equals the total gap
+    count, the tail bucket's hazard is exactly 1.0, and hazard stays
+    in (0, 1]."""
+    rows = sorted(
+        SPECS["repeat_purchase_hazard"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows, "expected repeat-purchase gaps at the test SF"
+    total = sum(r["n_events"] for r in rows)
+    assert rows[0]["at_risk"] == total
+    for cur, nxt in zip(rows, rows[1:]):
+        assert cur["at_risk"] == cur["n_events"] + nxt["at_risk"]
+    assert rows[-1]["at_risk"] == rows[-1]["n_events"]
+    assert rows[-1]["hazard"] == 1.0
+    for r in rows:
+        assert 0.0 < r["hazard"] <= 1.0

@@ -498,6 +498,12 @@ SHUFFLE_BUDGET = {
     "pvm_decomposition": 2,  # (brand,year) reduce + 25-row pivot
     "supply_concentration_risk": 2,  # one partsupp reduce + brand census
     "order_cycle_time_percentiles": 2,  # order-key join/agg share a shuffle + 5-row percentiles
+    # Round-8 late additions.
+    "ewma_daily_revenue": 2,  # day reduce (broadcast contrib fan-out) + day agg
+    "daily_revenue_autocorr": 3,  # day reduce x2 statically + 3-row lag agg
+    "longest_active_streak": 3,  # (user,day) distinct+windows share user key + census
+    "repeat_purchase_hazard": 3,  # custkey lag exchange + <=13-row census + window
+    "seasonal_naive_backtest": 3,  # day reduce x2 statically + 7-row weekday agg
 }
 
 
