@@ -6486,3 +6486,221 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.avg(err * err)), 2).alias("rmse"),
         F.round(F.avg(F.col("forecast") - F.col("actual")), 2).alias("mean_bias"),
     )
+
+
+@query(
+    "abc_xyz_classification",
+    ref="supply-chain segmentation next to rfm_segmentation / supply_concentration_risk — the ABC (cumulative revenue share) x XYZ (demand variability) part classification every inventory policy starts from",
+    doc="Census of parts by ABC class (cumulative revenue share: A<=80%, B<=95%, C) x XYZ class (monthly-demand coefficient of variation: X<0.5, Y<1.0, Z or single-month), with part counts and revenue.",
+    oracle="""
+WITH per_part AS (
+    SELECT l_partkey AS partkey, sum(l_extendedprice) AS revenue
+    FROM lineitem GROUP BY 1
+),
+abc AS (
+    SELECT partkey, revenue,
+           sum(revenue) OVER (ORDER BY revenue DESC, partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(revenue) OVER () AS cum_share
+    FROM per_part
+),
+monthly AS (
+    SELECT l_partkey AS partkey,
+           strftime(l_shipdate, '%Y-%m') AS month,
+           sum(l_quantity) AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+xyz AS (
+    SELECT partkey,
+           stddev_samp(qty) / avg(qty) AS cv
+    FROM monthly GROUP BY partkey
+),
+classed AS (
+    SELECT a.partkey, a.revenue,
+           CASE WHEN a.cum_share <= 0.80 THEN 'A'
+                WHEN a.cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CASE WHEN x.cv IS NULL THEN 'Z'
+                WHEN x.cv < 0.5 THEN 'X'
+                WHEN x.cv < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM abc a JOIN xyz x ON a.partkey = x.partkey
+)
+SELECT abc_class, xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(revenue), 2)   AS revenue
+FROM classed GROUP BY abc_class, xyz_class
+""",
+)
+def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-axis inventory matrix: ABC ranks parts by cumulative
+    revenue share (the Pareto cut — A carries 80% of revenue), XYZ
+    buckets them by demand regularity (coefficient of variation of
+    monthly quantity; a part seen in one month has no sample stddev
+    and lands in Z, the unforecastable class).  Both axes reduce to
+    part grain FIRST — one shuffle each — then the running-share
+    window orders the part-grain frame (revenue desc, partkey
+    tie-break, so the cumulative sum is deterministic), and the final
+    census is a 9-cell rollup.  At 100 TB the only input-sized work is
+    the two part-grain reductions; the window runs over |parts| rows
+    and the output is at most 9."""
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum("l_extendedprice").alias("revenue")
+    )
+    run = Window.orderBy(F.col("revenue").desc(), "partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_part.agg(F.sum("revenue").alias("total_revenue"))
+    abc = per_part.join(F.broadcast(total)).select(
+        "partkey",
+        "revenue",
+        (F.sum("revenue").over(run) / F.col("total_revenue")).alias("cum_share"),
+    )
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    xyz = monthly.groupBy("partkey").agg(
+        (F.stddev_samp("qty") / F.avg("qty")).alias("cv")
+    )
+    classed = abc.join(xyz, "partkey").select(
+        "revenue",
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(F.col("cv").isNull(), "Z")
+        .when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return classed.groupBy("abc_class", "xyz_class").agg(
+        F.count("*").alias("n_parts"),
+        money(F.sum("revenue")).alias("revenue"),
+    )
+
+
+@query(
+    "dau_mau_stickiness",
+    ref="engagement family next to longest_active_streak / cohort_retention — the DAU/MAU stickiness ratio per month, the product-health number every growth dashboard leads with",
+    doc="Per month: average daily distinct active users, monthly distinct active users, and the DAU/MAU stickiness ratio.",
+    oracle="""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+per_month_daily AS (
+    SELECT month, avg(dau) AS avg_dau FROM daily GROUP BY month
+),
+monthly AS (
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT d.month,
+       round(d.avg_dau, 4)          AS avg_dau,
+       m.mau                        AS mau,
+       round(d.avg_dau / m.mau, 6)  AS stickiness
+FROM per_month_daily d JOIN monthly m ON d.month = m.month
+""",
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness = how much of the monthly audience shows up on an
+    average day.  Both distinct counts reduce the raw stream to
+    (period, user) pairs before counting — the standard two-stage
+    exact-distinct discipline (dedup shuffle, then a count that
+    needs no distinct tracking) — and the month join attaches a
+    ~12·years-row frame to another, so everything after the first
+    reduction is metadata-sized.  The ratio divides an exact average
+    of integers by an exact integer.  At 100 TB: two (period, user)
+    dedup shuffles, nothing else input-sized."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            day_str(F.col("ts")).alias("day"),
+            "user_id",
+        )
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    per_month_daily = daily.groupBy("month").agg(F.avg("dau").alias("avg_dau"))
+    monthly = ev.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return per_month_daily.join(monthly, "month").select(
+        "month",
+        F.round("avg_dau", 4).alias("avg_dau"),
+        "mau",
+        F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+@query(
+    "brand_substitution_screen",
+    ref="assortment analytics next to market_basket_lift (complements) and price_elasticity_by_brand — the cross-brand weekly-demand correlation matrix whose negative cells flag substitution candidates",
+    doc="For every unordered brand pair: number of aligned demand weeks and the Pearson correlation of weekly quantities (negative = substitution candidate, positive = co-moving demand).",
+    oracle="""
+WITH weekly AS (
+    SELECT p_brand AS brand,
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS week,
+           sum(l_quantity) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+)
+SELECT a.brand                        AS brand_a,
+       b.brand                        AS brand_b,
+       CAST(count(*) AS BIGINT)       AS n_weeks,
+       round(corr(a.qty, b.qty), 6)   AS demand_corr
+FROM weekly a JOIN weekly b ON a.week = b.week AND a.brand < b.brand
+GROUP BY a.brand, b.brand
+""",
+)
+def brand_substitution_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitutes steal each other's demand week by week; complements
+    move together.  The screen reduces lineitem to a (brand, week)
+    demand series FIRST (one shuffle on a ~25-brand x ~360-week key),
+    then self-joins on week — the join's frame is |brands|·|weeks|
+    rows regardless of input scale, and the a.brand < b.brand
+    inequality keeps each unordered pair once without a post-dedup.
+    Pearson r is the mergeable SQL:2003 corr aggregate, same as the
+    ACF query.  All 300 pairs are returned with their week support
+    (no data-dependent threshold, so the row set is stable across
+    engines); the analyst cuts at whatever r they trust.  At 100 TB:
+    one brand-week reduction, then constant-size work."""
+    weekly = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.floor(epoch_day(F.col("l_shipdate").cast("date")) / 7)
+            .cast("long")
+            .alias("week"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    a = weekly.select(
+        F.col("brand").alias("brand_a"), "week", F.col("qty").alias("qty_a")
+    )
+    b = weekly.select(
+        F.col("brand").alias("brand_b"),
+        F.col("week").alias("week_b"),
+        F.col("qty").alias("qty_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("week") == F.col("week_b"))
+        & (F.col("brand_a") < F.col("brand_b")),
+    )
+    return pairs.groupBy("brand_a", "brand_b").agg(
+        F.count("*").alias("n_weeks"),
+        F.round(F.corr("qty_a", "qty_b"), 6).alias("demand_corr"),
+    )

@@ -74,6 +74,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "longest_active_streak",
     "repeat_purchase_hazard",
     "seasonal_naive_backtest",
+    "abc_xyz_classification",
+    "dau_mau_stickiness",
+    "brand_substitution_screen",
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",
