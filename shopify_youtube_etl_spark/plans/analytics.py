@@ -6538,24 +6538,49 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets them by demand regularity (coefficient of variation of
     monthly quantity; a part seen in one month has no sample stddev
     and lands in Z, the unforecastable class).  Both axes reduce to
-    part grain FIRST — one shuffle each — then the running-share
-    window orders the part-grain frame (revenue desc, partkey
-    tie-break, so the cumulative sum is deterministic), and the final
-    census is a 9-cell rollup.  At 100 TB the only input-sized work is
-    the two part-grain reductions; the window runs over |parts| rows
-    and the output is at most 9."""
+    part grain FIRST — one shuffle each.  The global running share is
+    then a TWO-PHASE distributed prefix sum, never a single-partition
+    window: range-partition the part-grain frame on the sort key
+    (revenue desc, partkey tie-break), prefix-sum WITHIN each range
+    partition, and add each partition's exclusive offset — a ≤32-row
+    bounded collect of per-partition totals, the classic scan
+    parallelization.  At 100 TB the part frame is billions of rows and
+    a global-ORDER-BY window would funnel all of them through one
+    task; this shape keeps every stage partition-parallel.  Final
+    census is a 9-cell rollup."""
     li = t(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum("l_extendedprice").alias("revenue")
     )
-    run = Window.orderBy(F.col("revenue").desc(), "partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # localCheckpoint: two consumers (the totals probe and the final
+    # plan) would otherwise re-run the lineitem reduction, and the
+    # nondeterministic range-sampler could assign different pids per run.
+    ranked = (
+        per_part.repartitionByRange(32, F.col("revenue").desc(), "partkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    total = per_part.agg(F.sum("revenue").alias("total_revenue"))
-    abc = per_part.join(F.broadcast(total)).select(
+    totals = sorted(
+        ranked.groupBy("pid").agg(F.sum("revenue").alias("s")).collect(),
+        key=lambda r: r["pid"],
+    )
+    grand_total = sum(r["s"] for r in totals)
+    offsets, acc = [], 0.0
+    for r in totals:
+        offsets.append((r["pid"], acc))
+        acc += r["s"]
+    off = spark.createDataFrame(offsets, "pid INT, offset DOUBLE")
+    run = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("revenue").desc(), "partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    abc = ranked.join(F.broadcast(off), "pid").select(
         "partkey",
         "revenue",
-        (F.sum("revenue").over(run) / F.col("total_revenue")).alias("cum_share"),
+        (
+            (F.col("offset") + F.sum("revenue").over(run)) / F.lit(grand_total)
+        ).alias("cum_share"),
     )
     monthly = li.groupBy(
         F.col("l_partkey").alias("partkey"),

@@ -504,7 +504,7 @@ SHUFFLE_BUDGET = {
     "longest_active_streak": 3,  # (user,day) distinct+windows share user key + census
     "repeat_purchase_hazard": 3,  # custkey lag exchange + <=13-row census + window
     "seasonal_naive_backtest": 3,  # day reduce x2 statically + 7-row weekday agg
-    "abc_xyz_classification": 6,  # part reduce x2 + 1-row total + |parts| window + 9-cell census
+    "abc_xyz_classification": 4,  # checkpointed ranked frame + pid window + cv reduce + census (two-phase prefix sum, no global window)
     "dau_mau_stickiness": 5,  # (month,day,user) + (month,user) expand-distinct pairs + month join
     "brand_substitution_screen": 5,  # brand-week reduce x2 statically + week self-join + pair agg
 }
