@@ -4920,10 +4920,27 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mon_c"),
         )
     )
-    scored = cust.select(
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
-        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f"),
-        F.ntile(5).over(Window.orderBy("mon_c", "o_custkey")).alias("m"),
+    # Three quintile axes, each a two-phase distributed row_number +
+    # closed-form NTILE (integer-exact, bit-identical to the NTILE
+    # window) — the customer frame never funnels through one task.
+    from shopify_youtube_etl_spark.plans.common import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
+    s, n = distributed_row_number(
+        cust, [F.col("last_order").asc(), F.col("o_custkey").asc()], "rn_r"
+    )
+    s, _ = distributed_row_number(
+        s, [F.col("freq").asc(), F.col("o_custkey").asc()], "rn_f"
+    )
+    s, _ = distributed_row_number(
+        s, [F.col("mon_c").asc(), F.col("o_custkey").asc()], "rn_m"
+    )
+    scored = s.select(
+        ntile_from_rank("rn_r", n, 5).alias("r"),
+        ntile_from_rank("rn_f", n, 5).alias("f"),
+        ntile_from_rank("rn_m", n, 5).alias("m"),
         "freq",
         "mon_c",
     )

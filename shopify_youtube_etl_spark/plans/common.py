@@ -188,3 +188,66 @@ def ts_str(col: Column) -> Column:
 def day_str(col: Column) -> Column:
     """Format a timestamp to its day key 'YYYY-MM-DD' (reference F7)."""
     return F.date_format(col, "yyyy-MM-dd")
+
+
+def distributed_row_number(
+    df: DataFrame, order_cols: list[Column], rank_col: str, partitions: int = 32
+) -> tuple[DataFrame, int]:
+    """Global ``row_number() OVER (ORDER BY ...)`` without the
+    single-partition window: range-partition on the total order, rank
+    WITHIN each range partition, and add each partition's exclusive
+    row-count offset (a bounded ≤``partitions``-row collect) — the
+    two-phase scan parallelization.  Row counts are exact integers, so
+    the result is bit-identical to the global window at any scale.
+    The ranked frame is localCheckpointed: the count probe and the
+    caller's plan must see the SAME (nondeterministic) range-sampler
+    partition assignment.  Returns (frame with ``rank_col``, total row
+    count).  ``order_cols`` must be a TOTAL order (tie-broken) for the
+    rank to be deterministic."""
+    ranked = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranked.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if not offsets:
+        offsets = [(0, 0)]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "__pid INT, __off LONG")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("__pid").orderBy(*order_cols)
+    out = (
+        ranked.join(F.broadcast(off), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.row_number().over(w)).cast("int"))
+        .drop("__pid", "__off")
+    )
+    return out, acc
+
+
+def ntile_from_rank(rank_col: str, n: int, k: int) -> Column:
+    """SQL-standard NTILE(k) derived from a global 1-based row number
+    and the exact total row count: the first ``n mod k`` buckets carry
+    ``n//k + 1`` rows, the rest ``n//k`` — closed-form integer math,
+    bit-identical to the engine's NTILE over the same total order.
+    Pairs with :func:`distributed_row_number` to replace the
+    single-partition NTILE window."""
+    q, r = divmod(max(n, 1), k)
+    if q == 0:
+        return F.col(rank_col).cast("int")
+    boundary = r * (q + 1)
+    return (
+        F.when(
+            F.col(rank_col) <= F.lit(boundary),
+            F.ceil(F.col(rank_col) / F.lit(q + 1)),
+        )
+        .otherwise(F.lit(r) + F.ceil((F.col(rank_col) - F.lit(boundary)) / F.lit(q)))
+        .cast("int")
+    )

@@ -359,11 +359,21 @@ WHERE rank <= 10
 """,
 )
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
+    """orderBy().limit(10) FIRST so Catalyst plans TakeOrderedAndProject
+    (per-partition top-10 heaps merged on 10 rows), then the rank window
+    runs over the already-cut 10-row frame — never a global row_number
+    over every order through one task (the single-partition-window
+    anti-pattern this repo's scan-parallel rank helper exists for;
+    here the k-row cut makes the window trivially bounded instead)."""
+    top = (
         t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank"))
-        .where(F.col("rank") <= 10)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return top.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank")
     )
 
 
@@ -610,14 +620,27 @@ GROUP BY quartile
 )
 def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE over a total order (balance, then key — ties broken so
-    both engines cut identical buckets).  The global sort is the cost;
-    at 100 TB the equivalent cut comes from approx_quantiles_profile's
-    sketch boundaries instead — this exact form is the oracle-checkable
-    twin, and the downstream agg reduces to 4 rows."""
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    both engines cut identical buckets), computed WITHOUT the
+    single-partition NTILE window: a two-phase distributed row_number
+    (range partitions + exact integer count offsets) feeds the
+    SQL-standard closed-form bucket assignment — bit-identical to the
+    engine's NTILE, partition-parallel at any scale.  The sketch-cut
+    sibling (approx_quantiles_profile) remains the cheap approximate
+    path; this is the exact one."""
+    from shopify_youtube_etl_spark.plans.common import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
+    ranked, n = distributed_row_number(
+        t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        "rn",
+    )
     return (
-        t(spark, sf_dir, "customer")
-        .select("c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
+        ranked.select(
+            "c_acctbal", ntile_from_rank("rn", n, 4).cast("long").alias("quartile")
+        )
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -190,8 +190,13 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
     )
     tot = k.agg(F.sum("n_rows").cast("double").alias("n"))
+    # Cut the top-10 FIRST (TakeOrderedAndProject: per-partition heaps,
+    # 10-row merge) — rank and the running sum only ever involve rows
+    # above the cut, so windowing the 10-row frame is value-identical
+    # to windowing the whole user census through one task.
+    top = k.orderBy(F.col("n_rows").desc(), F.col("user_id")).limit(10)
     w = Window.orderBy(F.col("n_rows").desc(), F.col("user_id"))
-    ranked = k.select(
+    ranked = top.select(
         "user_id",
         "n_rows",
         F.row_number().over(w).cast("long").alias("rank"),

@@ -484,7 +484,7 @@ SHUFFLE_BUDGET = {
     "winsorized_mean_profile": 2,  # status exchange shared by bounds window + rollup
     "allocation_proportional": 1,  # one order exchange: totals, rank, residual, rollup
     "bom_explosion": 1,  # recursion over key-bounded frontier; one level agg
-    "rfm_segmentation": 2,  # customer reduce + 1-partition ntile windows (customer-sized frame)
+    "rfm_segmentation": 2,  # checkpointed triple-ranked frame + pid window + census (two-phase ntile, no global window)
     "percent_of_parent_share": 2,  # grain reduce + window pair on the tiny frame
     "price_elasticity_by_brand": 1,  # one brand shuffle of mergeable regr moments
     "window_funnel_depths": 9,  # user-key agg per stage + joins riding the same key
@@ -507,6 +507,8 @@ SHUFFLE_BUDGET = {
     "abc_xyz_classification": 4,  # checkpointed ranked frame + pid window + cv reduce + census (two-phase prefix sum, no global window)
     "dau_mau_stickiness": 5,  # (month,day,user) + (month,user) expand-distinct pairs + month join
     "brand_substitution_screen": 5,  # brand-week reduce x2 statically + week self-join + pair agg
+    "topk_orders": 0,  # pure TakeOrderedAndProject + 10-row rank window
+    "ntile_value_quartiles": 2,  # checkpointed ranked frame: pid window + 4-row census
 }
 
 
@@ -600,3 +602,45 @@ def test_runtime_exchange_reuse_and_stage_count(spark, sf_dir, name):
         f"{name}: {stages} distinct shuffle stages executed "
         f"(ceiling {max_stages})"
     )
+
+
+def test_topk_orders_is_take_ordered(spark, sf_dir):
+    """Top-10 must compile to TakeOrderedAndProject (per-partition
+    heaps merged on 10 rows), never a global row_number over every
+    order through one task (the r8 single-partition-window sweep)."""
+    plan = plan_of(spark, "topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_key_skew_profile_is_take_ordered(spark, sf_dir):
+    """The skew diagnostic's top-10 cut must be TakeOrderedAndProject;
+    rank/cum windows then run over the 10-row frame only."""
+    plan = plan_of(spark, "key_skew_profile", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_distributed_rank_and_ntile_match_global_window(spark):
+    """The two-phase distributed row_number and the closed-form NTILE
+    must be BIT-IDENTICAL to the engine's global-window forms — on a
+    size that exercises uneven range partitions and a non-divisible
+    bucket split (101 rows, 5 buckets: 1 bucket of 21, 4 of 20)."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window as W
+
+    from shopify_youtube_etl_spark.plans.common import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
+    df = spark.range(101).select(
+        (F2.xxhash64(F2.col("id")) % 1000).alias("v"), F2.col("id").alias("k")
+    )
+    order = [F2.col("v").asc(), F2.col("k").asc()]
+    got, n = distributed_row_number(df, order, "rn", partitions=7)
+    assert n == 101
+    w = W.orderBy(*order)
+    want = df.select(
+        "v", "k", F2.row_number().over(w).alias("rn"), F2.ntile(5).over(w).alias("nt")
+    )
+    got = got.select("v", "k", "rn", ntile_from_rank("rn", n, 5).alias("nt"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
