@@ -697,11 +697,14 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+    # Cut the top-20 with orderBy+limit (TakeOrderedAndProject:
+    # per-partition heaps, 20-row merge) BEFORE ranking — the rank
+    # window then runs over the 20-row cut, never the whole vocab
+    # census through one task.
+    top = tokens.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(20)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
-    return (
-        tokens.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("token", "n_occurrences", "n_docs", "rank")
+    return top.select(
+        "token", "n_occurrences", "n_docs", F.row_number().over(w).alias("rank")
     )
 
 
@@ -755,11 +758,12 @@ def bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+    # Same TakeOrderedAndProject cut as vocab_top_tokens: rank only
+    # the 20-row frame, not the bigram census through one task.
+    top = bigrams.orderBy(F.col("n_occurrences").desc(), F.col("bigram")).limit(20)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
-    return (
-        bigrams.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("bigram", "n_occurrences", "n_docs", "rank")
+    return top.select(
+        "bigram", "n_occurrences", "n_docs", F.row_number().over(w).alias("rank")
     )
 
 
@@ -1043,11 +1047,11 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # TakeOrderedAndProject cut on (rounded) PMI before ranking — the
+    # rank window touches 20 rows, not the scored-pair census.
+    top = scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(20)
     w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 @query(
@@ -1855,8 +1859,14 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    ranked = ct.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
+    # The fit needs EVERY vocab row ranked (ln rank is a regressor), so
+    # a top-k cut can't help — use the two-phase distributed row_number
+    # (integer-exact, bit-identical to the global window) instead of
+    # funneling the vocab census through one window task.
+    from shopify_youtube_etl_spark.plans.common import distributed_row_number
+
+    ranked, _ = distributed_row_number(
+        ct, [F.col("n").desc(), F.col("token").asc()], "rnk"
     )
     ln_n, ln_r = F.log(F.col("n")), F.log(F.col("rnk"))
     return ranked.agg(

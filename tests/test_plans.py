@@ -644,3 +644,14 @@ def test_distributed_rank_and_ntile_match_global_window(spark):
     )
     got = got.select("v", "k", "rn", ntile_from_rank("rn", n, 5).alias("nt"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@pytest.mark.parametrize(
+    "name", ["vocab_top_tokens", "bigram_top_terms", "bigram_pmi_top"]
+)
+def test_text_topk_queries_are_take_ordered(spark, sf_dir, name):
+    """The n-gram/PMI top-20s must cut with TakeOrderedAndProject and
+    rank only the cut — a global row_number over the vocab census
+    would funnel billions of distinct tokens through one task."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "TakeOrderedAndProject" in plan
