@@ -3157,34 +3157,37 @@ def quality_threshold_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores descending and take the curve point farthest (perpendicular
     distance) from the chord between its endpoints — the knee, where
     marginal quality starts falling fastest.  Scores round to 6dp
-    BEFORE ranking so both engines walk the same curve.  Small-SF
-    plan: one score pass, one global rank window, an argmax.  At
-    100 TB the global row_number is the wrong physics — but the knee
-    only needs the curve SHAPE, which survives compression to a
-    quantile grid (approx_percentile to ~1k points, then this same
-    chord test on the grid); the exact form here is the
-    oracle-checkable ground truth that grid variant would be pinned
+    BEFORE ranking so both engines walk the same curve.  The per-doc
+    rank is the two-phase distributed row_number (integer-exact), and
+    the chord endpoints come from a one-row min/max aggregate
+    broadcast back — no doc-grain frame ever funnels through a single
+    window task.  The quantile-grid sibling remains the CHEAP 100 TB
+    path (the curve shape survives compression to 201 points); this
+    exact form is the oracle-checkable ground truth it is pinned
     against."""
-    from pyspark.sql.window import Window
-
     from shopify_youtube_etl_spark.functions.text import quality_score
+    from shopify_youtube_etl_spark.plans.common import distributed_row_number
 
     scored = (
         t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", quality_score(F.col("text")).alias("q"))
     )
-    everything = Window.partitionBy()
-    ranked = scored.select(
-        "q",
-        F.row_number()
-        .over(Window.orderBy(F.col("q").desc(), "doc_id"))
-        .cast("double")
-        .alias("i"),
-        F.count("*").over(everything).cast("double").alias("n"),
-        F.max("q").over(everything).alias("q1"),
-        F.min("q").over(everything).alias("qn"),
-    ).where(F.col("n") > 1)
+    rdf, n = distributed_row_number(
+        scored, [F.col("q").desc(), F.col("doc_id").asc()], "rn"
+    )
+    stats = rdf.agg(F.max("q").alias("q1"), F.min("q").alias("qn"))
+    ranked = (
+        rdf.join(F.broadcast(stats))
+        .select(
+            "q",
+            F.col("rn").cast("double").alias("i"),
+            F.lit(float(n)).alias("n"),
+            "q1",
+            "qn",
+        )
+        .where(F.lit(n) > 1)
+    )
     dist = F.abs(
         (F.col("qn") - F.col("q1")) * (F.col("i") - 1)
         - (F.col("n") - 1) * (F.col("q") - F.col("q1"))

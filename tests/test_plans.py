@@ -473,7 +473,7 @@ SHUFFLE_BUDGET = {
     "benford_law_audit": 3,  # 9-group digit census + 1-row total + final join
     "chi_square_independence": 9,  # 25-cell census subtree x4 statically (ReusedExchange at runtime)
     "ndcg_retrieval_eval": 12,  # bm25 leg + rel leg share the tokenize subtree (reused at runtime)
-    "quality_threshold_knee": 1,  # score pass + the one global rank exchange
+    "quality_threshold_knee": 2,  # checkpointed ranked frame: 1-row stats agg + pid window (two-phase rank, no global window)
     "quality_knee_quantile_grid": 2,  # one mergeable percentile agg + 201-row argmax
     "survivorship_golden_record": 1,  # one entity exchange shared by all field windows
     "sql_scalar_udf_revenue": 1,  # UDFs inline; plain flag rollup
