@@ -6746,3 +6746,110 @@ def brand_substitution_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_weeks"),
         F.round(F.corr("qty_a", "qty_b"), 6).alias("demand_corr"),
     )
+
+
+@query(
+    "segment_migration_matrix",
+    ref="CRM dynamics next to rfm_segmentation — the year-over-year value-quintile migration matrix (who moved up, who churned down), the transition view a retention program is judged by",
+    doc="For customers active in consecutive years: (quintile last year, quintile this year) transition counts and the row-normalized migration probability; quintiles are exact per-year NTILE(5) on annual spend in integer cents.",
+    oracle="""
+WITH per_cy AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+    FROM orders GROUP BY 1, 2
+),
+seg AS (
+    SELECT o_custkey, yr,
+           CAST(ntile(5) OVER (PARTITION BY yr
+               ORDER BY spend_c, o_custkey) AS BIGINT) AS q
+    FROM per_cy
+)
+SELECT a.q AS seg_from,
+       b.q AS seg_to,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY a.q), 6)
+           AS p_migrate
+FROM seg a JOIN seg b ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+GROUP BY a.q, b.q
+""",
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation is a snapshot; retention economics live in the
+    TRANSITIONS.  Per-year value quintiles are exact NTILE — but a
+    PARTITION BY year window still funnels every customer of a year
+    through one task, so the rank comes from ONE global two-phase
+    row_number over (year, spend, custkey) and each year's within-year
+    rank is global rank minus the year's exclusive row offset (a
+    year-grain census, ≤|years| rows, broadcast back) — integer-exact,
+    bit-identical to the partitioned NTILE.  Spend is integer cents
+    (order-independent sums, no float tie at a bucket boundary).  The
+    year-over-year self-join runs on (custkey, year) and the output is
+    the ≤25-cell matrix with row-normalized migration probabilities —
+    ratios of exact counts.  At 100 TB: one customer-year reduction,
+    the two-phase rank, one self-join on the reduced frame."""
+    from shopify_youtube_etl_spark.plans.common import (
+        distributed_row_number,
+        ntile_from_rank_cols,
+    )
+
+    per_cy = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_c"
+            )
+        )
+    )
+    ranked, _ = distributed_row_number(
+        per_cy,
+        [F.col("yr").asc(), F.col("spend_c").asc(), F.col("o_custkey").asc()],
+        "grn",
+    )
+    yw = Window.orderBy("yr").rowsBetween(Window.unboundedPreceding, -1)
+    year_offsets = (
+        ranked.groupBy("yr")
+        .agg(F.count("*").alias("y_n"))
+        .select(
+            "yr",
+            "y_n",
+            F.coalesce(F.sum("y_n").over(yw), F.lit(0)).alias("y_off"),
+        )
+    )
+    # localCheckpoint: the year-over-year self-join consumes seg twice;
+    # without it the rank/offset subtree plans (and shuffles) twice.
+    seg = (
+        ranked.join(F.broadcast(year_offsets), "yr")
+        .select(
+            "o_custkey",
+            "yr",
+            ntile_from_rank_cols(F.col("grn") - F.col("y_off"), F.col("y_n"), 5)
+            .cast("long")
+            .alias("q"),
+        )
+        .localCheckpoint()
+    )
+    a = seg.select(
+        "o_custkey", F.col("yr").alias("yr_a"), F.col("q").alias("seg_from")
+    )
+    b = seg.select(
+        "o_custkey", F.col("yr").alias("yr_b"), F.col("q").alias("seg_to")
+    )
+    trans = a.join(b, "o_custkey").where(F.col("yr_b") == F.col("yr_a") + 1)
+    per_from = Window.partitionBy("seg_from")
+    return (
+        trans.groupBy("seg_from", "seg_to")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            "seg_from",
+            "seg_to",
+            "n_customers",
+            F.round(
+                F.col("n_customers") / F.sum("n_customers").over(per_from), 6
+            ).alias("p_migrate"),
+        )
+    )

@@ -251,3 +251,20 @@ def ntile_from_rank(rank_col: str, n: int, k: int) -> Column:
         .otherwise(F.lit(r) + F.ceil((F.col(rank_col) - F.lit(boundary)) / F.lit(q)))
         .cast("int")
     )
+
+
+def ntile_from_rank_cols(rank: Column, n: Column, k: int) -> Column:
+    """Column form of :func:`ntile_from_rank` for PARTITIONED ntile:
+    ``rank`` is the 1-based rank WITHIN the partition and ``n`` the
+    partition's exact row count (both columns, e.g. joined from a
+    per-partition census).  Same SQL-standard bucket math, integer
+    exact."""
+    q = F.floor(n / k).cast("long")
+    r = (n - q * F.lit(k)).cast("long")
+    boundary = r * (q + F.lit(1))
+    return (
+        F.when(q == F.lit(0), rank)
+        .when(rank <= boundary, F.ceil(rank / (q + F.lit(1))))
+        .otherwise(r + F.ceil((rank - boundary) / q))
+        .cast("int")
+    )

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "abc_xyz_classification",
     "dau_mau_stickiness",
     "brand_substitution_screen",
+    "segment_migration_matrix",
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",

@@ -509,6 +509,7 @@ SHUFFLE_BUDGET = {
     "brand_substitution_screen": 5,  # brand-week reduce x2 statically + week self-join + pair agg
     "topk_orders": 0,  # pure TakeOrderedAndProject + 10-row rank window
     "ntile_value_quartiles": 2,  # checkpointed ranked frame: pid window + 4-row census
+    "segment_migration_matrix": 4,  # checkpointed seg frame: custkey self-join pair + 25-cell census + window
 }
 
 
