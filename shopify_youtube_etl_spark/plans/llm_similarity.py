@@ -2922,3 +2922,105 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query(
+    "triplet_margin_mining",
+    ref="contrastive-training data prep next to ann_cosine_topk / embedding_centroid_per_label — per-probe hardest positive vs hardest negative and the triplet margin, the mining report a metric-learning run reads before sampling triplets",
+    doc="For each of the 16 probe vectors: the nearest SAME-label neighbor, the nearest DIFFERENT-label neighbor (the hard negative), the cosine margin between them, and whether the triplet is violated (negative at least as close as positive).",
+    oracle=f"""
+WITH p AS (
+    SELECT vec_id AS probe_id, CAST(label AS BIGINT) AS probe_label,
+           {_D_VEC} AS pv, label AS pl
+    FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL
+),
+c AS (
+    SELECT vec_id AS neighbor_id, label AS nl, {_D_VEC} AS cv
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+s AS (
+    SELECT probe_id, probe_label, neighbor_id, (nl = pl) AS is_pos,
+           round(list_dot_product(pv, cv)
+                 / (sqrt(list_dot_product(pv, pv))
+                    * sqrt(list_dot_product(cv, cv))), 6) AS cos
+    FROM p, c WHERE probe_id <> neighbor_id
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id, is_pos
+        ORDER BY cos DESC, neighbor_id) AS rk
+    FROM s
+),
+piv AS (
+    SELECT probe_id, probe_label,
+           max(CASE WHEN is_pos THEN neighbor_id END)     AS pos_id,
+           max(CASE WHEN is_pos THEN cos END)             AS pos_cos,
+           max(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
+           max(CASE WHEN NOT is_pos THEN cos END)         AS neg_cos
+    FROM r WHERE rk = 1 GROUP BY probe_id, probe_label
+)
+SELECT probe_id, probe_label, pos_id, pos_cos, neg_id, neg_cos,
+       round(pos_cos - neg_cos, 6) AS margin,
+       (pos_cos <= neg_cos)        AS violated
+FROM piv WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+""",
+)
+def triplet_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet/contrastive training lives or dies on its mined pairs:
+    the HARDEST positive (nearest same-label) and HARDEST negative
+    (nearest other-label) per anchor, and whether the margin is already
+    violated.  Same broadcast-probe discipline as the ANN baseline (16
+    anchors broadcast against the corpus; the IVF family is the
+    registered at-scale serving path), cosines rounded to 6dp BEFORE
+    the per-(probe, side) argmax so both engines pick identical
+    neighbors under ties; the argmax window partitions by
+    (probe, side) — per-anchor frames, never a global sort.  Anchors
+    whose label has no second member (no positive exists) drop out on
+    both engines.  Margins are differences of already-rounded values —
+    bit-stable."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    probes = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").cast("long").alias("probe_label"),
+        F.col("label").alias("pl"),
+        as_double_array("embedding").alias("pv"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nl"),
+        as_double_array("embedding").alias("cv"),
+    )
+    s = (
+        corpus.crossJoin(F.broadcast(probes))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "neighbor_id",
+            (F.col("nl") == F.col("pl")).alias("is_pos"),
+            F.round(cosine(F.col("cv"), F.col("pv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id", "is_pos").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    best = s.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    piv = best.groupBy("probe_id", "probe_label").agg(
+        F.max(F.when(F.col("is_pos"), F.col("neighbor_id"))).alias("pos_id"),
+        F.max(F.when(F.col("is_pos"), F.col("cos"))).alias("pos_cos"),
+        F.max(F.when(~F.col("is_pos"), F.col("neighbor_id"))).alias("neg_id"),
+        F.max(F.when(~F.col("is_pos"), F.col("cos"))).alias("neg_cos"),
+    )
+    return piv.where(
+        F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull()
+    ).select(
+        "probe_id",
+        "probe_label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        (F.col("pos_cos") <= F.col("neg_cos")).alias("violated"),
+    )

@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "dau_mau_stickiness",
     "brand_substitution_screen",
     "segment_migration_matrix",
+    "triplet_margin_mining",
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",
