@@ -3024,3 +3024,166 @@ def triplet_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
         (F.col("pos_cos") <= F.col("neg_cos")).alias("violated"),
     )
+
+
+@query(
+    "knn_label_eval",
+    ref="embedding-quality eval next to matryoshka_truncation_recall / ndcg_retrieval_eval — leave-one-out 5-NN majority-vote label prediction over the probe set: the cheapest end-to-end answer to 'do these embeddings encode the labels?'",
+    doc="For each of the 16 probe vectors: true label, 5-NN majority-vote predicted label (ties break to the smaller label), vote count, and whether the prediction is correct.",
+    oracle=f"""
+WITH p AS (
+    SELECT vec_id AS probe_id, label AS pl, {_D_VEC} AS pv
+    FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL
+),
+c AS (
+    SELECT vec_id AS neighbor_id, label AS nl, {_D_VEC} AS cv
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+s AS (
+    SELECT probe_id, pl, nl,
+           round(list_dot_product(pv, cv)
+                 / (sqrt(list_dot_product(pv, pv))
+                    * sqrt(list_dot_product(cv, cv))), 6) AS cos,
+           neighbor_id
+    FROM p, c WHERE probe_id <> neighbor_id
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY cos DESC, neighbor_id) AS rk
+    FROM s
+),
+votes AS (
+    SELECT probe_id, pl, nl, CAST(count(*) AS BIGINT) AS n_votes
+    FROM r WHERE rk <= 5 GROUP BY probe_id, pl, nl
+),
+pred AS (
+    SELECT probe_id, pl, nl AS predicted, n_votes,
+           row_number() OVER (PARTITION BY probe_id
+               ORDER BY n_votes DESC, nl) AS vr
+    FROM votes
+)
+SELECT probe_id,
+       CAST(pl AS BIGINT)        AS true_label,
+       CAST(predicted AS BIGINT) AS predicted_label,
+       n_votes,
+       (predicted = pl)          AS correct
+FROM pred WHERE vr = 1
+""",
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic embedding sanity check: if a leave-one-out 5-NN
+    majority vote can't recover the label, no downstream classifier
+    will.  Shares the ANN baseline's broadcast-probe shape (16 anchors
+    against the corpus; the IVF family is the at-scale serving path);
+    the vote and the argmax both partition by probe — ≤5-row frames
+    after the top-5 cut, with (count desc, label asc) tie-break so
+    both engines elect the same winner.  Cosines round to 6dp before
+    ranking, the repo's cross-engine tie discipline."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    probes = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("pl"),
+        as_double_array("embedding").alias("pv"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nl"),
+        as_double_array("embedding").alias("cv"),
+    )
+    s = (
+        corpus.crossJoin(F.broadcast(probes))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "pl",
+            "nl",
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("pv")), 6).alias("cos"),
+        )
+    )
+    by_probe = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    top5 = s.withColumn("rk", F.row_number().over(by_probe)).where(
+        F.col("rk") <= 5
+    )
+    votes = top5.groupBy("probe_id", "pl", "nl").agg(
+        F.count("*").alias("n_votes")
+    )
+    by_votes = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("nl")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(by_votes))
+        .where(F.col("vr") == 1)
+        .select(
+            "probe_id",
+            F.col("pl").cast("long").alias("true_label"),
+            F.col("nl").cast("long").alias("predicted_label"),
+            "n_votes",
+            (F.col("nl") == F.col("pl")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "ann_erasure_maintenance",
+    ref="governance x index maintenance — right-to-erasure applied to the DERIVED ANN index: erasure_cascade_apply reaches the tables, this reaches the persisted IVF-PQ code slice the tables fed; completes the maintenance chain (assign / split / re-encode / ERASE)",
+    doc="Per (split cell, child): code rows before, erased (deterministic subject set: vec_id % 97 == 3 in the upper vec_id half), and after — applied to a fresh two-segment copy of the ivfsplitcodes artifact via the segment-pruned join-shaped DELETE; rows-only (quantizer family); segment survival-by-name, tombstone absence, and survivor equality pinned in pytest.",
+    oracle=None,
+)
+def ann_erasure_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure is only DONE when it reaches the derived artifacts:
+    a vector index still serving an erased subject's embedding is a
+    leak.  This verb erases a subject set from the persisted IVF-PQ
+    code slice with the SAME segment-pruned DELETE discipline the
+    tables use — the request frame's key envelope probes the segment
+    sidecars, segments provably holding no doomed key survive BY NAME,
+    and only intersecting segments rewrite (O(matching segments), never
+    O(index)).  The demo state is a per-run two-segment copy (low/high
+    vec_id ranges) of the codes artifact, so the query is idempotent
+    and the pruning claim is OBSERVABLE: tombstones live only in the
+    upper range, so the lower segment must keep its file name.  At
+    100 TB the codes table is range-clustered by vec_id exactly so an
+    incident-sized erasure touches a handful of segments."""
+    split = _ivf_append_split(spark, sf_dir)
+    out_schema = "cell int, child int, n_before long, n_erased long, n_after long"
+    codes_tbl = _ann_artifact_table(spark, sf_dir, f"ivfsplitcodes{split}")
+    if not codes_tbl.exists():
+        ivfpq_code_refresh(spark, sf_dir).collect()
+    if not codes_tbl.exists():
+        return spark.createDataFrame([], out_schema)
+    codes = codes_tbl.read().select("vec_id", "cell", "child")
+    bounds = codes.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return spark.createDataFrame([], out_schema)
+    mid = (bounds["lo"] + bounds["hi"]) // 2 + 1
+    demo = _ann_artifact_table(spark, sf_dir, f"ivferasure{split}")
+    demo.truncate(schema_source=codes)
+    demo.append(codes.where(F.col("vec_id") < mid), stats_cols=["vec_id"])
+    demo.append(codes.where(F.col("vec_id") >= mid), stats_cols=["vec_id"])
+    before = demo.read().groupBy("cell", "child").agg(
+        F.count("*").alias("n_before")
+    )
+    tombstones = codes.where(
+        (F.col("vec_id") % 97 == 3) & (F.col("vec_id") >= mid)
+    ).select("vec_id")
+    demo.delete_matching(tombstones, "vec_id")
+    after = demo.read().groupBy("cell", "child").agg(F.count("*").alias("n_after"))
+    return (
+        before.join(after, ["cell", "child"], "left")
+        .select(
+            "cell",
+            "child",
+            "n_before",
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0)))
+            .cast("long")
+            .alias("n_erased"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        )
+        .orderBy("cell", "child")
+    )

@@ -79,6 +79,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "brand_substitution_screen",
     "segment_migration_matrix",
     "triplet_margin_mining",
+    "knn_label_eval",
+    "ann_erasure_maintenance",
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",

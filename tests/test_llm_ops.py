@@ -1250,3 +1250,68 @@ def test_exact_split_manifest_hamilton_invariants(spark, sf_dir):
         n = r["train"] + r["val"] + r["test"]
         for s, p in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
             assert abs(r[s] - n * p) < 1.0, (r["lang"], s, r[s], n * p)
+
+
+def test_ann_erasure_prunes_segments_and_erases_tombstones(spark, sf_dir):
+    """ANN erasure pins: (1) every reported erasure is real — the
+    tombstone ids (vec_id % 97 == 3, upper half) are absent from the
+    demo state after the run; (2) survivors are row-identical to the
+    source codes minus tombstones; (3) the LOWER-range segment holds no
+    tombstone by construction, so the segment-pruned DELETE must keep
+    it in the manifest BY NAME; (4) the query is idempotent (re-run
+    yields the identical report)."""
+    from pyspark.sql import functions as F2
+
+    from shopify_youtube_etl_spark.plans import llm_similarity as sim
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    specs = all_queries()
+    rep1 = specs["ann_erasure_maintenance"].fn(spark, sf_dir).collect()
+    assert rep1, "expected split-cell codes at the test SF"
+    assert sum(r["n_erased"] for r in rep1) > 0, "tombstone set was empty"
+
+    split = sim._ivf_append_split(spark, sf_dir)
+    codes = (
+        sim._ann_artifact_table(spark, sf_dir, f"ivfsplitcodes{split}")
+        .read()
+        .select("vec_id", "cell", "child")
+    )
+    lo, hi = codes.agg(F2.min("vec_id"), F2.max("vec_id")).first()
+    mid = (lo + hi) // 2 + 1
+    demo = sim._ann_artifact_table(spark, sf_dir, f"ivferasure{split}")
+
+    # Low-range segment name captured BEFORE a re-run... the demo state
+    # is rebuilt per run, so instead re-run and watch the commit: grab
+    # names after the two appends by re-executing the build steps the
+    # query performs, then compare against the post-delete manifest.
+    demo.truncate(schema_source=codes)
+    husk = set(demo.segments())  # truncate's empty stats-less schema carrier
+    demo.append(codes.where(F2.col("vec_id") < mid), stats_cols=["vec_id"])
+    low_seg = set(demo.segments()) - husk
+    demo.append(codes.where(F2.col("vec_id") >= mid), stats_cols=["vec_id"])
+    pre_segs = set(demo.segments())
+    tombs = codes.where(
+        (F2.col("vec_id") % 97 == 3) & (F2.col("vec_id") >= mid)
+    ).select("vec_id")
+    demo.delete_matching(tombs, "vec_id")
+    post_segs = set(demo.segments())
+    assert low_seg <= post_segs, "pruned DELETE rewrote the disjoint low segment"
+    assert pre_segs - post_segs, "no segment was rewritten at all"
+
+    # Tombstones gone, survivors identical.
+    remaining = demo.read()
+    tomb_ids = {r["vec_id"] for r in tombs.collect()}
+    assert tomb_ids, "fixture produced no tombstones"
+    left = {r["vec_id"] for r in remaining.select("vec_id").collect()}
+    assert not (tomb_ids & left)
+    want = {
+        tuple(r)
+        for r in codes.where(
+            ~((F2.col("vec_id") % 97 == 3) & (F2.col("vec_id") >= mid))
+        ).collect()
+    }
+    assert {tuple(r) for r in remaining.collect()} == want
+
+    # Idempotent report.
+    rep2 = specs["ann_erasure_maintenance"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rep1)) == sorted(map(tuple, rep2))
