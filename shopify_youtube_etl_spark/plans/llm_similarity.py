@@ -3187,3 +3187,67 @@ def ann_erasure_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell", "child")
     )
+
+
+@query(
+    "doc_novelty_profile",
+    ref="curation signal next to containment_pairs / duplicated_span_profile — per-document n-gram novelty: the fraction of a doc's shingles seen NOWHERE else in the corpus, the memorization-risk / boilerplate dial a mixture curator reads",
+    doc="Per document (>= 3 words): distinct word-3-gram count, count unique to this document (corpus document frequency = 1), and the novelty ratio.",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_D_SHINGLES}) AS shingle FROM documents
+),
+df AS (
+    SELECT shingle, count(*) AS dfreq FROM sh GROUP BY shingle
+),
+per_doc AS (
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT)                                  AS n_shingles,
+           CAST(sum(CASE WHEN d.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM sh s JOIN df d ON s.shingle = d.shingle
+    GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       round(n_novel * 1.0 / n_shingles, 6) AS novelty_ratio
+FROM per_doc
+""",
+)
+def doc_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low novelty = boilerplate or near-duplicate content (every
+    shingle appears elsewhere); high novelty = unique text worth its
+    tokens — and for eval hygiene, the docs whose shingles exist
+    nowhere else are the ones a model could only reproduce by
+    memorizing.  Shingles are per-doc DISTINCT word 3-grams (the same
+    map-side signature the dedup family uses), so the document
+    frequency census shuffles each (doc, shingle) pair once; the
+    join-back rides the same shingle key and the final reduction is
+    doc-grain.  Ratio of exact counts — bit-stable.  At 100 TB this is
+    the tfidf cost shape: one shingle-key shuffle, one doc-key
+    reduction, no pairwise work at all."""
+    sh = (
+        spread(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_words("ws", 3)).alias("shingle"),
+        )
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty_ratio"
+            ),
+        )
+    )

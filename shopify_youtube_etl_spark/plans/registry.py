@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "triplet_margin_mining",
     "knn_label_eval",
     "ann_erasure_maintenance",
+    "doc_novelty_profile",
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",
