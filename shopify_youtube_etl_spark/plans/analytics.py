@@ -6853,3 +6853,66 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_migrate"),
         )
     )
+
+
+@query(
+    "sliding_distinct_users_7d",
+    ref="engagement family next to dau_mau_stickiness / two_stage_distinct_daily_users — EXACT trailing-7-day distinct users per active day (the WAU curve), the sliding COUNT(DISTINCT) that naive windowing cannot express at scale",
+    doc="For each day with events: that day's exact distinct users and the exact distinct users over the trailing 7 days (day-6 .. day).",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(ts AS DATE)) AS BIGINT) AS day_num,
+           user_id
+    FROM events WHERE ts IS NOT NULL
+),
+days AS (
+    SELECT day_num, CAST(count(*) AS BIGINT) AS dau
+    FROM pairs GROUP BY day_num
+),
+win AS (
+    SELECT d.day_num, p.user_id
+    FROM days d JOIN pairs p
+      ON p.day_num BETWEEN d.day_num - 6 AND d.day_num
+)
+SELECT w.day_num,
+       min(d.dau)                               AS dau,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS users_7d
+FROM win w JOIN days d ON d.day_num = w.day_num
+GROUP BY w.day_num
+""",
+)
+def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counts don't decompose, so the trailing-7-day user
+    count can't come from summing daily counts — and a RANGE window
+    with COUNT(DISTINCT) doesn't exist in either engine.  The exact
+    form: dedupe to (day, user) pairs FIRST (the big reduction), then
+    rewrite the bounded range join as an EQUI-join by exploding each
+    pair into its 7 target windows (the EWMA trick), and run the
+    second-stage distinct per window.  Work is 7x the deduped pair
+    count — the honest exact cost, bounded and shuffle-friendly; the
+    mergeable-HLL rollup family is the registered approximate path
+    when 7x pairs is too much.  All-integer output."""
+    pairs = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            epoch_day(F.col("ts").cast("date")).alias("day_num"), "user_id"
+        )
+        .distinct()
+    )
+    days = pairs.groupBy("day_num").agg(F.count("*").alias("dau"))
+    fan = pairs.select(
+        "day_num", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select((F.col("day_num") + F.col("off")).alias("target_num"), "user_id")
+    win = fan.join(
+        days.select(F.col("day_num").alias("target_num"), "dau"), "target_num"
+    )
+    return (
+        win.groupBy(F.col("target_num").alias("day_num"))
+        .agg(
+            F.min("dau").alias("dau"),
+            F.countDistinct("user_id").alias("users_7d"),
+        )
+    )

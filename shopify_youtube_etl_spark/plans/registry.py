@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "knn_label_eval",
     "ann_erasure_maintenance",
     "doc_novelty_profile",
+    "sliding_distinct_users_7d",
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",
