@@ -1627,3 +1627,92 @@ def tpch_refresh_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
         F.count("*").alias("count_order"),
     )
+
+
+def _interleave16(x, y):
+    """Morton/Z-value: interleave the low 16 bits of two long columns
+    (x on even bit positions, y on odd) — pure integer expressions,
+    deterministic on any engine."""
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for b in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, b).bitwiseAND(one), 2 * b)
+        ).bitwiseOR(F.shiftleft(F.shiftright(y, b).bitwiseAND(one), 2 * b + 1))
+    return z
+
+
+@query(
+    "zorder_box_scan",
+    ref="layout maintenance, multi-dimension — OPTIMIZE ZORDER BY (customer, date): Morton-interleave both keys, cluster on the z-value, and serve a 2-D box predicate off the committed layout; completes the clustering family (range cluster_by, incremental folds, Z-order)",
+    doc="Orders re-laid-out by the Morton z-value of (normalized o_custkey, normalized order day), then a 2-D box slice (customer band x one year) read off the committed table; per-status profile must equal the oracle's plain box aggregate.",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)     AS n_orders,
+       round(sum(o_totalprice), 2)  AS revenue
+FROM orders
+WHERE o_custkey BETWEEN 40 AND 80
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <= TIMESTAMP '1995-12-31'
+GROUP BY o_orderstatus
+""",
+)
+def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One sort key can only skip on one dimension: a date-clustered
+    table serves date slices but scans EVERY file for a customer-band
+    probe.  Z-ordering interleaves the bits of both normalized keys so
+    z-contiguous files cover small RECTANGLES of (customer, day) space
+    — each parquet file's footer then carries a tight min/max on BOTH
+    natural columns, and a pushed 2-D box predicate skips files on
+    either dimension (tests/test_etl-side pin: the same box touches
+    strictly fewer files under z-order than under the 1-D date
+    layout).  The z-value is pure integer expressions (16-bit
+    normalized ranks from a one-row min/max aggregate, Morton
+    interleave), the layout rewrite is the same committed ``cluster_by``
+    the 1-D path uses, and oracle equality proves the rewrite is
+    row-preserving AND the box read returns exactly the plain slice.
+    At 100 TB this is nightly OPTIMIZE ZORDER + dashboard box probes."""
+    from shopify_youtube_etl_spark.plans.common import staging_dir
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_num"),
+    )
+    b = src.agg(
+        F.min("o_custkey").alias("c_lo"),
+        F.max("o_custkey").alias("c_hi"),
+        F.min("day_num").alias("d_lo"),
+        F.max("day_num").alias("d_hi"),
+    ).first()
+    if b["c_lo"] is None:
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders long, revenue double"
+        )
+    c_span = max(b["c_hi"] - b["c_lo"], 1)
+    d_span = max(b["d_hi"] - b["d_lo"], 1)
+    cn = F.floor((F.col("o_custkey") - F.lit(b["c_lo"])) * 65535 / c_span).cast(
+        "long"
+    )
+    dn = F.floor((F.col("day_num") - F.lit(b["d_lo"])) * 65535 / d_span).cast(
+        "long"
+    )
+    with_z = src.withColumn("z", _interleave16(cn, dn))
+    tbl = ParquetTable(spark, staging_dir("zorder", sf_dir) + "/orders")
+    tbl.overwrite(with_z)
+    tbl.cluster_by(["z"], num_files=16)
+    box = tbl.read().where(
+        F.col("o_custkey").between(40, 80)
+        & F.col("d").between("1995-01-01", "1995-12-31")
+    )
+    return box.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("revenue"),
+    )

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "ann_erasure_maintenance",
     "doc_novelty_profile",
     "sliding_distinct_users_7d",
+    "zorder_box_scan",
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",

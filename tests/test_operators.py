@@ -1390,3 +1390,81 @@ def test_upsert_matching_schema_evolution(spark, tmp_path):
     tbl.upsert_matching(drifted, on="k", evolve_schema=True)
     got = {r["k"]: (r["v"], r["score"]) for r in tbl.read().collect()}
     assert got == {1: ("a", None), 2: (None, 9.5), 3: (None, 7.0)}
+
+
+def test_zorder_layout_skips_more_files_than_1d_for_box_probe(spark, tmp_path):
+    """The Z-order payoff, measured at the parquet-footer level: for a
+    customer-band x all-time box probe, strictly fewer files intersect
+    the band under the Morton layout than under the 1-D date layout
+    (where every file spans the full customer range).  This is the
+    physics zorder_box_scan's oracle equality can't see — equality
+    proves correctness, this proves the SKIPPING."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F2
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+    from shopify_youtube_etl_spark.plans.common import t as _t
+    from shopify_youtube_etl_spark.plans.etl import _interleave16
+
+    sf = "/root/testdata/sf0.001"
+    src = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F2.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F2.datediff(
+            F2.col("o_orderdate").cast("date"), F2.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_num"),
+    )
+    b = src.agg(
+        F2.min("o_custkey"), F2.max("o_custkey"), F2.min("day_num"), F2.max("day_num")
+    ).first()
+    c_lo, c_hi, d_lo, d_hi = b
+    cn = F2.floor(
+        (F2.col("o_custkey") - F2.lit(c_lo)) * 65535 / max(c_hi - c_lo, 1)
+    ).cast("long")
+    dn = F2.floor(
+        (F2.col("day_num") - F2.lit(d_lo)) * 65535 / max(d_hi - d_lo, 1)
+    ).cast("long")
+
+    zt = ParquetTable(spark, str(tmp_path / "z"))
+    zt.overwrite(src.withColumn("z", _interleave16(cn, dn)))
+    zt.cluster_by(["z"], num_files=16)
+    dt = ParquetTable(spark, str(tmp_path / "d1"))
+    dt.overwrite(src)
+    dt.cluster_by(["d"], num_files=16)
+
+    def intersecting_files(tbl, lo, hi):
+        n_total, n_hit = 0, 0
+        for seg in tbl.segments():
+            for f in g.glob(seg + "/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                fmin, fmax = None, None
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        c = md.row_group(rg).column(ci)
+                        if c.path_in_schema == "o_custkey" and c.statistics:
+                            s = c.statistics
+                            fmin = s.min if fmin is None else min(fmin, s.min)
+                            fmax = s.max if fmax is None else max(fmax, s.max)
+                if fmin is None:
+                    n_total += 1
+                    n_hit += 1  # no stats: must scan
+                    continue
+                n_total += 1
+                if not (fmax < lo or fmin > hi):
+                    n_hit += 1
+        return n_total, n_hit
+
+    z_total, z_hit = intersecting_files(zt, 40, 80)
+    d_total, d_hit = intersecting_files(dt, 40, 80)
+    assert z_total >= 8 and d_total >= 8, "layouts did not fan out into files"
+    assert z_hit < d_hit, (
+        f"z-order should skip files the 1-D layout cannot: z {z_hit}/{z_total} "
+        f"vs date {d_hit}/{d_total}"
+    )
+    # Row preservation under both layouts.
+    assert zt.read().count() == dt.read().count() == src.count()
