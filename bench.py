@@ -126,6 +126,11 @@ HEADLINE = [
     # the user key); the day-grain smoothing/ACF/backtest/hazard
     # additions reduce to ~thousand-row frames and aren't worth a slot.
     "longest_active_streak",
+    # Round-8 session-2 late: the shingle-DF novelty census (tfidf cost
+    # shape over documents) and the exact 7x-fan-out sliding distinct
+    # (events-scale) — the two late additions with corpus-sized work.
+    "doc_novelty_profile",
+    "sliding_distinct_users_7d",
 ]
 
 

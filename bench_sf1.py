@@ -119,6 +119,12 @@ HEAVY = [
     # table; 10x users at constant per-user traffic should scale ~10x
     # in the distinct and stay flat in the per-user window frames.
     "longest_active_streak",
+    # Round-8 session-2 late: shingle-DF novelty (documents scale),
+    # the exact sliding distinct (7x the deduped (day,user) pairs),
+    # and the triplet miner (broadcast-probe over scaled embeddings).
+    "doc_novelty_profile",
+    "sliding_distinct_users_7d",
+    "triplet_margin_mining",
 ]
 
 # Persisted IVM/ANN state swept before timing so rep 1 is the honest
