@@ -6916,3 +6916,136 @@ def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("users_7d"),
         )
     )
+
+
+@query(
+    "fulfillment_sla_attainment",
+    ref="operations family next to order_cycle_time_percentiles — SLA attainment by order priority: the share of orders whose FIRST shipment left within 7/30/90 days, the ops scorecard a fulfillment team is graded on",
+    doc="Per order priority: order count and the exact share of orders first-shipped within 7, 30, and 90 days of order date (orders with no lineitems excluded).",
+    oracle="""
+WITH first_ship AS (
+    SELECT l_orderkey AS okey,
+           min(CAST(l_shipdate AS DATE)) AS first_ship
+    FROM lineitem GROUP BY 1
+),
+lag AS (
+    SELECT o_orderpriority AS priority,
+           date_diff('day', CAST(o_orderdate AS DATE), f.first_ship) AS lag_days
+    FROM orders JOIN first_ship f ON o_orderkey = f.okey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(CASE WHEN lag_days <= 7  THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS within_7d,
+       round(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS within_30d,
+       round(sum(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS within_90d
+FROM lag GROUP BY priority
+""",
+)
+def fulfillment_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles say how slow the tail is; an SLA scorecard says how
+    much of the book met the PROMISE — the number an ops review
+    actually reads.  First-shipment date reduces lineitem to order
+    grain (one shuffle on the natural join key, shared with the order
+    attach), lag buckets are conditional partial aggregates (no
+    second pass per threshold), and the output is one row per
+    priority.  Shares are ratios of exact counts — bit-stable.  At
+    100 TB: one orderkey-shuffle pair, 5-row output."""
+    first_ship = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+    )
+    lag = (
+        t(spark, sf_dir, "orders")
+        .join(first_ship, F.col("o_orderkey") == F.col("okey"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("first_ship"), F.col("o_orderdate").cast("date")
+            ).alias("lag_days"),
+        )
+    )
+    share = lambda d: F.round(  # noqa: E731
+        F.sum(F.when(F.col("lag_days") <= d, 1).otherwise(0)) / F.count("*"), 6
+    )
+    return lag.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        share(7).alias("within_7d"),
+        share(30).alias("within_30d"),
+        share(90).alias("within_90d"),
+    )
+
+
+@query(
+    "behavior_entropy_census",
+    ref="behavioral-diversity family next to event_transition_matrix / source_lang_entropy — Shannon entropy of each user's event-type mix, censused into diversity bands: one-trick users vs explorers",
+    doc="Users bucketed by the Shannon entropy (nats) of their event-type distribution — bands at 1.55/1.58/1.60, chosen inside the corpus's observed 1.51-1.61 range so the census discriminates — with user counts and mean events per user per band.",
+    oracle="""
+WITH mix AS (
+    SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY user_id, event_type
+),
+tot AS (
+    SELECT user_id, sum(n) AS total FROM mix GROUP BY user_id
+),
+ent AS (
+    SELECT m.user_id,
+           min(t.total) AS n_events,
+           round(-sum((m.n / t.total) * ln(m.n / t.total)), 6) AS entropy
+    FROM mix m JOIN tot t ON m.user_id = t.user_id
+    GROUP BY m.user_id
+),
+banded AS (
+    SELECT CASE WHEN entropy < 1.55 THEN '0_low'
+                WHEN entropy < 1.58 THEN '1_mid'
+                WHEN entropy < 1.60 THEN '2_high'
+                ELSE '3_max' END AS entropy_band,
+           n_events
+    FROM ent
+)
+SELECT entropy_band,
+       CAST(count(*) AS BIGINT)        AS n_users,
+       round(avg(n_events), 4)          AS mean_events_per_user
+FROM banded GROUP BY entropy_band
+""",
+)
+def behavior_entropy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How varied is each user's behavior?  Shannon entropy of the
+    per-user event-type mix is the one-number answer (0 = a single
+    repeated action, ln(5) ≈ 1.61 = uniform across all five types) —
+    the feature a churn or bot model reaches for first.  The mix and
+    the per-user total share one user-keyed reduction chain; entropy
+    is a per-user sum over ≤|event types| rows, and the band census is
+    a 4-row rollup.  The entropy is rounded BEFORE banding, so a
+    summation-order ulp cannot flip a user across a band edge on one
+    engine only.  At 100 TB: one (user, type) reduction, one user
+    reduction, 4-row output."""
+    mix = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    tot = mix.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    ent = (
+        mix.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("total").alias("n_events"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+    banded = ent.select(
+        F.when(F.col("entropy") < 1.55, "0_low")
+        .when(F.col("entropy") < 1.58, "1_mid")
+        .when(F.col("entropy") < 1.60, "2_high")
+        .otherwise("3_max")
+        .alias("entropy_band"),
+        "n_events",
+    )
+    return banded.groupBy("entropy_band").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("n_events"), 4).alias("mean_events_per_user"),
+    )

@@ -84,6 +84,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "doc_novelty_profile",
     "sliding_distinct_users_7d",
     "zorder_box_scan",
+    "fulfillment_sla_attainment",
+    "behavior_entropy_census",
     "incremental_component_delete",
     "incremental_kll_maintenance",
     "tpch_refresh_q1",
