@@ -510,6 +510,12 @@ SHUFFLE_BUDGET = {
     "topk_orders": 0,  # pure TakeOrderedAndProject + 10-row rank window
     "ntile_value_quartiles": 2,  # checkpointed ranked frame: pid window + 4-row census
     "segment_migration_matrix": 4,  # checkpointed seg frame: custkey self-join pair + 25-cell census + window
+    "fulfillment_sla_attainment": 2,  # orderkey first-ship reduce + join share one pair + 5-row census
+    "behavior_entropy_census": 5,  # (user,type) mix + user total + entropy reduce + 4-row census
+    "triplet_margin_mining": 2,  # broadcast 16-probe pass + (probe,side) argmax + 16-row pivot
+    "knn_label_eval": 1,  # broadcast probe pass; vote/argmax windows share the probe key
+    "doc_novelty_profile": 3,  # shingle DF census + join-back on the same key + doc reduce
+    "sliding_distinct_users_7d": 3,  # (day,user) dedup + 7x fan-out expand-distinct pair
 }
 
 
