@@ -6401,10 +6401,10 @@ ev AS (
 )
 SELECT bucket,
        n_events,
-       sum(n_events) OVER (ORDER BY bucket
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk,
-       round(n_events * 1.0 / sum(n_events) OVER (ORDER BY bucket
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS hazard
+       CAST(sum(n_events) OVER (ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk,
+       round(n_events * 1.0 / CAST(sum(n_events) OVER (ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT), 6) AS hazard
 FROM ev
 """,
 )
@@ -6516,9 +6516,9 @@ WITH per_part AS (
 ),
 abc AS (
     SELECT partkey, revenue,
-           sum(revenue) OVER (ORDER BY revenue DESC, partkey
+           round(sum(revenue) OVER (ORDER BY revenue DESC, partkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / sum(revenue) OVER () AS cum_share
+             / sum(revenue) OVER (), 9) AS cum_share
     FROM per_part
 ),
 monthly AS (
@@ -6592,11 +6592,15 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "partkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Round BEFORE banding (the behavior_entropy_census discipline): the
+    # two engines accumulate the prefix sum in different float orders,
+    # so a share within ulps of the 0.80/0.95 cut could band differently
+    # un-rounded; 9 dp is far above float error, far below share grain.
     abc = ranked.join(F.broadcast(off), "pid").select(
         "partkey",
         "revenue",
-        (
-            (F.col("offset") + F.sum("revenue").over(run)) / F.lit(grand_total)
+        F.round(
+            (F.col("offset") + F.sum("revenue").over(run)) / F.lit(grand_total), 9
         ).alias("cum_share"),
     )
     monthly = li.groupBy(

@@ -2401,8 +2401,15 @@ def ivf_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         child_centroids[cell] = ([float(x) for x in c0], [float(x) for x in c1])
 
     # Assign EVERY member map-side: broadcast the (cell, c0, c1) frame
-    # (<= K rows) and fold the two squared distances in JVM expressions;
-    # ties break toward child 0 exactly like _two_means' labeling.
+    # (<= K rows) and fold the two squared distances in JVM expressions.
+    # The tie RULE matches _two_means' labeling (child 0 unless d1 is
+    # strictly smaller), but the distances come from a sequential JVM
+    # fold while _two_means sums via numpy — a member within ulps of
+    # equidistant can land on either child, so agreement with the fit
+    # sample's labels holds up to floating-point tie-breaks, not
+    # bit-exactly.  Downstream pins (conservation, error reduction,
+    # determinism of THIS path) are unaffected: the fold itself is
+    # deterministic across runs.
     pairs = spark.createDataFrame(
         [(c, v[0], v[1]) for c, v in child_centroids.items()],
         "cell int, c0 array<double>, c1 array<double>",

@@ -2263,9 +2263,13 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) 
             _funnel_stage_row(2, "quality", quality)
         )
     )
-    st["digests"].overwrite(quality.select(F.md5("text").alias("digest")).distinct())
+    st["digests"].overwrite(
+        quality.select(F.md5("text").alias("digest")).distinct(),
+        stats_cols=["digest"],
+    )
     st["toks"].overwrite(
-        exact.select("doc_id", F.size(ws).cast("long").alias("n_tokens"))
+        exact.select("doc_id", F.size(ws).cast("long").alias("n_tokens")),
+        stats_cols=["doc_id"],
     )
 
     shingled = (
@@ -2277,7 +2281,7 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) 
         _minhash(shingled, "doc_id", "sh", num_hashes=32), "doc_id",
         num_hashes=32, bands=8,
     )
-    st["bands"].overwrite(bands)
+    st["bands"].overwrite(bands, stats_cols=["doc_id"])
     pairs = _lsh_pairs(st["bands"].read(), "doc_id").localCheckpoint(eager=True)
 
     def cand_sh(id_col: str, out_id: str, out_sh: str):
@@ -2294,9 +2298,10 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) 
         .where(_jaccard(F.col("sa"), F.col("sb")) >= 0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    st["edges"].overwrite(verified)
+    st["edges"].overwrite(verified, stats_cols=["src"])
     st["labels"].overwrite(
-        connected_components(st["edges"].read(), exact.select("doc_id"))
+        connected_components(st["edges"].read(), exact.select("doc_id")),
+        stats_cols=["node"],
     )
 
     bench_sh = (
@@ -2306,7 +2311,7 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) 
         .select(F.xxhash64("s").alias("sh_hash"))
         .distinct()
     )
-    st["bench_sh"].overwrite(bench_sh)
+    st["bench_sh"].overwrite(bench_sh, stats_cols=["sh_hash"])
     postings = (
         exact.select("doc_id", ws.alias("dw"))
         .where(F.size("dw") >= 3)
@@ -2314,7 +2319,7 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) 
         .groupBy("doc_id", F.xxhash64("s").alias("sh_hash"))
         .agg(F.count("*").alias("k"))
     )
-    st["postings"].overwrite(postings)
+    st["postings"].overwrite(postings, stats_cols=["doc_id"])
     st["cstat"].overwrite(
         st["postings"]
         .read()
@@ -2329,7 +2334,8 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) 
             F.sum(F.when(F.col("hit").isNotNull(), F.col("k")).otherwise(0))
             .cast("long")
             .alias("hits"),
-        )
+        ),
+        stats_cols=["doc_id"],
     )
 
 
@@ -2557,6 +2563,7 @@ def _funnel_batch(
         "newlab": newlab,
         "reps": reps,
         "delta_bench": delta_bench,
+        "delta_hits": delta_hits,
         "full_bench": full_bench,
         "postings_b": postings_b,
         "cstat_h": cstat_h,
@@ -2628,19 +2635,36 @@ def _funnel_stage_rows(fr: dict) -> DataFrame:
     )
 
 
+def _append_delta(table, df: DataFrame, stats_cols: list[str]) -> None:
+    """O(batch) append of a disjoint-key delta, skipping empty deltas so
+    a crashed-and-retried advance (whose recomputed deltas are empty
+    against the already-advanced state) converges without landing
+    stats-less husk segments that would defeat future merge pruning."""
+    if df.isEmpty():
+        return
+    table.append(df, stats_cols=stats_cols)
+
+
 def _advance_funnel_state(dst: dict, fr: dict) -> None:
     """COMMIT a curated batch into the state store — what a production
     curator does after every report, so the next batch curates against
     history-plus-this-batch instead of re-deriving it.  Every structure
-    is the exact frame a from-scratch ``_build_funnel_state`` over the
-    union slice would produce (pinned by the two-batch equality test):
+    is by value the exact frame a from-scratch ``_build_funnel_state``
+    over the union slice would produce (pinned by the two-batch
+    equality test), but the WRITE is O(batch + touched segments), never
+    O(state) — the ``upsert_matching`` discipline the component /
+    attribution / BM25 / sketch IVM families adopted in round 8:
 
-      labels   every historical node re-labeled through the collapsed
-               component mapping (bridging demotions PERSIST), batch
-               survivors labeled alongside.
-      meta     ingest/quality counters advanced by the batch deltas.
-      the rest set-union merges (digests, bands, postings) or the
-               already-maintained views (toks, cstat, bench shingles).
+      digests/toks/bands/edges/postings/bench_sh
+               disjoint-key deltas (the batch side is anti-joined or
+               id-range-disjoint from history) → ``append`` lands ONLY
+               the batch segment; history segments survive BY NAME.
+      labels   keyed MERGE on node: only nodes whose component label
+               CHANGED (bridging demotions) plus the batch survivors
+               are staged; untouched nodes are never rewritten.
+      cstat    keyed MERGE on doc_id: only history docs hit by NEW
+               benchmark shingles re-score; batch docs insert.
+      meta     2-row counter table — overwrite is already O(1).
     """
     st = fr["st"]
     meta2 = (
@@ -2649,30 +2673,47 @@ def _advance_funnel_state(dst: dict, fr: dict) -> None:
         .select("stage", "stage_name", "n_docs", "total_tokens")
     )
     dst["meta"].overwrite(meta2)
-    dst["digests"].overwrite(
-        st["digests"].read().unionByName(
-            fr["exact_b"].select(F.md5("text").alias("digest"))
-        )
+    _append_delta(
+        dst["digests"],
+        fr["exact_b"].select(F.md5("text").alias("digest")),
+        stats_cols=["digest"],
     )
-    dst["toks"].overwrite(fr["toks_all"])
-    dst["bands"].overwrite(fr["union_bands"])
-    dst["edges"].overwrite(st["edges"].read().unionByName(fr["verified_new"]))
-    # Re-label history through the collapsed mapping; attach batch nodes.
+    _append_delta(dst["toks"], fr["toks_b"], stats_cols=["doc_id"])
+    _append_delta(dst["bands"], fr["bands_b"], stats_cols=["doc_id"])
+    _append_delta(dst["edges"], fr["verified_new"], stats_cols=["src"])
+    # Keyed label merge: stage ONLY the nodes the collapse moved (a
+    # node's final label differs from its stored one) plus the batch
+    # survivors — by value identical to re-labeling ALL of history
+    # through the mapping, because unmoved nodes keep their stored row.
     relabel = fr["newlab"].select(
         F.col("node").alias("label"), F.col("label").alias("flabel")
     )
-    hist2 = (
+    moved = (
         fr["histlab"]
         .join(F.broadcast(relabel), "label")
+        .where(F.col("flabel") != F.col("label"))
         .select("node", F.col("flabel").alias("label"))
     )
     batch2 = fr["newlab"].join(
         fr["exact_b"].select(F.col("doc_id").alias("node")), "node", "left_semi"
     )
-    dst["labels"].overwrite(hist2.unionByName(batch2.select("node", "label")))
-    dst["bench_sh"].overwrite(fr["full_bench"])
-    dst["postings"].overwrite(st["postings"].read().unionByName(fr["postings_b"]))
-    dst["cstat"].overwrite(fr["cstat_h"].unionByName(fr["cstat_b"]))
+    staged_labels = moved.unionByName(batch2.select("node", "label"))
+    if not staged_labels.isEmpty():
+        dst["labels"].upsert_matching(staged_labels, ["node"])
+    _append_delta(dst["bench_sh"], fr["delta_bench"], stats_cols=["sh_hash"])
+    _append_delta(dst["postings"], fr["postings_b"], stats_cols=["doc_id"])
+    # Keyed cstat merge: only docs whose hit count a NEW benchmark
+    # shingle advanced (delta_hits is inner — unhit history rows are
+    # untouched), plus the batch's fresh rows.
+    rescored = (
+        st["cstat"]
+        .read()
+        .join(F.broadcast(fr["delta_hits"]), "doc_id")
+        .select("doc_id", "n_sh", (F.col("hits") + F.col("dh")).alias("hits"))
+    )
+    staged_cstat = rescored.unionByName(fr["cstat_b"])
+    if not staged_cstat.isEmpty():
+        dst["cstat"].upsert_matching(staged_cstat, ["doc_id"])
 
 
 @query(
@@ -2692,20 +2733,21 @@ def incremental_funnel_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure is exactly what a from-scratch build over the union
     slice produces — including label DEMOTIONS when a batch-1 doc
     bridges two historical components, which must persist into
-    batch 2's collapse.  Advance steps are idempotent ParquetTable
-    overwrites keyed by their slice boundaries, so a re-run (or a
-    crashed-and-retried commit) converges instead of double-counting."""
+    batch 2's collapse.  The advance COMMITS IN PLACE with the pruned
+    verbs (append of disjoint deltas, keyed merges for labels/cstat) —
+    O(batch + touched segments), never O(state) — under a state key
+    carrying the slice boundaries, so a re-run against the
+    already-advanced state recomputes empty deltas and converges
+    instead of double-counting."""
     s2 = _funnel_split(spark, sf_dir)
     mx = (
         t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("m")).first()["m"]
     )
     s1 = int((mx + 1) * 3 // 5) if mx is not None else 0
-    st_a = _funnel_state(spark, sf_dir, s1)
-    if not st_a["labels"].exists():
-        _build_funnel_state(spark, sf_dir, st_a, s1)
     st_b = _funnel_state(spark, sf_dir, f"adv{s1}-{s2}")
     if not st_b["labels"].exists():
-        _advance_funnel_state(st_b, _funnel_batch(spark, sf_dir, st_a, s1, s2))
+        _build_funnel_state(spark, sf_dir, st_b, s1)
+        _advance_funnel_state(st_b, _funnel_batch(spark, sf_dir, st_b, s1, s2))
     return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st_b, s2, None))
 
 

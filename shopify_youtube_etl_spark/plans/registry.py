@@ -66,54 +66,16 @@ _CANARIES = [
 # the registry (enforced in ``all_queries``) so a rename can't silently
 # drop a query out of the priority window; tests/test_plans.py globs
 # CORRECTNESS_r*.json so the ordering can't silently go stale.
-# Re-sorted for round 8 against CORRECTNESS_r01-r07 latest-green rounds.
+# Re-sorted for round 9 against CORRECTNESS_r01-r08 latest-green rounds
+# (no net-new queries this round BY DESIGN — the ~44 non-canary slots go
+# to the r02 cohort (23) and the oldest ~20 of the r03 cohort, per the
+# r8 verdict's staleness directive).
 _DRIVER_PRIORITY = _CANARIES + [
-    # --- never externally verified: round-8 additions ---
-    "ewma_daily_revenue",
-    "daily_revenue_autocorr",
-    "longest_active_streak",
+    # --- r08 red row, adjudicated as an oracle-side HUGEINT leak and
+    # --- fixed this round (CAST ... AS BIGINT): leads the window so the
+    # --- r09 record re-greens it first.
     "repeat_purchase_hazard",
-    "seasonal_naive_backtest",
-    "abc_xyz_classification",
-    "dau_mau_stickiness",
-    "brand_substitution_screen",
-    "segment_migration_matrix",
-    "triplet_margin_mining",
-    "knn_label_eval",
-    "ann_erasure_maintenance",
-    "doc_novelty_profile",
-    "sliding_distinct_users_7d",
-    "zorder_box_scan",
-    "fulfillment_sla_attainment",
-    "behavior_entropy_census",
-    "incremental_component_delete",
-    "incremental_kll_maintenance",
-    "tpch_refresh_q1",
-    "pivot_revenue_matrix",
-    "unpivot_charge_components",
     # --- last external record: round 2 ---
-    "approx_distinct_profile",
-    "array_functions",
-    "asof_click_attribution",
-    "below_avg_quantity_revenue",
-    "cube_status_priority",
-    "customers_without_orders",
-    "datetime_functions",
-    "day_over_day_delta",
-    "distinct_projection",
-    "duplicate_inspection",
-    "edit_distance_pairs",
-    "events_daily_rollup",
-    "except_churned_buyers",
-    "explode_outer_guard",
-    "grouping_sets_revenue",
-    "incremental_rollup_merge",
-    "intersect_repeat_buyers",
-    "json_extraction",
-    "json_roundtrip_ingest",
-    "keep_first_dedup",
-    "latest_event",
-    "latest_order_per_customer",
     "moving_average_7d",
     "nested_explode_roundtrip",
     "order_count_distribution",
@@ -366,6 +328,50 @@ _DRIVER_PRIORITY = _CANARIES + [
     "tumbling_window_15m",
     "window_funnel_depths",
     "winsorized_mean_profile",
+    # --- last external record: round 8 ---
+    "abc_xyz_classification",
+    "ann_erasure_maintenance",
+    "approx_distinct_profile",
+    "array_functions",
+    "asof_click_attribution",
+    "behavior_entropy_census",
+    "below_avg_quantity_revenue",
+    "brand_substitution_screen",
+    "cube_status_priority",
+    "customers_without_orders",
+    "daily_revenue_autocorr",
+    "datetime_functions",
+    "dau_mau_stickiness",
+    "day_over_day_delta",
+    "distinct_projection",
+    "doc_novelty_profile",
+    "duplicate_inspection",
+    "edit_distance_pairs",
+    "events_daily_rollup",
+    "ewma_daily_revenue",
+    "except_churned_buyers",
+    "explode_outer_guard",
+    "fulfillment_sla_attainment",
+    "grouping_sets_revenue",
+    "incremental_component_delete",
+    "incremental_kll_maintenance",
+    "incremental_rollup_merge",
+    "intersect_repeat_buyers",
+    "json_extraction",
+    "json_roundtrip_ingest",
+    "keep_first_dedup",
+    "knn_label_eval",
+    "latest_event",
+    "latest_order_per_customer",
+    "longest_active_streak",
+    "pivot_revenue_matrix",
+    "seasonal_naive_backtest",
+    "segment_migration_matrix",
+    "sliding_distinct_users_7d",
+    "tpch_refresh_q1",
+    "triplet_margin_mining",
+    "unpivot_charge_components",
+    "zorder_box_scan",
 ]
 
 

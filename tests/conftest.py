@@ -57,9 +57,38 @@ def normalize_frame(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype family for parity checks: the driver's value hash is
+    type-sensitive, so an oracle leaking HUGEINT (surfacing as float64)
+    against a Spark bigint fails there even when the values agree.
+    Grouping by kind (not exact dtype) keeps int32-vs-int64 and
+    nullable-int benign while catching integer-vs-float drift."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "integer"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "boolean"
+    if k in ("M", "m"):
+        return "timestamp"
+    return "string"
+
+
 def assert_frames_match(spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9):
-    sp = normalize_frame(spark_df.toPandas())
-    du = normalize_frame(duck_df)
+    sp_raw, du_raw = spark_df.toPandas(), duck_df
+    kind_drift = [
+        (c, str(sp_raw[c].dtype), str(du_raw[c].dtype))
+        for c in sorted(set(sp_raw.columns) & set(du_raw.columns))
+        if _dtype_kind(sp_raw[c].dtype) != _dtype_kind(du_raw[c].dtype)
+    ]
+    assert not kind_drift, (
+        "dtype-kind drift (driver's type-sensitive hash would fail; "
+        "usually an un-CAST DuckDB HUGEINT/TIMESTAMPTZ in the oracle): "
+        + "; ".join(f"{c}: spark={s} vs duckdb={d}" for c, s, d in kind_drift)
+    )
+    sp = normalize_frame(sp_raw)
+    du = normalize_frame(du_raw)
     assert list(sp.columns) == list(du.columns), f"columns differ: {list(sp.columns)} vs {list(du.columns)}"
     assert len(sp) == len(du), f"row counts differ: {len(sp)} vs {len(du)}"
     pd.testing.assert_frame_equal(sp, du, check_dtype=False, check_exact=False, rtol=rtol, atol=1e-9)

@@ -899,6 +899,93 @@ def test_two_batch_funnel_demotion_spans_the_advance(spark, tmp_path):
     assert by["decontam"][0] == 3         # H3 flipped by the batch-2 bench doc
 
 
+def _plant_funnel_corpus(spark, tmp_path, batch1_ids):
+    """The demotion-test corpus with the bridge chain's ids
+    parameterized, so tests can place any prefix of the chain in
+    batch 1 ([288, 384) for max id 480).  Returns the sf dir."""
+    A = ("tok%02d " * 40).strip() % tuple(range(40))
+
+    def mut(*pos):
+        w = A.split()
+        for p in pos:
+            w[p] = f"alt{p}"
+        return " ".join(w)
+
+    B = mut(3, 9, 15, 21, 27)
+    chain = [mut(3), mut(3, 9), mut(3, 9, 15), mut(3, 9, 15, 21)]
+    H2 = ("uniq%02d " * 40).strip() % tuple(range(40))
+    H3 = ("vic%02d " * 40).strip() % tuple(range(40))
+    tail = ("end%02d " * 40).strip() % tuple(range(40))
+    rows = [(10, A), (20, H2), (30, H3), (60, B)]
+    rows += list(zip(batch1_ids, chain[: len(batch1_ids)]))
+    rows += [(480, tail)]  # pins max id 480 -> s1=288, s2=384
+    d = tmp_path / "sf_funnel_adv"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def test_funnel_advance_write_is_o_batch(spark, tmp_path):
+    """r8 verdict #3 (the last O(state) write): the advance commits with
+    the pruned verbs, so when a batch neither demotes a historical
+    label nor re-scores a historical doc, EVERY history segment of
+    EVERY state table (meta's 2-row counter aside) survives the
+    advance BY NAME — the same discipline pinned for upsert_matching
+    in test_operators' merge pins."""
+    import os
+
+    from shopify_youtube_etl_spark.plans import llm_text as lt
+
+    # Batch 1 = first two chain links: they join A's component (label
+    # stays 10 = the min) without reaching B, so no history node moves.
+    d = _plant_funnel_corpus(spark, tmp_path, batch1_ids=[300, 315])
+    st = lt._funnel_state(spark, d, "adv-pin")
+    lt._build_funnel_state(spark, d, st, 288)
+    pre = {
+        k: {os.path.basename(s) for s in st[k].segments()}
+        for k in st
+        if k != "meta"
+    }
+    lt._advance_funnel_state(st, lt._funnel_batch(spark, d, st, 288, 384))
+    for k, names in pre.items():
+        post = {os.path.basename(s) for s in st[k].segments()}
+        assert names <= post, f"{k}: history segments rewritten: {names - post}"
+    # Not vacuous: the batch actually landed (appends + keyed inserts).
+    assert {r["node"] for r in st["labels"].read().collect()} >= {300, 315}
+    assert st["toks"].read().count() == 6  # 4 history + 2 batch survivors
+
+
+def test_funnel_advance_demotion_merges_only_moved_labels(spark, tmp_path):
+    """A batch-1 chain that COMPLETES the bridge makes the advance
+    demote B's historical representative (60 -> 10) through the keyed
+    label merge — while the append-shaped tables still keep their
+    history segments BY NAME (the demotion must not regress them to
+    O(state) rewrites)."""
+    import os
+
+    from shopify_youtube_etl_spark.plans import llm_text as lt
+
+    d = _plant_funnel_corpus(spark, tmp_path, batch1_ids=[300, 315, 320, 340])
+    st = lt._funnel_state(spark, d, "adv-demote-pin")
+    lt._build_funnel_state(spark, d, st, 288)
+    lab = {r["node"]: r["label"] for r in st["labels"].read().collect()}
+    assert lab[60] == 60, "precondition: B is its own rep in history"
+    pre = {
+        k: {os.path.basename(s) for s in st[k].segments()}
+        for k in ("digests", "toks", "bands", "edges", "postings")
+    }
+    lt._advance_funnel_state(st, lt._funnel_batch(spark, d, st, 288, 384))
+    lab2 = {r["node"]: r["label"] for r in st["labels"].read().collect()}
+    assert lab2[60] == 10, "bridging batch must demote B during the advance"
+    assert lab2[20] == 20 and lab2[30] == 30, "untouched nodes keep their rows"
+    assert {lab2[i] for i in (300, 315, 320, 340)} == {10}
+    for k, names in pre.items():
+        post = {os.path.basename(s) for s in st[k].segments()}
+        assert names <= post, f"{k}: history segments rewritten: {names - post}"
+
+
 def test_incremental_funnel_demotes_bridged_representative(spark, tmp_path):
     """The hard IVM cases, planted: (1) a batch near-dup CHAIN bridges
     two historical components, so the higher historical representative

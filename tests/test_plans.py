@@ -516,7 +516,84 @@ SHUFFLE_BUDGET = {
     "knn_label_eval": 1,  # broadcast probe pass; vote/argmax windows share the probe key
     "doc_novelty_profile": 3,  # shingle DF census + join-back on the same key + doc reduce
     "sliding_distinct_users_7d": 3,  # (day,user) dedup + 7x fan-out expand-distinct pair
+    # Round-9 sweep (r8 verdict #5): the remaining plan-pure headline /
+    # round-8 queries get ceilings; everything whose fn() is eager
+    # (table verbs, streaming, trainer artifacts) is in PLAN_EXEMPT
+    # below with its functional-pin pointer.
+    "pivot_revenue_matrix": 2,  # year-grain reduce + <=8-row pivot agg
+    "unpivot_charge_components": 1,  # stack() is map-side; one component agg
+    "keep_first_dedup": 1,  # one key exchange for the arrival-order window
+    "session_window_30m": 1,  # one user exchange; session window rides it
+    "minhash_lsh_neardup": 4,  # shingle expand + band census + bucket join pair
+    "simhash_neardup": 3,  # signature agg + band self-join pair
+    "sql_nation_rank": 3,  # nation agg + rank window + order
+    "asof_click_attribution": 1,  # one user-key exchange for the as-of window
+    "adaptive_join_revenue": 1,  # salted join collapses post-AQE; one agg
+    "tpch_q5_local_supplier_volume": 3,  # order join + supplier attach + nation agg
+    "duplicated_span_profile": 5,  # span census + join-back + doc/status reduces
+    "media_header_decode": 0,  # pure mapInArrow decode, no shuffle at all
+    "ann_cosine_topk": 1,  # block-matmul mapInPandas + one per-probe top-k
+    "int8_ann_topk": 1,  # quantized twin of the same shape
 }
+
+# Headline / round-8 queries whose ``fn(spark, sf_dir)`` is NOT a pure
+# plan construction — it executes multi-job table verbs, streaming
+# waves, driver-side trainer loops, or persisted-artifact builds before
+# returning a (small) result frame, so a static Exchange count of the
+# RETURNED frame would audit only the final read and grade nothing.
+# Each entry names the reason and the functional pin that carries the
+# scale evidence instead (the explicit exemption r8 verdict #5 asked
+# for).  test_headline_budget_or_exemption_is_total closes the sweep:
+# a new headline query must land in SHUFFLE_BUDGET or here.
+PLAN_EXEMPT = {
+    "merge_upsert": "table verb: ParquetTable MERGE jobs; pinned by test_operators merge/segment-survival pins",
+    "zorder_box_scan": "table verb: cluster_by rewrite + pruned probe; pinned by test_operators zorder footer/file-skip pins",
+    "incremental_component_delete": "table verb: graph-state IVM write path; pinned by test_analytics delete-IVM oracle-rebuild pin",
+    "incremental_kll_maintenance": "table verb: (batch,day) partials ledger upserts; pinned by test_scale KLL ledger/idempotence pins",
+    "tpch_refresh_q1": "table verb: RF1/RF2 DML round-trip; pinned by test_scale refresh reconstruction hash pin",
+    "bm25_incremental_index": "table verb: postings upsert_matching merge; pinned by test_llm_ops base-segment-survival pin",
+    "incremental_attribution_revenue": "table verb: attribution state upsert; pinned by test_analytics increment==rebuild pin",
+    "incremental_curation_funnel": "table verb: funnel state build+probe; pinned by funnel equality + advance survival pins",
+    "curation_funnel_report": "eager: localCheckpointed funnel lineage; shuffle shape pinned by test_funnel_shuffles_once_on_user",
+    "semantic_cluster_dedup": "eager: driver-side Lloyd iterations (bounded collects); pinned by test_llm_ops cluster pins",
+    "bpe_encode_stats": "eager: BPE merge-table train collect; pinned by test_llm_ops BPE pins",
+    "pagestore_stream_ingest": "streaming: availableNow waves + checkpoints; pinned by exactly-once two-wave test",
+    "stream_stream_join_attribution": "streaming: two file streams + watermark join; pinned by staged-corpus equality test",
+    "stream_state_inspection": "streaming: runs an aggregate then reads its checkpoint; pinned by state-store tests",
+    "ivf_incremental_assign": "artifact-backed: reads/trains persisted quantizer; pinned by assign/recall/poison pins",
+    "ivf_hot_cell_split": "artifact-backed: 2-means split + artifact write; pinned by split locality/recall pins",
+    "ivfpq_code_refresh": "artifact-backed: Arrow re-encode into artifact; pinned by residual/conservation pins",
+    "pq_ann_topk": "artifact-backed: trains PQ codebooks on first call; pinned by recall floor pins",
+    "ivfpq_ann_topk": "artifact-backed: composed IVF+PQ artifacts; pinned by recall floor pins",
+}
+
+
+def test_headline_budget_or_exemption_is_total():
+    """r8 verdict #5: the shuffle sweep must be TOTAL over the bench
+    headline set plus the round-8 session additions — every query is
+    either Exchange-budgeted (plan-pure) or carries a written exemption
+    naming its functional pin (eager table verbs / streaming /
+    artifact trainers).  A new headline query that lands in neither
+    fails here instead of silently escaping the plan audit."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    r8_additions = {
+        "zorder_box_scan",
+        "incremental_component_delete",
+        "incremental_kll_maintenance",
+        "tpch_refresh_q1",
+        "pivot_revenue_matrix",
+        "unpivot_charge_components",
+    }
+    covered = set(SHUFFLE_BUDGET) | set(PLAN_EXEMPT)
+    uncovered = (set(bench.HEADLINE) | r8_additions) - covered
+    assert not uncovered, f"neither budgeted nor exempted: {sorted(uncovered)}"
+    both = set(SHUFFLE_BUDGET) & set(PLAN_EXEMPT)
+    assert not both, f"budgeted AND exempted (pick one): {sorted(both)}"
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
