@@ -20,7 +20,7 @@ all /tmp IVM state wiped up front, rep 1 is the COLD state build and
 min-of-N is the warm steady-state cost, so the record distinguishes
 one-time construction from per-batch maintenance.
 
-Usage: python bench_sf1.py  → writes BENCH_SF1_r08.json and prints it.
+Usage: python bench_sf1.py  → writes BENCH_SF1_r09.json and prints it.
 """
 
 from __future__ import annotations
@@ -125,6 +125,18 @@ HEAVY = [
     "doc_novelty_profile",
     "sliding_distinct_users_7d",
     "triplet_margin_mining",
+    # Round-9 (r8 verdict #7): the remaining unstressed r8 heavies —
+    # the two-phase partitioned NTILE self-join (customer+orders scale),
+    # the z-order cluster rewrite + pruned box probe (staging table is
+    # rebuilt per rep, so min-of-N times the full OPTIMIZE+probe), and
+    # the RF1/RF2 DML round-trip (delete_matching + upsert_matching at
+    # 10x lineitem).  Plus the two-batch funnel: its advance flipped
+    # from O(state) overwrites to pruned appends/merges this round, so
+    # the 10x record certifies the new write path.
+    "segment_migration_matrix",
+    "zorder_box_scan",
+    "tpch_refresh_q1",
+    "incremental_funnel_two_batch",
 ]
 
 # Persisted IVM/ANN state swept before timing so rep 1 is the honest
@@ -253,7 +265,7 @@ def main() -> None:
         "queries": results,
         "dispositions": {},
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r08.json"), "w") as fh:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r09.json"), "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps(artifact))
 

@@ -2667,12 +2667,13 @@ def _advance_funnel_state(dst: dict, fr: dict) -> None:
       meta     2-row counter table — overwrite is already O(1).
     """
     st = fr["st"]
-    meta2 = (
-        _funnel_stage_rows(fr)
-        .where(F.col("stage").isin(1, 2))
-        .select("stage", "stage_name", "n_docs", "total_tokens")
-    )
-    dst["meta"].overwrite(meta2)
+    # Commit ORDER is the crash-retry story: digests first (the batch's
+    # root filter — once committed, a retry's recomputed exact_b and
+    # every delta downstream of it are empty, so the appends below are
+    # retry-safe no-ops), meta LAST (its delta adds the batch census to
+    # the PERSISTED counters, so a retry that died before the meta
+    # commit still reads un-advanced counters and lands the right
+    # totals; committing it early would double-count on retry).
     _append_delta(
         dst["digests"],
         fr["exact_b"].select(F.md5("text").alias("digest")),
@@ -2714,6 +2715,12 @@ def _advance_funnel_state(dst: dict, fr: dict) -> None:
     staged_cstat = rescored.unionByName(fr["cstat_b"])
     if not staged_cstat.isEmpty():
         dst["cstat"].upsert_matching(staged_cstat, ["doc_id"])
+    meta2 = (
+        _funnel_stage_rows(fr)
+        .where(F.col("stage").isin(1, 2))
+        .select("stage", "stage_name", "n_docs", "total_tokens")
+    )
+    dst["meta"].overwrite(meta2)
 
 
 @query(
@@ -2744,10 +2751,25 @@ def incremental_funnel_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("m")).first()["m"]
     )
     s1 = int((mx + 1) * 3 // 5) if mx is not None else 0
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
     st_b = _funnel_state(spark, sf_dir, f"adv{s1}-{s2}")
     if not st_b["labels"].exists():
         _build_funnel_state(spark, sf_dir, st_b, s1)
+    # The advance commits in place, so "labels exists" no longer implies
+    # "advanced" — a separate slice-stamped marker, written AFTER the
+    # advance, guards it: a run killed between build and advance retries
+    # the advance instead of silently curating against history-only
+    # state.  (A crash MID-advance retries against partially-advanced
+    # tables; per-table deltas recompute against whatever committed, the
+    # documented partial-commit window shared with every multi-table
+    # state store here.)
+    advanced = ParquetTable(spark, st_b["meta"].path + "_advanced")
+    if not advanced.exists():
         _advance_funnel_state(st_b, _funnel_batch(spark, sf_dir, st_b, s1, s2))
+        advanced.overwrite(
+            spark.createDataFrame([(s1, s2)], "lo long, hi long")
+        )
     return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st_b, s2, None))
 
 
