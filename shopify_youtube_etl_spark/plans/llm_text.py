@@ -2639,10 +2639,16 @@ def _append_delta(table, df: DataFrame, stats_cols: list[str]) -> None:
     """O(batch) append of a disjoint-key delta, skipping empty deltas so
     a crashed-and-retried advance (whose recomputed deltas are empty
     against the already-advanced state) converges without landing
-    stats-less husk segments that would defeat future merge pruning."""
+    stats-less husk segments that would defeat future merge pruning.
+
+    ``auto_compact_at=64``: one segment lands per batch, so a
+    long-running curator accrues them without bound; every 64th batch
+    amortizes one O(table) compaction — the LSM discipline ``append``
+    documents.  Tests stay far below the threshold, so the
+    survival-by-name pins observe the steady state, not a compaction."""
     if df.isEmpty():
         return
-    table.append(df, stats_cols=stats_cols)
+    table.append(df, stats_cols=stats_cols, auto_compact_at=64)
 
 
 def _advance_funnel_state(dst: dict, fr: dict) -> None:

@@ -986,6 +986,42 @@ def test_funnel_advance_demotion_merges_only_moved_labels(spark, tmp_path):
         assert names <= post, f"{k}: history segments rewritten: {names - post}"
 
 
+def test_funnel_advance_crash_before_meta_commit_retries_cleanly(spark, tmp_path):
+    """The documented crash-retry story, executed: the advance commits
+    digests (the batch's root filter) first and the meta counter table
+    LAST, so a run killed at the meta commit leaves every other table
+    advanced — and the retry, recomputing its deltas against that
+    partially-advanced state, must land empty deltas everywhere and the
+    correct (not double-counted) meta, converging bit-for-bit to what a
+    clean single advance commits."""
+    from shopify_youtube_etl_spark.plans import llm_text as lt
+
+    d = _plant_funnel_corpus(spark, tmp_path, batch1_ids=[300, 315, 320, 340])
+    ref = lt._funnel_state(spark, d, "adv-crash-ref")
+    lt._build_funnel_state(spark, d, ref, 288)
+    lt._advance_funnel_state(ref, lt._funnel_batch(spark, d, ref, 288, 384))
+
+    st = lt._funnel_state(spark, d, "adv-crash-pin")
+    lt._build_funnel_state(spark, d, st, 288)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash at the meta commit")
+
+    orig = st["meta"].overwrite
+    st["meta"].overwrite = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lt._advance_funnel_state(st, lt._funnel_batch(spark, d, st, 288, 384))
+    st["meta"].overwrite = orig
+    # Everything but meta advanced; meta still holds history counters.
+    assert {r["node"]: r["label"] for r in st["labels"].read().collect()}[60] == 10
+    # Retry converges to the clean advance, table by table.
+    lt._advance_funnel_state(st, lt._funnel_batch(spark, d, st, 288, 384))
+    for k in st:
+        got = sorted(map(tuple, st[k].read().collect()))
+        want = sorted(map(tuple, ref[k].read().collect()))
+        assert got == want, f"{k} diverged after crash-retry"
+
+
 def test_incremental_funnel_demotes_bridged_representative(spark, tmp_path):
     """The hard IVM cases, planted: (1) a batch near-dup CHAIN bridges
     two historical components, so the higher historical representative
