@@ -469,3 +469,33 @@ def test_gini_rank_formula_matches_pairwise(spark, xs):
         ).alias("g")
     ).collect()[0]
     assert abs(row["g"] - pairwise) < 1e-6, (row["g"], pairwise)
+
+
+@given(segs=st.lists(rows_st, min_size=1, max_size=3), batch=rows_st)
+@SETTINGS
+def test_upsert_matching_equals_logical_upsert(spark, segs, batch):
+    """The physical segment-pruned MERGE (``ParquetTable.upsert_matching``,
+    the write path every IVM state store commits through) must equal the
+    logical ``upsert()`` over the same frames by value, for ARBITRARY
+    multi-segment bases (duplicate keys across segments included) and
+    batches — pruning may only skip segments that provably hold no
+    matched key, never change the result."""
+    import shutil
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    d = tempfile.mkdtemp(prefix="sye_prop_um_")
+    try:
+        tbl = ParquetTable(spark, d + "/t")
+        for s in segs:
+            tbl.append(_df(spark, s), stats_cols=["k"])
+        b = _df(spark, batch)
+        want = sorted(
+            map(tuple, upsert(tbl.read(), b, ["k"], order_col="seq").collect())
+        )
+        tbl.upsert_matching(b, ["k"], order_col="seq")
+        got = sorted(map(tuple, tbl.read().collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
