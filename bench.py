@@ -131,6 +131,13 @@ HEADLINE = [
     # (events-scale) — the two late additions with corpus-sized work.
     "doc_novelty_profile",
     "sliding_distinct_users_7d",
+    # Round-9: the r8 table-verb paths join the official record — the
+    # RF1/RF2 DML round-trip (delete_matching + upsert_matching per
+    # rep), the z-order rewrite + pruned box probe, and the two-phase
+    # partitioned NTILE migration matrix (customer-scale self-join).
+    "tpch_refresh_q1",
+    "zorder_box_scan",
+    "segment_migration_matrix",
 ]
 
 

@@ -499,3 +499,35 @@ def test_upsert_matching_equals_logical_upsert(spark, segs, batch):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    segs=st.lists(rows_st, min_size=1, max_size=3),
+    doomed=st.lists(st.integers(0, 4), min_size=0, max_size=5),
+)
+@SETTINGS
+def test_delete_matching_equals_logical_anti_join(spark, segs, doomed):
+    """The segment-pruned join-shaped DELETE must equal a left-anti join
+    of the doomed key set by value, for arbitrary multi-segment bases,
+    and must report exactly the number of rows it removed."""
+    import shutil
+    import tempfile
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    d = tempfile.mkdtemp(prefix="sye_prop_dm_")
+    try:
+        tbl = ParquetTable(spark, d + "/t")
+        for s in segs:
+            tbl.append(_df(spark, s), stats_cols=["k"])
+        keys = spark.createDataFrame([(k,) for k in doomed] or [(-99,)], "k INT")
+        before = tbl.read().count()
+        want = sorted(
+            map(tuple, tbl.read().join(keys, "k", "left_anti").collect())
+        )
+        n = tbl.delete_matching(keys, on="k")
+        got = sorted(map(tuple, tbl.read().collect()))
+        assert got == want
+        assert n == before - len(got)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
