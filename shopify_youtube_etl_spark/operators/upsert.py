@@ -1120,6 +1120,7 @@ class ParquetTable:
         order_col: str | None = None,
         broadcast: bool = True,
         evolve_schema: bool = False,
+        auto_compact_at: int | None = None,
     ) -> dict:
         """Segment-pruned keyed MERGE — the write-side sibling of
         ``delete_matching`` (r7 verdict #1): by value this equals
@@ -1159,6 +1160,13 @@ class ParquetTable:
         semantics, shopify_etl.py:575).  Returns
         ``{"rewritten": [...], "survivors": [...], "appended": name}``
         so callers/tests can assert what the merge physically touched.
+
+        ``auto_compact_at``: as on ``append`` — each merge lands one
+        batch segment, so a per-batch IVM store accrues them without
+        bound; when the post-commit segment count reaches the
+        threshold, one O(table) compaction runs (amortized over that
+        many O(batch) merges).  The returned names then describe the
+        merge BEFORE the compaction folded them away.
         """
         on = [on] if isinstance(on, str) else list(on)
         key0 = on[0]
@@ -1275,6 +1283,12 @@ class ParquetTable:
                 f"upsert_matching on {self.path} lost a commit race (a victim "
                 "segment was replaced concurrently) — retry against the new state"
             )
+        # Same LSM discipline as append: one pruned merge lands one
+        # batch segment, so a per-batch IVM store accrues them without
+        # bound; every auto_compact_at-th merge amortizes one O(table)
+        # compaction (which carries the tracked stats/bloom sidecars).
+        if auto_compact_at is not None and len(self.segments()) >= auto_compact_at:
+            self.compact()
         return {
             "rewritten": sorted(victim_names),
             "survivors": sorted(

@@ -6033,7 +6033,7 @@ def incremental_component_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     # name — the write is O(touched segments + batch), matching the
     # O(batch + touched components) compute.  An empty relabel batch
     # (no merging edges) is a metadata no-op instead of a full rewrite.
-    state.upsert_matching(relabeled, ["node"])
+    state.upsert_matching(relabeled, ["node"], auto_compact_at=64)
 
     sizes = state.read().groupBy("label").agg(F.count("*").alias("component_size"))
     return sizes.groupBy("component_size").agg(
@@ -6184,7 +6184,7 @@ def incremental_component_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     relabeled = connected_components(sub_edges, touched_nodes)
-    state.upsert_matching(relabeled, ["node"])
+    state.upsert_matching(relabeled, ["node"], auto_compact_at=64)
 
     sizes = state.read().groupBy("label").agg(F.count("*").alias("component_size"))
     return sizes.groupBy("component_size").agg(

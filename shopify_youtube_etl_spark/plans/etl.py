@@ -838,7 +838,9 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     dead = updates.where(F.col("n_orders") <= 0).select("day")
     if not dead.isEmpty():
         rollup_tbl.delete_matching(dead, on="day")
-    rollup_tbl.upsert_matching(updates.where(F.col("n_orders") > 0), ["day"])
+    rollup_tbl.upsert_matching(
+        updates.where(F.col("n_orders") > 0), ["day"], auto_compact_at=64
+    )
     return rollup_tbl.read().select(
         "day",
         F.col("n_orders").cast("long").alias("n_orders"),

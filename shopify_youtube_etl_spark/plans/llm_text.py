@@ -2706,7 +2706,7 @@ def _advance_funnel_state(dst: dict, fr: dict) -> None:
     )
     staged_labels = moved.unionByName(batch2.select("node", "label"))
     if not staged_labels.isEmpty():
-        dst["labels"].upsert_matching(staged_labels, ["node"])
+        dst["labels"].upsert_matching(staged_labels, ["node"], auto_compact_at=64)
     _append_delta(dst["bench_sh"], fr["delta_bench"], stats_cols=["sh_hash"])
     _append_delta(dst["postings"], fr["postings_b"], stats_cols=["doc_id"])
     # Keyed cstat merge: only docs whose hit count a NEW benchmark
@@ -2720,7 +2720,7 @@ def _advance_funnel_state(dst: dict, fr: dict) -> None:
     )
     staged_cstat = rescored.unionByName(fr["cstat_b"])
     if not staged_cstat.isEmpty():
-        dst["cstat"].upsert_matching(staged_cstat, ["doc_id"])
+        dst["cstat"].upsert_matching(staged_cstat, ["doc_id"], auto_compact_at=64)
     meta2 = (
         _funnel_stage_rows(fr)
         .where(F.col("stage").isin(1, 2))
@@ -3055,8 +3055,8 @@ def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # >= split while the base index segments record doc_id < split, so
     # in steady state the base postings/norms survive in the manifest
     # by name and the merge writes O(batch postings), never O(index).
-    idx["postings"].upsert_matching(batch_tf, ["doc_id", "token"])
-    idx["doclen"].upsert_matching(batch_dl, ["doc_id"])
+    idx["postings"].upsert_matching(batch_tf, ["doc_id", "token"], auto_compact_at=64)
+    idx["doclen"].upsert_matching(batch_dl, ["doc_id"], auto_compact_at=64)
 
     dl = idx["doclen"].read()
     tf = idx["postings"].read().where(F.col("token").isin(terms))

@@ -496,7 +496,7 @@ def incremental_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.hll_union_agg("sk").alias("sk"))
     )
-    st.upsert_matching(touched, ["day"])
+    st.upsert_matching(touched, ["day"], auto_compact_at=64)
     return (
         st.read()
         .select("day", F.hll_sketch_estimate("sk").cast("long").alias("users_est"))
@@ -570,7 +570,7 @@ def incremental_kll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = day_sketches(
         t(spark, sf_dir, "events").where(F.col("event_id") >= split), split
     )
-    st.upsert_matching(batch, ["batch_id", "day"])
+    st.upsert_matching(batch, ["batch_id", "day"], auto_compact_at=64)
 
     merged = (
         st.read()

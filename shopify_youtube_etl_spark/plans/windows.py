@@ -635,7 +635,7 @@ def incremental_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     # an updated purchase actually hits rewrite; in steady state the
     # history segment (pid < split) survives by name unless an old
     # purchase was re-credited into it.
-    state.upsert_matching(updates, ["pid", "cid"])
+    state.upsert_matching(updates, ["pid", "cid"], auto_compact_at=64)
 
     return (
         state.read()

@@ -68,7 +68,7 @@ def foreach_batch_upsert(table: ParquetTable, keys: list[str]):
     amplification the merge exists to remove."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        table.upsert_matching(batch_df.dropDuplicates(keys), keys)
+        table.upsert_matching(batch_df.dropDuplicates(keys), keys, auto_compact_at=64)
 
     return _sink
 

@@ -1468,3 +1468,44 @@ def test_zorder_layout_skips_more_files_than_1d_for_box_probe(spark, tmp_path):
     )
     # Row preservation under both layouts.
     assert zt.read().count() == dt.read().count() == src.count()
+
+
+def test_upsert_matching_auto_compact(spark, tmp_path):
+    """The merge's LSM maintenance hook: with auto_compact_at set, the
+    merge whose post-commit segment count reaches the threshold folds
+    the table into one segment — values identical, stats sidecars
+    carried — while merges below the threshold leave history segments
+    untouched by name (the append discipline, applied to the IVM
+    write path that lands one batch segment per merge)."""
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable, upsert
+
+    tbl = ParquetTable(spark, str(tmp_path / "umac"))
+    for lo in (0, 100):
+        tbl.append(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            stats_cols=["k"],
+        )
+    # Below threshold: disjoint batch appends its segment, no compaction.
+    batch1 = spark.range(200, 220).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    res = tbl.upsert_matching(batch1, ["k"], auto_compact_at=5)
+    assert len(tbl.segments()) == 3 and res["rewritten"] == []
+    # At threshold: the next merge compacts to one segment, value-equal
+    # to the logical upsert over the pre-merge state.
+    want = sorted(
+        map(tuple, upsert(tbl.read(), batch1, ["k"]).collect())
+    )
+    tbl.upsert_matching(batch1, ["k"], auto_compact_at=3)
+    assert len(tbl.segments()) == 1
+    assert sorted(map(tuple, tbl.read().collect())) == want
+    # Compaction carried the key stats: a fresh disjoint merge still
+    # prunes (the compacted segment survives by name).
+    compacted = {os.path.basename(s) for s in tbl.segments()}
+    tbl.upsert_matching(
+        spark.range(300, 310).select(F.col("id").alias("k"), F.lit(-2).cast("long").alias("v")),
+        ["k"],
+    )
+    assert compacted <= {os.path.basename(s) for s in tbl.segments()}
