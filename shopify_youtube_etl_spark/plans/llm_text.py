@@ -2165,6 +2165,29 @@ def _funnel_split(spark: SparkSession, sf_dir: str) -> int:
     return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 
+def _ensure_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) -> None:
+    """Build-if-needed behind a TERMINAL marker.  The nine state tables
+    commit through independent per-table manifests — there is no
+    cross-table transaction — so probing one table's existence (the old
+    guard) wedges permanently if a build dies between table commits:
+    the probe says "built" while later tables are missing.  Instead the
+    marker, written only after the LAST table commits, is the single
+    durable commit point; any state without it (first run OR torn
+    build) is wiped and rebuilt from scratch — crash-safe by restart,
+    with no partial-repair reasoning to get wrong."""
+    import shutil
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+
+    built = ParquetTable(spark, st["meta"].path + "_built")
+    if built.exists():
+        return
+    for tbl in st.values():
+        shutil.rmtree(tbl.path, ignore_errors=True)
+    _build_funnel_state(spark, sf_dir, st, split)
+    built.overwrite(spark.createDataFrame([(int(split),)], "split long"))
+
+
 def _funnel_state(spark: SparkSession, sf_dir: str, split: int | str) -> dict:
     """The funnel's persisted state store — one ParquetTable per
     structure a production incremental curator keeps warm between
@@ -2374,8 +2397,7 @@ def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     degraded mode."""
     split = _funnel_split(spark, sf_dir)
     st = _funnel_state(spark, sf_dir, split)
-    if not st["labels"].exists():
-        _build_funnel_state(spark, sf_dir, st, split)
+    _ensure_funnel_state(spark, sf_dir, st, split)
     return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st, split, None))
 
 
@@ -2461,11 +2483,16 @@ def _funnel_batch(
             .select(F.col("doc_id").alias(out_id), _shingles("w2", 3).alias(out_sh))
         )
 
+    # Checkpointed: the Jaccard-verify join is the batch's most
+    # expensive subtree and has three consumers (the label collapse
+    # here, plus the advance's emptiness probe and edge append) — same
+    # discipline as new_pairs/reps above.
     verified_new = (
         new_pairs.join(cand_sh("id_a", "id_a", "sa"), "id_a")
         .join(cand_sh("id_b", "id_b", "sb"), "id_b")
         .where(_jaccard(F.col("sa"), F.col("sb")) >= 0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint(eager=True)
     )
     # Label-collapse: map each new edge endpoint through the persisted
     # labels (batch/unknown nodes map to themselves), drop edges that
@@ -2704,9 +2731,11 @@ def _advance_funnel_state(dst: dict, fr: dict) -> None:
     batch2 = fr["newlab"].join(
         fr["exact_b"].select(F.col("doc_id").alias("node")), "node", "left_semi"
     )
+    # No emptiness pre-check: upsert_matching already no-ops on an
+    # empty staged batch (its bounded probe aggregate sees _n == 0),
+    # so a guard here would just evaluate the staging plan twice.
     staged_labels = moved.unionByName(batch2.select("node", "label"))
-    if not staged_labels.isEmpty():
-        dst["labels"].upsert_matching(staged_labels, ["node"], auto_compact_at=64)
+    dst["labels"].upsert_matching(staged_labels, ["node"], auto_compact_at=64)
     _append_delta(dst["bench_sh"], fr["delta_bench"], stats_cols=["sh_hash"])
     _append_delta(dst["postings"], fr["postings_b"], stats_cols=["doc_id"])
     # Keyed cstat merge: only docs whose hit count a NEW benchmark
@@ -2719,8 +2748,7 @@ def _advance_funnel_state(dst: dict, fr: dict) -> None:
         .select("doc_id", "n_sh", (F.col("hits") + F.col("dh")).alias("hits"))
     )
     staged_cstat = rescored.unionByName(fr["cstat_b"])
-    if not staged_cstat.isEmpty():
-        dst["cstat"].upsert_matching(staged_cstat, ["doc_id"], auto_compact_at=64)
+    dst["cstat"].upsert_matching(staged_cstat, ["doc_id"], auto_compact_at=64)
     meta2 = (
         _funnel_stage_rows(fr)
         .where(F.col("stage").isin(1, 2))
@@ -2757,21 +2785,30 @@ def incremental_funnel_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("m")).first()["m"]
     )
     s1 = int((mx + 1) * 3 // 5) if mx is not None else 0
+    import shutil
+
     from shopify_youtube_etl_spark.operators.upsert import ParquetTable
 
+    # TERMINAL marker, written only after build AND advance both
+    # committed — the nine tables commit through independent per-table
+    # manifests with no cross-table transaction, so a crash anywhere
+    # between the first and last commit leaves a state no retry can
+    # repair in place (a retry's deltas recompute against whichever
+    # tables already absorbed the batch — e.g. digests committed but
+    # toks not would silently drop the batch's token rows forever).
+    # Any state without the marker (first run, torn build, torn
+    # advance) is therefore wiped and rebuilt from scratch: crash-safe
+    # by restart, converging to the same slice-deterministic state.
+    # The per-advance commit ORDER (digests first, meta last) still
+    # bounds what a mid-advance crash can tear — pinned by the
+    # crash-at-meta retry test — but the marker, not retry reasoning,
+    # is what the query's correctness rests on.
     st_b = _funnel_state(spark, sf_dir, f"adv{s1}-{s2}")
-    if not st_b["labels"].exists():
-        _build_funnel_state(spark, sf_dir, st_b, s1)
-    # The advance commits in place, so "labels exists" no longer implies
-    # "advanced" — a separate slice-stamped marker, written AFTER the
-    # advance, guards it: a run killed between build and advance retries
-    # the advance instead of silently curating against history-only
-    # state.  (A crash MID-advance retries against partially-advanced
-    # tables; per-table deltas recompute against whatever committed, the
-    # documented partial-commit window shared with every multi-table
-    # state store here.)
     advanced = ParquetTable(spark, st_b["meta"].path + "_advanced")
     if not advanced.exists():
+        for tbl in st_b.values():
+            shutil.rmtree(tbl.path, ignore_errors=True)
+        _build_funnel_state(spark, sf_dir, st_b, s1)
         _advance_funnel_state(st_b, _funnel_batch(spark, sf_dir, st_b, s1, s2))
         advanced.overwrite(
             spark.createDataFrame([(s1, s2)], "lo long, hi long")

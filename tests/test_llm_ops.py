@@ -986,6 +986,59 @@ def test_funnel_advance_demotion_merges_only_moved_labels(spark, tmp_path):
         assert names <= post, f"{k}: history segments rewritten: {names - post}"
 
 
+def test_funnel_torn_state_rebuilds_behind_the_marker(spark, tmp_path):
+    """The terminal-marker protocol: the nine state tables commit
+    through independent per-table manifests, so the QUERY treats any
+    state without its marker as torn and rebuilds from scratch.
+    Simulate the torn states the old table-existence guard wedged or
+    corrupted on: (a) a build that died mid-way (some tables missing),
+    (b) an advance that died mid-way (marker absent, tables partially
+    advanced) — both must self-heal to the full-recompute answer."""
+    import shutil
+
+    from shopify_youtube_etl_spark.plans import llm_text as lt
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    d = _plant_funnel_corpus(spark, tmp_path, batch1_ids=[300, 315, 320, 340])
+    qs = all_queries()
+    full = sorted(
+        (r["stage"], r["stage_name"], r["n_docs"], r["total_tokens"])
+        for r in qs["curation_funnel_report"].fn(spark, d).collect()
+    )
+
+    # (a) torn BUILD of the single-batch state: wipe two tables but
+    # leave labels (the old guard's probe) — the marker is absent, so
+    # the query must wipe and rebuild instead of wedging on a
+    # FileNotFoundError from the missing tables.
+    one = qs["incremental_curation_funnel"].fn(spark, d).collect()
+    st = lt._funnel_state(spark, d, lt._funnel_split(spark, d))
+    shutil.rmtree(st["postings"].path, ignore_errors=True)
+    shutil.rmtree(st["bench_sh"].path, ignore_errors=True)
+    shutil.rmtree(st["meta"].path + "_built", ignore_errors=True)
+    again = qs["incremental_curation_funnel"].fn(spark, d).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, again))
+
+    # (b) torn ADVANCE of the two-batch state: drop the marker and one
+    # advanced table — retry must rebuild and still equal the full
+    # recompute (the old retry-in-place path silently lost the batch).
+    two = sorted(
+        (r["stage"], r["stage_name"], r["n_docs"], r["total_tokens"])
+        for r in qs["incremental_funnel_two_batch"].fn(spark, d).collect()
+    )
+    assert two == full
+    s2 = lt._funnel_split(spark, d)
+    mx = 480
+    s1 = int((mx + 1) * 3 // 5)
+    st_b = lt._funnel_state(spark, d, f"adv{s1}-{s2}")
+    shutil.rmtree(st_b["toks"].path, ignore_errors=True)
+    shutil.rmtree(st_b["meta"].path + "_advanced", ignore_errors=True)
+    two_again = sorted(
+        (r["stage"], r["stage_name"], r["n_docs"], r["total_tokens"])
+        for r in qs["incremental_funnel_two_batch"].fn(spark, d).collect()
+    )
+    assert two_again == full
+
+
 def test_funnel_advance_crash_before_meta_commit_retries_cleanly(spark, tmp_path):
     """The documented crash-retry story, executed: the advance commits
     digests (the batch's root filter) first and the meta counter table
