@@ -3082,7 +3082,16 @@ def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = _funnel_split(spark, sf_dir)
     idx = _bm25_index_tables(spark, sf_dir, split)
 
-    if idx["postings"].current_manifest() is None:
+    # Guard on BOTH manifests: the two base overwrites commit
+    # independently, so a build that died between them must rebuild —
+    # probing only postings would wedge every retry on doclen.read().
+    # Both writes are idempotent overwrites (and the batch merge below
+    # is a keyed no-op on re-application), so rebuild-on-partial heals
+    # without a marker.
+    if (
+        idx["postings"].current_manifest() is None
+        or idx["doclen"].current_manifest() is None
+    ):
         base_tf, base_dl = _index_rows(docs.where(F.col("doc_id") < split))
         idx["postings"].overwrite(base_tf, stats_cols=["doc_id"])
         idx["doclen"].overwrite(base_dl, stats_cols=["doc_id"])

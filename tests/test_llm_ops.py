@@ -1393,6 +1393,19 @@ def test_bm25_incremental_index_equals_from_scratch(spark, sf_dir):
             f"base {k} segments were rewritten by a disjoint batch merge"
         )
 
+    # Torn base build self-heals: the two base overwrites commit through
+    # independent manifests, so a build dying between them leaves
+    # postings committed and doclen missing — the both-manifests guard
+    # must rebuild instead of wedging every retry on doclen.read().
+    import shutil
+
+    shutil.rmtree(idx["doclen"].path, ignore_errors=True)
+    healed = [
+        tuple(r)
+        for r in specs["bm25_incremental_index"].fn(spark, sf_dir).collect()
+    ]
+    assert healed == scratch
+
 
 def test_grid_knee_tracks_exact_knee(spark, sf_dir):
     """The 201-point quantile-grid knee must land on (approximately)
