@@ -2776,10 +2776,12 @@ def incremental_funnel_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridges two historical components, which must persist into
     batch 2's collapse.  The advance COMMITS IN PLACE with the pruned
     verbs (append of disjoint deltas, keyed merges for labels/cstat) —
-    O(batch + touched segments), never O(state) — under a state key
-    carrying the slice boundaries, so a re-run against the
-    already-advanced state recomputes empty deltas and converges
-    instead of double-counting."""
+    O(batch + touched segments), never O(state) — and durability is a
+    TERMINAL marker under a state key carrying the slice boundaries:
+    a marked state is reused as-is, an unmarked one (first run or a
+    crash anywhere in build/advance) is wiped and rebuilt, and the
+    mid-advance crash window is additionally bounded by the advance's
+    digests-first/meta-last commit order (both pinned in pytest)."""
     s2 = _funnel_split(spark, sf_dir)
     mx = (
         t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("m")).first()["m"]
