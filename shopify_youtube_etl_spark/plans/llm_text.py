@@ -2165,27 +2165,54 @@ def _funnel_split(spark: SparkSession, sf_dir: str) -> int:
     return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 
-def _ensure_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) -> None:
-    """Build-if-needed behind a TERMINAL marker.  The nine state tables
-    commit through independent per-table manifests — there is no
-    cross-table transaction — so probing one table's existence (the old
-    guard) wedges permanently if a build dies between table commits:
-    the probe says "built" while later tables are missing.  Instead the
-    marker, written only after the LAST table commits, is the single
-    durable commit point; any state without it (first run OR torn
-    build) is wiped and rebuilt from scratch — crash-safe by restart,
-    with no partial-repair reasoning to get wrong."""
+def _materialize_funnel_state(
+    spark: SparkSession, st: dict, marker_path: str, stamp: tuple, build
+) -> None:
+    """Check → wipe → build → mark, behind a TERMINAL marker and the
+    state lock.  The nine state tables commit through independent
+    per-table manifests — there is no cross-table transaction — so
+    probing one table's existence (the old guard) wedges permanently if
+    a build dies between table commits: the probe says "built" while
+    later tables are missing.  Instead the marker, written only after
+    the LAST table commits, is the single durable commit point; any
+    state without it (first run OR torn build/advance) is wiped and
+    rebuilt from scratch — crash-safe by restart, with no
+    partial-repair reasoning to get wrong.
+
+    The whole sequence runs under an exclusive flock (the
+    ``ParquetTable._commit`` discipline, same single-host scope): the
+    destructive wipe must not interleave with another driver's live
+    build, or the loser's rmtree tears tables the winner already
+    committed and the marker then blesses a torn state forever.  The
+    marker is re-probed INSIDE the lock, so the blocked second caller
+    returns instead of rebuilding again."""
+    import fcntl
     import shutil
 
     from shopify_youtube_etl_spark.operators.upsert import ParquetTable
 
-    built = ParquetTable(spark, st["meta"].path + "_built")
-    if built.exists():
+    marker = ParquetTable(spark, marker_path)
+    if marker.exists():
         return
-    for tbl in st.values():
-        shutil.rmtree(tbl.path, ignore_errors=True)
-    _build_funnel_state(spark, sf_dir, st, split)
-    built.overwrite(spark.createDataFrame([(int(split),)], "split long"))
+    with open(marker_path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if marker.exists():
+            return
+        for tbl in st.values():
+            shutil.rmtree(tbl.path, ignore_errors=True)
+        build()
+        rows, schema = stamp
+        marker.overwrite(spark.createDataFrame(rows, schema))
+
+
+def _ensure_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) -> None:
+    _materialize_funnel_state(
+        spark,
+        st,
+        st["meta"].path + "_built",
+        ([(int(split),)], "split long"),
+        lambda: _build_funnel_state(spark, sf_dir, st, split),
+    )
 
 
 def _funnel_state(spark: SparkSession, sf_dir: str, split: int | str) -> dict:
@@ -2787,34 +2814,30 @@ def incremental_funnel_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("m")).first()["m"]
     )
     s1 = int((mx + 1) * 3 // 5) if mx is not None else 0
-    import shutil
-
-    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
-
-    # TERMINAL marker, written only after build AND advance both
-    # committed — the nine tables commit through independent per-table
-    # manifests with no cross-table transaction, so a crash anywhere
-    # between the first and last commit leaves a state no retry can
-    # repair in place (a retry's deltas recompute against whichever
-    # tables already absorbed the batch — e.g. digests committed but
-    # toks not would silently drop the batch's token rows forever).
-    # Any state without the marker (first run, torn build, torn
-    # advance) is therefore wiped and rebuilt from scratch: crash-safe
-    # by restart, converging to the same slice-deterministic state.
+    # TERMINAL marker via the shared protocol (_materialize_funnel_state),
+    # written only after build AND advance both committed — a crash
+    # anywhere between the first and last per-table commit leaves a
+    # state no retry can repair in place (a retry's deltas recompute
+    # against whichever tables already absorbed the batch — e.g.
+    # digests committed but toks not would silently drop the batch's
+    # token rows forever), so an unmarked state is wiped and rebuilt.
     # The per-advance commit ORDER (digests first, meta last) still
     # bounds what a mid-advance crash can tear — pinned by the
     # crash-at-meta retry test — but the marker, not retry reasoning,
     # is what the query's correctness rests on.
     st_b = _funnel_state(spark, sf_dir, f"adv{s1}-{s2}")
-    advanced = ParquetTable(spark, st_b["meta"].path + "_advanced")
-    if not advanced.exists():
-        for tbl in st_b.values():
-            shutil.rmtree(tbl.path, ignore_errors=True)
+
+    def build_and_advance() -> None:
         _build_funnel_state(spark, sf_dir, st_b, s1)
         _advance_funnel_state(st_b, _funnel_batch(spark, sf_dir, st_b, s1, s2))
-        advanced.overwrite(
-            spark.createDataFrame([(s1, s2)], "lo long, hi long")
-        )
+
+    _materialize_funnel_state(
+        spark,
+        st_b,
+        st_b["meta"].path + "_advanced",
+        ([(s1, s2)], "lo long, hi long"),
+        build_and_advance,
+    )
     return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st_b, s2, None))
 
 

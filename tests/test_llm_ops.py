@@ -1027,9 +1027,20 @@ def test_funnel_torn_state_rebuilds_behind_the_marker(spark, tmp_path):
     )
     assert two == full
     s2 = lt._funnel_split(spark, d)
-    mx = 480
+    # Derive the state key the same way the query does, and assert the
+    # torn paths actually exist before tearing them — a drifted key
+    # would otherwise rmtree nothing and pass this test vacuously.
+    mx = (
+        spark.read.parquet(f"{d}/documents.parquet")
+        .agg(F.max("doc_id").alias("m"))
+        .first()["m"]
+    )
     s1 = int((mx + 1) * 3 // 5)
     st_b = lt._funnel_state(spark, d, f"adv{s1}-{s2}")
+    import os
+
+    assert os.path.exists(st_b["toks"].path)
+    assert os.path.exists(st_b["meta"].path + "_advanced")
     shutil.rmtree(st_b["toks"].path, ignore_errors=True)
     shutil.rmtree(st_b["meta"].path + "_advanced", ignore_errors=True)
     two_again = sorted(
