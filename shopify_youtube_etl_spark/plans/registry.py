@@ -66,60 +66,23 @@ _CANARIES = [
 # the registry (enforced in ``all_queries``) so a rename can't silently
 # drop a query out of the priority window; tests/test_plans.py globs
 # CORRECTNESS_r*.json so the ordering can't silently go stale.
-# Re-sorted for round 9 against CORRECTNESS_r01-r08 latest-green rounds
-# (no net-new queries this round BY DESIGN — the ~44 non-canary slots go
-# to the r02 cohort (23) and the oldest ~20 of the r03 cohort, per the
-# r8 verdict's staleness directive).
+# Re-sorted for round 10 against the CORRECTNESS_r01-r09 union
+# latest-green rounds (no net-new queries this round BY DESIGN — the
+# ~44 non-canary slots go to the whole r03 cohort (28) and the oldest
+# ~16 of the r04 cohort, per the r9 verdict's staleness directive #2).
+#
+# Canary lesson worth keeping (r8 red row → r9 fix): the only external
+# failure this repo has ever recorded was `repeat_purchase_hazard`, an
+# oracle-side TYPE leak, not a value bug — DuckDB widens a windowed
+# integer SUM to HUGEINT → pandas float64, while Spark stays int64, and
+# the driver hashes dtype kinds.  The fix is `CAST(... AS BIGINT)` in
+# the oracle (analytics.py); the in-repo guard is the per-column
+# dtype-KIND comparator in tests/conftest.py::assert_frames_match, which
+# re-proves every oracle at sf0.001 each pytest run.  Any query whose
+# oracle sums/windows integers needs that CAST — check the comparator
+# output before burning a driver slot on it.
 _DRIVER_PRIORITY = _CANARIES + [
-    # --- r08 red row, adjudicated as an oracle-side HUGEINT leak and
-    # --- fixed this round (CAST ... AS BIGINT): leads the window so the
-    # --- r09 record re-greens it first.
-    "repeat_purchase_hazard",
-    # --- last external record: round 2 ---
-    "moving_average_7d",
-    "nested_explode_roundtrip",
-    "order_count_distribution",
-    "orders_without_lineitems",
-    "percentile_order_value",
-    "pivot_status_counts",
-    "posexplode_tokens",
-    "range_join_value_bands",
-    "ranked_customers_per_segment",
-    "running_revenue_by_day",
-    "scalar_functions",
-    "semi_join_urgent_customers",
-    "sql_nation_rank",
-    "star_join_revenue_by_nation",
-    "stats_profile",
-    "status_priority_rollup",
-    "struct_extract_roundtrip",
-    "topk_orders",
-    "union_append",
-    "union_distinct_active_keys",
-    "upsert_idempotency",
-    "verify_fk_integrity",
-    "verify_uniqueness",
     # --- last external record: round 3 ---
-    "ann_ivf_topk",
-    "anti_join_decontaminate",
-    "benchmark_contamination",
-    "bigram_top_terms",
-    "char_ngram_neardup",
-    "csv_roundtrip_ingest",
-    "dedup_exact",
-    "dedup_representative_pick",
-    "doc_chunking",
-    "doc_fingerprint",
-    "embedding_centroid_per_label",
-    "embedding_lsh_neardup",
-    "embedding_near_dup",
-    "except_all_multiset_diff",
-    "funnel_conversion",
-    "groupwise_quality_zscore",
-    "interval_join_clicks_before_purchase",
-    "knn_label_accuracy",
-    "lang_id_confusion",
-    "lateral_top3_orders_per_customer",
     "media_frame_sample",
     "media_payload_features",
     "minhash_lsh_neardup",
@@ -372,6 +335,51 @@ _DRIVER_PRIORITY = _CANARIES + [
     "triplet_margin_mining",
     "unpivot_charge_components",
     "zorder_box_scan",
+    # --- last external record: round 9 ---
+    "ann_ivf_topk",
+    "anti_join_decontaminate",
+    "benchmark_contamination",
+    "bigram_top_terms",
+    "char_ngram_neardup",
+    "csv_roundtrip_ingest",
+    "dedup_exact",
+    "dedup_representative_pick",
+    "doc_chunking",
+    "doc_fingerprint",
+    "embedding_centroid_per_label",
+    "embedding_lsh_neardup",
+    "embedding_near_dup",
+    "except_all_multiset_diff",
+    "funnel_conversion",
+    "groupwise_quality_zscore",
+    "interval_join_clicks_before_purchase",
+    "knn_label_accuracy",
+    "lang_id_confusion",
+    "lateral_top3_orders_per_customer",
+    "moving_average_7d",
+    "nested_explode_roundtrip",
+    "order_count_distribution",
+    "orders_without_lineitems",
+    "percentile_order_value",
+    "pivot_status_counts",
+    "posexplode_tokens",
+    "range_join_value_bands",
+    "ranked_customers_per_segment",
+    "repeat_purchase_hazard",
+    "running_revenue_by_day",
+    "scalar_functions",
+    "semi_join_urgent_customers",
+    "sql_nation_rank",
+    "star_join_revenue_by_nation",
+    "stats_profile",
+    "status_priority_rollup",
+    "struct_extract_roundtrip",
+    "topk_orders",
+    "union_append",
+    "union_distinct_active_keys",
+    "upsert_idempotency",
+    "verify_fk_integrity",
+    "verify_uniqueness",
 ]
 
 
