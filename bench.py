@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -154,6 +155,27 @@ def force_eval(df: DataFrame) -> int:
     return row["n"]
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+# Calibration query: cheap, plan-stable since r1, scan+join+agg shaped.
+# Re-timed (min-of-3) immediately after warmup AND after the last
+# headline query; both values land in the artifact.  On a quiet host the
+# two agree within noise; under contention the end sample drifts — which
+# makes a dirty record SELF-IDENTIFYING (r9 lesson: BENCH_r09.json
+# overstated the common-set total ~1.5× on a contended host and nothing
+# in the artifact revealed it; the adjudication needed a manual re-run).
+_CALIBRATION_QUERY = "flagship_revenue"
+
+
+def _time_calibration(spark, specs) -> float:
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        force_eval(specs[_CALIBRATION_QUERY].fn(spark, SF_DIR))
+        best = min(best, time.perf_counter() - start)
+    return round(best, 3)
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -166,33 +188,43 @@ def main() -> None:
     force_eval(specs["flagship_revenue"].fn(spark, SF_DIR))
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
-    # Best of 3 runs per query: the first run absorbs per-query codegen
-    # and any transient host load; min-of-3 reports steady state.  (On
-    # this shared host, 5-rep profiling showed identical-code swings of
-    # up to 8× — e.g. simhash 1.57-11.95 s — so two samples were not
-    # enough to escape a single noisy window.)
+    load_start = os.getloadavg()
+    calibration_start = _time_calibration(spark, specs)
+
+    # Best of REPS runs per query: the first run absorbs per-query
+    # codegen and any transient host load; the min reports steady state,
+    # and the median is kept alongside so a record where median >> min
+    # exposes intra-run contention.  (On this shared host, 5-rep
+    # profiling showed identical-code swings of up to 8× — e.g. simhash
+    # 1.57-11.95 s — so two samples were not enough to escape a single
+    # noisy window.)
     # Per-query try/except so one red query reports an "err" entry
     # instead of zeroing the whole artifact (round-3 lesson: a single
     # AnalysisException cost the round its entire bench record).
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        best, n = float("inf"), 0
+        samples: list[float] = []
+        n = 0
         try:
-            for _ in range(3):
+            for _ in range(REPS):
                 start = time.perf_counter()
                 n = force_eval(specs[name].fn(spark, SF_DIR))
-                best = min(best, time.perf_counter() - start)
+                samples.append(time.perf_counter() - start)
         except Exception as exc:  # noqa: BLE001 — keep the artifact alive
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            if best != float("inf"):
-                # A later repetition failed but an earlier one measured
-                # real work — keep the valid sample alongside the error.
-                timings[name] = round(best, 3)
-            continue
-        timings[name] = round(best, 3)
+            if not samples:
+                continue
+            # A later repetition failed but an earlier one measured
+            # real work — keep the valid samples alongside the error.
+        timings[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    calibration_end = _time_calibration(spark, specs)
+    load_end = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -203,6 +235,27 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Contention sentinels (r9 verdict #1).  Readers should
+                # trust `value` only when calibration drift ≲1.25 and
+                # loadavg ≲ cpu_count; otherwise treat the record as
+                # host-noise and compare against the last clean one.
+                "reps": REPS,
+                "queries_median": medians,
+                "calibration": {
+                    "query": _CALIBRATION_QUERY,
+                    "start_sec": calibration_start,
+                    "end_sec": calibration_end,
+                    "drift_ratio": round(
+                        calibration_end / calibration_start, 3
+                    )
+                    if calibration_start > 0
+                    else None,
+                },
+                "loadavg": {
+                    "start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in load_end],
+                    "cpu_count": os.cpu_count(),
+                },
                 **({"errors": errors} if errors else {}),
             }
         )

@@ -35,6 +35,22 @@ MIN_SECONDS = 0.2  # ignore regressions inside scheduling jitter
 # (plan/overhead difference, with the diff named).  Evidence measured
 # round 4 on an otherwise idle session, 5 reps per query at sf0.1.
 DISPOSITIONS = {
+    "r9_contended_record_note": (
+        "adjudication (r9 verdict, Performance section): the official "
+        "BENCH_r09.json was taken on a contended host and overstates the "
+        "53-query common set ~1.5x vs BENCH_r08 — the slowdown was "
+        "UNIFORM across queries whose plans are byte-identical since r8 "
+        "(flagship_revenue 1.02->1.63s, latest_order_per_customer "
+        "0.48->1.14s, events_daily_rollup 0.49->1.14s), the judge's "
+        "quiet-host reproduction put every probe at or below its r8 "
+        "record, and the same-session BENCH_r09_LOCAL_PREVIEW measured "
+        "the common set at 77.9s vs 86.4s (-9.9%).  Round-over-round "
+        "gates should therefore baseline against BENCH_r08.json or "
+        "BENCH_r09_LOCAL_PREVIEW.json, NOT the dirty BENCH_r09.json "
+        "total.  As of r10, bench.py emits contention sentinels "
+        "(calibration start/end re-time, loadavg, per-query rep "
+        "min/median) so a dirty record is self-identifying."
+    ),
     "bm25_incremental_index": (
         "real, accepted (r8): the index merge now goes through "
         "upsert_matching on BOTH index tables (probe aggregate, victim "
