@@ -86,6 +86,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (
     SELECT vec_id AS id_a, label AS label_a, {_D_VEC} AS va
     FROM embeddings WHERE vec_id % 10 = 0
+    ORDER BY vec_id LIMIT 256
 ),
 c AS (
     SELECT vec_id AS id_b, label AS label_b, {_D_VEC} AS vb FROM embeddings
@@ -102,11 +103,25 @@ FROM s WHERE cos >= 0.35
 """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine ground truth for the LSH recall pin — a PROBE query,
+    not the all-pairs scale path.  The broadcast side is bounded by role
+    AND by construction: the modulo slice is capped at 256 probes
+    (deterministic: the 256 smallest qualifying vec_ids, mirrored in the
+    oracle), so the broadcast never grows with the corpus.  The corpus
+    side streams — one pass, no shuffle.  All-pairs near-dup at 100 TB
+    goes through ``embedding_lsh_neardup`` (banded, candidate-verified),
+    whose recall is pinned against THIS query in tests/test_llm_ops.py —
+    the same disposition contract as ``embedding_decontamination``."""
     e = t(spark, sf_dir, "embeddings")
-    probes = e.where(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
-        as_double_array("embedding").alias("va"),
+    probes = (
+        e.where(F.col("vec_id") % 10 == 0)
+        .orderBy("vec_id")
+        .limit(256)
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("label").alias("label_a"),
+            as_double_array("embedding").alias("va"),
+        )
     )
     corpus = e.select(
         F.col("vec_id").alias("id_b"),
@@ -231,7 +246,8 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sh AS (
     SELECT doc_id, {_D_SHINGLES} AS shingles FROM documents
 ),
-p AS (SELECT doc_id AS id_a, shingles AS sa FROM sh WHERE doc_id % 5 = 0),
+p AS (SELECT doc_id AS id_a, shingles AS sa FROM sh WHERE doc_id % 5 = 0
+      ORDER BY doc_id LIMIT 256),
 c AS (SELECT doc_id AS id_b, shingles AS sb FROM sh),
 s AS (
     SELECT id_a, id_b,
@@ -245,15 +261,23 @@ FROM s WHERE jac >= 0.3
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard on a probe slice — the oracle-checked ground truth
-    that the MinHash-LSH query approximates.  Probe-side broadcast keeps
-    it one corpus pass; full all-pairs at scale goes through LSH."""
+    that the MinHash-LSH query approximates.  The broadcast side is
+    bounded by construction: the modulo slice is capped at 256 probe
+    docs (deterministic: the 256 smallest qualifying doc_ids, mirrored
+    in the oracle), so the broadcast never grows with the corpus; the
+    corpus side streams in one pass.  Full all-pairs at scale goes
+    through ``minhash_lsh_neardup`` (banded, candidate-pruned), whose
+    recall is pinned against THIS query in tests/test_llm_ops.py."""
     d = (
         spread(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", words(F.col("text")).alias("ws"))
         .select("doc_id", shingles_from_words("ws", 3).alias("shingles"))
     )
-    probes = d.where(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa")
+    probes = (
+        d.where(F.col("doc_id") % 5 == 0)
+        .orderBy("doc_id")
+        .limit(256)
+        .select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
     )
     corpus = d.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     return (
