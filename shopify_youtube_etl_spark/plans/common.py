@@ -19,6 +19,20 @@ RATIO_ROUND = 6
 SPARK_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
 
+# Layout version of the PERSISTED state artifacts (funnel state tables,
+# BM25 inverted index, ANN models/codes under /tmp).  A terminal marker
+# proves a state build COMPLETED, but not that it is COMPATIBLE: state
+# persisted by round-N code would otherwise be silently reused by
+# round-N+1 code that changed banding, hashing, or schema conventions
+# (r9 verdict #6).  BUMP THIS whenever any persisted structure's layout
+# or semantics change; consumers either fold it into the state-dir key
+# (BM25 index, ANN artifacts — a bumped version resolves to a fresh
+# directory and the stale one is orphaned for /tmp cleanup) or stamp it
+# into the terminal-marker row and wipe-and-rebuild on mismatch (funnel
+# state).  Always read it via this module (``common.STATE_LAYOUT_VERSION``)
+# — not a ``from``-import — so tests can monkeypatch the bump.
+STATE_LAYOUT_VERSION = 1
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Shorthand testdata table loader."""

@@ -1414,15 +1414,22 @@ _IVF_K = 16
 
 def _ann_artifact_table(spark: SparkSession, sf_dir: str, kind: str):
     """Persistent (NOT cleared-on-reuse like staging_dir) artifact table
-    keyed by corpus dir, so a later search call in the same environment
-    finds the trained model."""
+    keyed by (corpus dir, layout version), so a later search call in the
+    same environment finds the trained model — but a bumped
+    ``common.STATE_LAYOUT_VERSION`` (changed quantizer layout, code
+    schema, or training semantics) resolves to a fresh directory and
+    retrains instead of silently serving an incompatible artifact; the
+    stale directory is orphaned for /tmp cleanup (r9 verdict #6)."""
     import hashlib
     import os
     import tempfile
 
     from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+    from shopify_youtube_etl_spark.plans import common
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = hashlib.md5(
+        f"{sf_dir}|v{common.STATE_LAYOUT_VERSION}".encode()
+    ).hexdigest()[:8]
     return ParquetTable(
         spark, os.path.join(tempfile.gettempdir(), f"sye_ann_{kind}_{key}")
     )

@@ -2165,6 +2165,24 @@ def _funnel_split(spark: SparkSession, sf_dir: str) -> int:
     return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 
+def _marker_current(marker) -> bool:
+    """A terminal marker blesses a state only when it exists AND was
+    stamped by the CURRENT layout version: completeness alone is not
+    compatibility — state persisted by older code (different banding,
+    hashing, or schema conventions) must rebuild, not be reused
+    (r9 verdict #6).  A marker without the ``layout_version`` column
+    (pre-versioning builds) is treated as stale for the same reason."""
+    from shopify_youtube_etl_spark.plans import common
+
+    if not marker.exists():
+        return False
+    df = marker.read()
+    if "layout_version" not in df.columns:
+        return False
+    row = df.select("layout_version").first()
+    return row is not None and row["layout_version"] == common.STATE_LAYOUT_VERSION
+
+
 def _materialize_funnel_state(
     spark: SparkSession, st: dict, marker_path: str, stamp: tuple, build
 ) -> None:
@@ -2177,32 +2195,52 @@ def _materialize_funnel_state(
     the LAST table commits, is the single durable commit point; any
     state without it (first run OR torn build/advance) is wiped and
     rebuilt from scratch — crash-safe by restart, with no
-    partial-repair reasoning to get wrong.
+    partial-repair reasoning to get wrong.  The marker row additionally
+    carries ``common.STATE_LAYOUT_VERSION``: a marker stamped by an
+    older layout is stale even though complete, so a code change that
+    bumps the version wipes and rebuilds instead of silently reusing
+    incompatible state (see _marker_current; rebuild-on-bump is pinned
+    in tests/test_llm_ops.py).
 
     The whole sequence runs under an exclusive flock (the
-    ``ParquetTable._commit`` discipline, same single-host scope): the
-    destructive wipe must not interleave with another driver's live
-    build, or the loser's rmtree tears tables the winner already
-    committed and the marker then blesses a torn state forever.  The
-    marker is re-probed INSIDE the lock, so the blocked second caller
-    returns instead of rebuilding again."""
+    ``ParquetTable._commit`` discipline, same single-host scope — note
+    that unlike ``_commit`` there is no O_EXCL backstop here, so on
+    mounts where flock is advisory-broken (some NFS) two drivers could
+    interleave wipe and build; acceptable for the documented
+    single-host scope): the destructive wipe must not interleave with
+    another driver's live build, or the loser's rmtree tears tables the
+    winner already committed and the marker then blesses a torn state
+    forever.  The marker is re-probed INSIDE the lock, so the blocked
+    second caller returns instead of rebuilding again."""
     import fcntl
     import shutil
 
     from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+    from shopify_youtube_etl_spark.plans import common
 
     marker = ParquetTable(spark, marker_path)
-    if marker.exists():
+    if _marker_current(marker):
         return
     with open(marker_path + ".lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
-        if marker.exists():
+        if _marker_current(marker):
             return
         for tbl in st.values():
             shutil.rmtree(tbl.path, ignore_errors=True)
+        # A stale-version marker must not bless the new build mid-flight:
+        # wipe it too, so a crash anywhere inside build() leaves an
+        # UNMARKED state (wipe-and-rebuild on retry), never an old marker
+        # paired with half-new tables.
+        shutil.rmtree(marker.path, ignore_errors=True)
         build()
         rows, schema = stamp
-        marker.overwrite(spark.createDataFrame(rows, schema))
+        marker = ParquetTable(spark, marker_path)
+        marker.overwrite(
+            spark.createDataFrame(rows, schema).withColumn(
+                "layout_version",
+                F.lit(common.STATE_LAYOUT_VERSION).cast("long"),
+            )
+        )
 
 
 def _ensure_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) -> None:
@@ -3016,16 +3054,22 @@ def collated_cross_source_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _bm25_index_tables(spark: SparkSession, sf_dir: str, split: int) -> dict:
-    """Persisted inverted-index state, keyed by (corpus dir, split) —
-    the _funnel_state convention: a moved boundary rebuilds instead of
-    pairing stale postings with a different batch slice."""
+    """Persisted inverted-index state, keyed by (corpus dir, split,
+    layout version) — the _funnel_state convention: a moved boundary OR
+    a bumped ``common.STATE_LAYOUT_VERSION`` resolves to a fresh
+    directory and rebuilds, instead of pairing stale postings with a
+    different batch slice or a changed tokenization/schema (the stale
+    directory is orphaned for /tmp cleanup)."""
     import hashlib
     import os
     import tempfile
 
     from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+    from shopify_youtube_etl_spark.plans import common
 
-    key = hashlib.md5(f"{sf_dir}|bm25|{split}".encode()).hexdigest()[:8]
+    key = hashlib.md5(
+        f"{sf_dir}|bm25|{split}|v{common.STATE_LAYOUT_VERSION}".encode()
+    ).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"sye_bm25idx_{key}")
     return {
         k: ParquetTable(spark, f"{base}_{k}")

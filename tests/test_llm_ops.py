@@ -1050,6 +1050,68 @@ def test_funnel_torn_state_rebuilds_behind_the_marker(spark, tmp_path):
     assert two_again == full
 
 
+def test_state_layout_version_bump_wipes_and_rebuilds_funnel_state(spark, tmp_path, monkeypatch):
+    """r9 verdict #6: the terminal marker proves a state build COMPLETED,
+    not that it is COMPATIBLE — state persisted by round-N code must not
+    be silently reused by round-N+1 code that changed banding or schema
+    conventions.  The marker row carries common.STATE_LAYOUT_VERSION;
+    bumping it must WIPE the old-layout state (not just append beside
+    it) and rebuild, restamping the marker with the new version."""
+    import os
+
+    from shopify_youtube_etl_spark.operators.upsert import ParquetTable
+    from shopify_youtube_etl_spark.plans import common
+    from shopify_youtube_etl_spark.plans import llm_text as lt
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    d = _plant_funnel_corpus(spark, tmp_path, batch1_ids=[300, 315, 320, 340])
+    qs = all_queries()
+    one = sorted(map(tuple, qs["incremental_curation_funnel"].fn(spark, d).collect()))
+    st = lt._funnel_state(spark, d, lt._funnel_split(spark, d))
+    marker = ParquetTable(spark, st["meta"].path + "_built")
+    assert (
+        marker.read().first()["layout_version"] == common.STATE_LAYOUT_VERSION
+    ), "fresh build must stamp the current layout version"
+
+    # Sentinel inside a state table directory: reuse would leave it, a
+    # true wipe-and-rebuild removes it.
+    sentinel = os.path.join(st["digests"].path, "OLD_LAYOUT_SENTINEL")
+    with open(sentinel, "w") as fh:
+        fh.write("written by the old layout")
+
+    bumped = common.STATE_LAYOUT_VERSION + 1
+    monkeypatch.setattr(common, "STATE_LAYOUT_VERSION", bumped)
+    again = sorted(map(tuple, qs["incremental_curation_funnel"].fn(spark, d).collect()))
+    assert again == one, "rebuilt state must serve the same answer"
+    assert not os.path.exists(sentinel), (
+        "old-layout state directory was reused instead of wiped"
+    )
+    assert marker.read().first()["layout_version"] == bumped
+
+    # A marker WITHOUT the version column (pre-versioning build) is
+    # stale by definition — same wipe-and-rebuild path.
+    marker.overwrite(spark.createDataFrame([(1,)], "split long"))
+    assert not lt._marker_current(marker)
+
+
+def test_state_layout_version_keys_bm25_and_ann_artifacts(spark, monkeypatch):
+    """The BM25 index and ANN artifact tables fold the layout version
+    into their state-directory keys: a bump resolves to a FRESH
+    directory (lazy rebuild on first touch) instead of serving a stale
+    incompatible artifact."""
+    from shopify_youtube_etl_spark.plans import common
+    from shopify_youtube_etl_spark.plans import llm_similarity as ls
+    from shopify_youtube_etl_spark.plans import llm_text as lt
+
+    bm25_before = lt._bm25_index_tables(spark, "/k", 10)["postings"].path
+    ann_before = ls._ann_artifact_table(spark, "/k", "pq").path
+    monkeypatch.setattr(
+        common, "STATE_LAYOUT_VERSION", common.STATE_LAYOUT_VERSION + 1
+    )
+    assert lt._bm25_index_tables(spark, "/k", 10)["postings"].path != bm25_before
+    assert ls._ann_artifact_table(spark, "/k", "pq").path != ann_before
+
+
 def test_funnel_advance_crash_before_meta_commit_retries_cleanly(spark, tmp_path):
     """The documented crash-retry story, executed: the advance commits
     digests (the batch's root filter) first and the meta counter table
