@@ -1157,8 +1157,8 @@ class ParquetTable:
         snapshot; if a victim was replaced concurrently the merge aborts
         and raises.  ``order_col`` picks the latest batch row per key
         (else full-row DISTINCT, exactly ``upsert``'s reference
-        semantics, shopify_etl.py:575).  Returns
-        ``{"rewritten": [...], "survivors": [...], "appended": name}``
+        semantics, shopify_etl.py:575).  Returns ``{"rewritten": [...],
+        "survivors": [...], "appended": name, "compacted": bool}``
         so callers/tests can assert what the merge physically touched.
 
         ``auto_compact_at``: as on ``append`` — each merge lands one
@@ -1166,7 +1166,10 @@ class ParquetTable:
         bound; when the post-commit segment count reaches the
         threshold, one O(table) compaction runs (amortized over that
         many O(batch) merges).  The returned names then describe the
-        merge BEFORE the compaction folded them away.
+        merge BEFORE the compaction folded them away; ``compacted``
+        flags that case, so a caller asserting on names at exactly the
+        threshold can tell the names are a pre-compaction snapshot
+        (ADVICE r9).
         """
         on = [on] if isinstance(on, str) else list(on)
         key0 = on[0]
@@ -1181,7 +1184,7 @@ class ParquetTable:
             staged = staging.distinct()
         if not self.exists():
             self.overwrite(staged, stats_cols=[key0])
-            return {"rewritten": [], "survivors": [], "appended": None}
+            return {"rewritten": [], "survivors": [], "appended": None, "compacted": False}
         table_cols = self.read().columns
         if evolve_schema:
             # Delta mergeSchema-on-MERGE semantics: columns new in the
@@ -1240,6 +1243,7 @@ class ParquetTable:
                 "rewritten": [],
                 "survivors": sorted(os.path.basename(s) for s in segs),
                 "appended": None,
+                "compacted": False,
             }
         victims = statless + [
             s for i, (s, _lo, _hi) in enumerate(ranged) if flags[f"_h{i}"]
@@ -1287,14 +1291,17 @@ class ParquetTable:
         # batch segment, so a per-batch IVM store accrues them without
         # bound; every auto_compact_at-th merge amortizes one O(table)
         # compaction (which carries the tracked stats/bloom sidecars).
+        compacted = False
         if auto_compact_at is not None and len(self.segments()) >= auto_compact_at:
             self.compact()
+            compacted = True
         return {
             "rewritten": sorted(victim_names),
             "survivors": sorted(
                 os.path.basename(s) for s in segs if os.path.basename(s) not in victim_names
             ),
             "appended": batch_seg,
+            "compacted": compacted,
         }
 
     def cluster_by(

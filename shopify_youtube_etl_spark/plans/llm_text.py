@@ -2733,14 +2733,21 @@ def _append_delta(table, df: DataFrame, stats_cols: list[str]) -> None:
     against the already-advanced state) converges without landing
     stats-less husk segments that would defeat future merge pruning.
 
+    The delta is localCheckpointed ONCE before the emptiness probe —
+    probing ``isEmpty()`` on the raw plan and then appending it ran the
+    whole delta subtree (digest anti-join, LSH band build, postings
+    shingle expansion) twice per advance, against this module's own
+    localCheckpoint discipline for multi-consumer subtrees (ADVICE r9).
+
     ``auto_compact_at=64``: one segment lands per batch, so a
     long-running curator accrues them without bound; every 64th batch
     amortizes one O(table) compaction — the LSM discipline ``append``
     documents.  Tests stay far below the threshold, so the
     survival-by-name pins observe the steady state, not a compaction."""
-    if df.isEmpty():
+    delta = df.localCheckpoint(eager=True)
+    if delta.isEmpty():
         return
-    table.append(df, stats_cols=stats_cols, auto_compact_at=64)
+    table.append(delta, stats_cols=stats_cols, auto_compact_at=64)
 
 
 def _advance_funnel_state(dst: dict, fr: dict) -> None:

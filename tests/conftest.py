@@ -75,12 +75,27 @@ def _dtype_kind(dtype) -> str:
     return "string"
 
 
+# Kinds the drift gate asserts on.  Date/datetime and string columns
+# are deliberately OUT of scope: the pandas dtype a DATE column lands as
+# is library-version-sensitive (DuckDB DATE → datetime64[us] while Spark
+# DateType → object without Arrow conversion), so gating them would fail
+# every date-returning parity test on a version bump with a spurious
+# "drift" (ADVICE r9).  The driver-hash failure class this gate guards
+# against — un-CAST HUGEINT surfacing as float64 against Spark's int64 —
+# lives entirely in the numeric/boolean kinds, and the value comparison
+# below still backstops any non-numeric mismatch.
+_GATED_KINDS = {"integer", "float", "boolean"}
+
+
 def assert_frames_match(spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9):
     sp_raw, du_raw = spark_df.toPandas(), duck_df
     kind_drift = [
         (c, str(sp_raw[c].dtype), str(du_raw[c].dtype))
         for c in sorted(set(sp_raw.columns) & set(du_raw.columns))
-        if _dtype_kind(sp_raw[c].dtype) != _dtype_kind(du_raw[c].dtype)
+        for ks, kd in (
+            (_dtype_kind(sp_raw[c].dtype), _dtype_kind(du_raw[c].dtype)),
+        )
+        if ks != kd and ks in _GATED_KINDS and kd in _GATED_KINDS
     ]
     assert not kind_drift, (
         "dtype-kind drift (driver's type-sensitive hash would fail; "

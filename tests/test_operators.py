@@ -1493,12 +1493,17 @@ def test_upsert_matching_auto_compact(spark, tmp_path):
     )
     res = tbl.upsert_matching(batch1, ["k"], auto_compact_at=5)
     assert len(tbl.segments()) == 3 and res["rewritten"] == []
+    assert res["compacted"] is False
     # At threshold: the next merge compacts to one segment, value-equal
-    # to the logical upsert over the pre-merge state.
+    # to the logical upsert over the pre-merge state.  The returned
+    # names describe the PRE-compaction snapshot; the `compacted` flag
+    # tells callers not to assert those names against the table state
+    # (ADVICE r9).
     want = sorted(
         map(tuple, upsert(tbl.read(), batch1, ["k"]).collect())
     )
-    tbl.upsert_matching(batch1, ["k"], auto_compact_at=3)
+    res = tbl.upsert_matching(batch1, ["k"], auto_compact_at=3)
+    assert res["compacted"] is True
     assert len(tbl.segments()) == 1
     assert sorted(map(tuple, tbl.read().collect())) == want
     # Compaction carried the key stats: a fresh disjoint merge still
