@@ -336,9 +336,19 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # The verify joins are pinned to SHUFFLE_HASH: the candidate-shingle
+    # side grows with candidate volume (each row carries a whole shingle
+    # array), so letting the optimizer broadcast it on a size ESTIMATE is
+    # the one decision that breaks at scale — Catalyst's estimate for an
+    # expression-built array column is unreliable, and the r10 copies=100
+    # probe demonstrated an 8g-driver broadcast-build OOM on exactly this
+    # join.  Shuffled-hash keeps the build per-partition and both sides
+    # stream.  (The id-only probe above stays a true broadcast: 8 bytes a
+    # row, bounded by candidate count, and it exists to prune the corpus
+    # scan map-side.)
     return (
-        pairs.join(cand_shingles("id_a", "id_a", "sa"), "id_a")
-        .join(cand_shingles("id_b", "id_b", "sb"), "id_b")
+        pairs.join(cand_shingles("id_a", "id_a", "sa").hint("shuffle_hash"), "id_a")
+        .join(cand_shingles("id_b", "id_b", "sb").hint("shuffle_hash"), "id_b")
         .select(
             "id_a", "id_b", F.round(jaccard(F.col("sa"), F.col("sb")), 6).alias("jaccard")
         )

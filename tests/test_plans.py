@@ -524,7 +524,13 @@ SHUFFLE_BUDGET = {
     "unpivot_charge_components": 1,  # stack() is map-side; one component agg
     "keep_first_dedup": 1,  # one key exchange for the arrival-order window
     "session_window_30m": 1,  # one user exchange; session window rides it
-    "minhash_lsh_neardup": 4,  # shingle expand + band census + bucket join pair
+    # minhash: +2 over the old budget of 4 since r10 — the two verify
+    # joins are pinned SHUFFLE_HASH so the candidate-shingle side (whole
+    # arrays per row, grows with candidate volume) can never be chosen
+    # as a broadcast build on a bad size estimate (copies=100 probe
+    # OOM'd an 8g driver on exactly that choice); each pinned join adds
+    # an exchange pair that AQE partially reuses.
+    "minhash_lsh_neardup": 6,
     "simhash_neardup": 3,  # signature agg + band self-join pair
     "sql_nation_rank": 3,  # nation agg + rank window + order
     "asof_click_attribution": 1,  # one user-key exchange for the as-of window
