@@ -213,7 +213,13 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(banded, "vec_id")
     va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    candidates = pairs.join(va, "id_a").join(vb, "id_b")
+    # SHUFFLE_HASH-pinned like minhash's verify joins (same r10 hazard
+    # class): va/vb carry the full corpus with a 1024-d double array per
+    # row — a side that grows with the corpus must never be chosen as a
+    # broadcast build, whatever the optimizer's size estimate says.
+    candidates = pairs.join(va.hint("shuffle_hash"), "id_a").join(
+        vb.hint("shuffle_hash"), "id_b"
+    )
 
     def verify(batches):
         for pdf in batches:

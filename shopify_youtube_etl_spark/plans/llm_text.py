@@ -2059,9 +2059,13 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias(out_id), _shingles("w2", 3).alias(out_sh))
         )
 
+    # cand_sh sides SHUFFLE_HASH-pinned (the minhash r10 hazard class):
+    # the shingle arrays are expression-expanded ~3x past the input's
+    # size estimate, so the optimizer can mis-choose this growing side
+    # as a broadcast build; shuffled-hash keeps the build per-partition.
     verified = (
-        pairs.join(cand_sh("id_a", "id_a", "sa"), "id_a")
-        .join(cand_sh("id_b", "id_b", "sb"), "id_b")
+        pairs.join(cand_sh("id_a", "id_a", "sa").hint("shuffle_hash"), "id_a")
+        .join(cand_sh("id_b", "id_b", "sb").hint("shuffle_hash"), "id_b")
         .where(_jaccard(F.col("sa"), F.col("sb")) >= 0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -2380,9 +2384,11 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) 
             .select(F.col("doc_id").alias(out_id), _shingles("w2", 3).alias(out_sh))
         )
 
+    # cand_sh sides SHUFFLE_HASH-pinned — same rationale as the
+    # full-funnel verify join above (r10 hazard class).
     verified = (
-        pairs.join(cand_sh("id_a", "id_a", "sa"), "id_a")
-        .join(cand_sh("id_b", "id_b", "sb"), "id_b")
+        pairs.join(cand_sh("id_a", "id_a", "sa").hint("shuffle_hash"), "id_a")
+        .join(cand_sh("id_b", "id_b", "sb").hint("shuffle_hash"), "id_b")
         .where(_jaccard(F.col("sa"), F.col("sb")) >= 0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -2552,9 +2558,11 @@ def _funnel_batch(
     # expensive subtree and has three consumers (the label collapse
     # here, plus the advance's emptiness probe and edge append) — same
     # discipline as new_pairs/reps above.
+    # cand_sh sides SHUFFLE_HASH-pinned — same rationale as the
+    # full-funnel verify join (r10 hazard class).
     verified_new = (
-        new_pairs.join(cand_sh("id_a", "id_a", "sa"), "id_a")
-        .join(cand_sh("id_b", "id_b", "sb"), "id_b")
+        new_pairs.join(cand_sh("id_a", "id_a", "sa").hint("shuffle_hash"), "id_a")
+        .join(cand_sh("id_b", "id_b", "sb").hint("shuffle_hash"), "id_b")
         .where(_jaccard(F.col("sa"), F.col("sb")) >= 0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .localCheckpoint(eager=True)
