@@ -818,8 +818,13 @@ def _ivf_search(e: DataFrame, centers) -> DataFrame:
                 F.explode(ranked).alias("rc"))
         .select("probe_id", "pv", F.col("rc.i").cast("int").alias("cell"))
     )
+    # Broadcast the PROBE side explicitly: it is bounded by construction
+    # (16 probes x nprobe=3 cells), while the corpus side grows with the
+    # index — the decision must never flip to the corpus on a size
+    # estimate (the r10 broadcast-hazard sweep's discipline: bounded-by-
+    # role sides broadcast explicitly, growing sides never).
     scored = (
-        probes.join(corpus, "cell")
+        F.broadcast(probes).join(corpus, "cell")
         .where(F.col("probe_id") != F.col("vec_id"))
         .select(
             "probe_id",

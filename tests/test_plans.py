@@ -406,6 +406,25 @@ def test_minhash_verification_prunes_to_candidates(spark, sf_dir):
     assert "minhash" not in plan.lower()
 
 
+def test_verify_payload_sides_never_broadcast(spark, sf_dir):
+    """r10 gate for the broadcast-hazard class the copies=100 probe
+    exposed: in the near-dup verify joins, the non-pair side carries a
+    payload column that grows with candidate volume (expression-expanded
+    shingle arrays, 1024-d embedding vectors) and its optimizer size
+    estimate is unreliable — a broadcast build of that side OOM'd an 8g
+    driver.  Those joins are SHUFFLE_HASH-pinned; lock the compiled
+    shape so a refactor can't silently drop the hint."""
+    for name, n_pinned in [
+        ("minhash_lsh_neardup", 2),
+        ("embedding_lsh_neardup", 2),
+    ]:
+        plan = plan_of(spark, name, sf_dir)
+        assert plan.count("ShuffledHashJoin") >= n_pinned, (
+            f"{name}: expected >= {n_pinned} ShuffledHashJoin verify "
+            "joins — a payload-bearing side regressed to broadcast"
+        )
+
+
 # Shuffle-budget regression lock: each headline query's un-executed
 # physical plan may not exceed its audited Exchange count (measured at
 # sf0.001; AQE runtime coalescing only ever reduces these).  A code
