@@ -58,7 +58,19 @@ REPS = 4
 # touch them), via a single explode pass instead of a 100-way union.
 SF10 = "/tmp/sye_sf10_v1"
 COPIES100 = 100
-PROBE100 = ["minhash_lsh_neardup", "dedup_exact", "merge_upsert"]
+# The r9-verdict trio (minhash/dedup/merge) plus the other heavy
+# documents-only families, so the decade probe covers banding, digest
+# shuffle, DML merge, TF-IDF reduce, BM25 scoring, simhash banding, and
+# the projection-heavy token census.
+PROBE100 = [
+    "minhash_lsh_neardup",
+    "dedup_exact",
+    "merge_upsert",
+    "tfidf_top_terms",
+    "bm25_search_topk",
+    "simhash_neardup",
+    "token_stats",
+]
 PROBE100_TABLES = {"documents", "orders"}
 PROBE100_REPS = 2
 
@@ -152,8 +164,13 @@ DISPOSITIONS = {
         "full-corpus near-dup pass); dedup_exact 14.7x (one digest "
         "shuffle with map-side combine, sublinear from fixed overheads "
         "amortizing); merge_upsert 21.2x (anti-join + union + "
-        "status rollup over 15M rows, sublinear). No superlinear decade "
-        "leap: the 2x-at-10x story extrapolates."
+        "status rollup over 15M rows, sublinear). Extended families, "
+        "all sublinear: tfidf_top_terms 26.1x (explode + two reduces), "
+        "bm25_search_topk 11.5x (term-filtered tf + exact idf "
+        "aggregates), simhash_neardup 23.4x (map-side 64-bit hash + "
+        "capped band buckets), token_stats 16.2x (projection-heavy "
+        "census). No superlinear decade leap anywhere: the 2x-at-10x "
+        "story extrapolates."
     ),
 }
 
