@@ -70,8 +70,10 @@ PROBE100 = [
     "bm25_search_topk",
     "simhash_neardup",
     "token_stats",
+    "ann_cosine_topk",
+    "embedding_lsh_neardup",
 ]
-PROBE100_TABLES = {"documents", "orders"}
+PROBE100_TABLES = {"documents", "orders", "embeddings"}
 PROBE100_REPS = 2
 
 # Written scaling-law dispositions, embedded here so every artifact
@@ -169,8 +171,18 @@ DISPOSITIONS = {
         "bm25_search_topk 11.5x (term-filtered tf + exact idf "
         "aggregates), simhash_neardup 23.4x (map-side 64-bit hash + "
         "capped band buckets), token_stats 16.2x (projection-heavy "
-        "census). No superlinear decade leap anywhere: the 2x-at-10x "
-        "story extrapolates."
+        "census), ann_cosine_topk 2.52x (block-matmul: probe count is "
+        "fixed, corpus streams through GEMM batches), "
+        "embedding_lsh_neardup 67.7x (banding matmul linear; the "
+        "verify join shuffles ~3.2 GB of candidate vectors — the exact "
+        "join whose sides are too big to broadcast, runnable at this "
+        "scale BECAUSE of the r10 SHUFFLE_HASH pin). Embedding copies "
+        "are per-copy component-PERMUTED (an orthogonal transform): "
+        "within-copy dot products and norms are preserved exactly, "
+        "cross-copy cosines decorrelate — otherwise 100 identical "
+        "copies of each vector form a C(100,2) exact-twin lattice. No "
+        "superlinear decade leap anywhere: the 2x-at-10x story "
+        "extrapolates."
     ),
 }
 
@@ -388,6 +400,35 @@ def build_sf10(spark) -> None:
         if name == "orders":
             scaled = scaled.withColumn(
                 "o_custkey", F.col("o_custkey") + k * F.lit(OFFSET)
+            )
+        if name == "embeddings":
+            # Per-copy COMPONENT PERMUTATION (k-seeded): a permutation
+            # matrix is orthogonal, so within-copy pairwise dot products
+            # and norms are preserved EXACTLY (each copy is an isometric
+            # image of the sf0.1 corpus, same near-dup structure), while
+            # cross-copy cosines decorrelate to ~0 — without it, 100
+            # identical copies of every vector form a C(100,2)
+            # exact-twin lattice, the embedding analogue of the suffix-
+            # tag lattice documented above.
+            v = F.col("embedding")
+            perm = F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(v) - F.lit(1)),
+                        lambda i: F.struct(
+                            F.xxhash64(
+                                F.concat(
+                                    i.cast("string"), F.lit("|"), k.cast("string")
+                                )
+                            ).alias("h"),
+                            i.alias("i"),
+                        ),
+                    )
+                ),
+                lambda s: F.element_at(v, s["i"] + F.lit(1)),
+            )
+            scaled = scaled.withColumn(
+                "embedding", F.when(k == 0, v).otherwise(perm)
             )
         scaled.drop("__k").write.mode("overwrite").parquet(out)
         print(
