@@ -155,7 +155,11 @@ def force_eval(df: DataFrame) -> int:
     return row["n"]
 
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# Clamped to >=1 (ADVICE r10): REPS=0 or negative would leave every
+# sample list empty, so min(samples) raised ValueError and zeroed the
+# whole artifact — exactly the failure class the per-query try/except
+# exists to prevent.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Calibration query: cheap, plan-stable since r1, scan+join+agg shaped.
 # Re-timed (min-of-3) immediately after warmup AND after the last
@@ -174,6 +178,39 @@ def _time_calibration(spark, specs) -> float:
         force_eval(specs[_CALIBRATION_QUERY].fn(spark, SF_DIR))
         best = min(best, time.perf_counter() - start)
     return round(best, 3)
+
+
+def summary_record(record: dict) -> dict:
+    """Compact trailer derived from the full record — everything the
+    grade reads (metric/value/unit/sf) plus the contention sentinels,
+    WITHOUT the per-query dicts, so its JSON line stays well under 500
+    chars.  Exists because the driver keeps only the LAST 2000 chars of
+    stdout: r10's sentinel additions pushed the single full-record line
+    past that and the truncation dropped ``metric``/``value`` off the
+    head, leaving BENCH_r10.json with ``parsed: null`` (r10 verdict #1).
+    The trailer is printed AFTER the full record so the tail capture
+    always ends with a self-contained, parseable summary; the per-query
+    timings live on the preceding full line (and in the LOCAL_PREVIEW
+    artifacts)."""
+    out = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "sf": record["sf"],
+        "reps": record["reps"],
+        "n_queries": len(record.get("queries", {})),
+        "total_median_sec": round(
+            sum(record.get("queries_median", {}).values()), 3
+        ),
+        "calibration": record.get("calibration"),
+        "loadavg": record.get("loadavg"),
+        "summary": True,  # marks the trailer; full per-query line precedes it
+    }
+    errors = record.get("errors")
+    if errors:
+        out["n_errors"] = len(errors)
+        out["error_queries"] = sorted(errors)[:5]
+    return out
 
 
 def main() -> None:
@@ -236,42 +273,41 @@ def main() -> None:
     load_end = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # Contention sentinels (r9 verdict #1).  Readers should
-                # trust `value` only when calibration drift ≲1.25, the
-                # calibration start_sec is near its ~0.8s quiet floor,
-                # and loadavg ≲ cpu_count; otherwise treat the record as
-                # host-noise and compare against the last clean one
-                # (quiet-host drift is ~0.5-0.7: the JVM keeps warming
-                # across the run, so end-faster-than-start is normal).
-                "reps": REPS,
-                "queries_median": medians,
-                "calibration": {
-                    "query": _CALIBRATION_QUERY,
-                    "start_sec": calibration_start,
-                    "end_sec": calibration_end,
-                    "drift_ratio": round(
-                        calibration_end / calibration_start, 3
-                    )
-                    if calibration_start > 0
-                    else None,
-                },
-                "loadavg": {
-                    "start": [round(x, 2) for x in load_start],
-                    "end": [round(x, 2) for x in load_end],
-                    "cpu_count": os.cpu_count(),
-                },
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Contention sentinels (r9 verdict #1).  Readers should
+        # trust `value` only when calibration drift ≲1.25, the
+        # calibration start_sec is near its ~0.8s quiet floor,
+        # and loadavg ≲ cpu_count; otherwise treat the record as
+        # host-noise and compare against the last clean one
+        # (quiet-host drift is ~0.5-0.7: the JVM keeps warming
+        # across the run, so end-faster-than-start is normal).
+        "reps": REPS,
+        "queries_median": medians,
+        "calibration": {
+            "query": _CALIBRATION_QUERY,
+            "start_sec": calibration_start,
+            "end_sec": calibration_end,
+            "drift_ratio": round(calibration_end / calibration_start, 3)
+            if calibration_start > 0
+            else None,
+        },
+        "loadavg": {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in load_end],
+            "cpu_count": os.cpu_count(),
+        },
+        **({"errors": errors} if errors else {}),
+    }
+    # Full record first (humans, LOCAL_PREVIEW captures), compact
+    # summary LAST — the driver's 2000-char tail capture must always
+    # end on a self-contained parseable line (see summary_record).
+    print(json.dumps(record))
+    print(json.dumps(summary_record(record)))
 
 
 if __name__ == "__main__":

@@ -225,11 +225,29 @@ DISPOSITIONS = {
 }
 
 
+class TruncatedArtifact(ValueError):
+    """The driver-side BENCH_r* wrapper carries ``parsed: null`` — the
+    bench JSON line outgrew the driver's 2000-char tail capture and the
+    head (``metric``/``value``) was truncated away (the BENCH_r10.json
+    failure, r10 verdict #1/#5)."""
+
+
 def load(path: str) -> dict:
     """Accept either bench.py's raw JSON line or the driver's BENCH_r*
-    wrapper (which nests it under ``parsed``)."""
+    wrapper (which nests it under ``parsed``).  A wrapper whose
+    ``parsed`` is null raises TruncatedArtifact: comparing against it
+    would silently diff empty query sets and report nothing."""
     with open(path) as fh:
         d = json.load(fh)
+    if "parsed" in d and d["parsed"] is None:
+        raise TruncatedArtifact(
+            f"{os.path.basename(path)} has parsed: null — the bench JSON "
+            "line outgrew the driver's 2000-char tail capture. "
+            "Reconstruct the headline as the sum of queries_median from "
+            "the matching LOCAL_PREVIEW artifact (e.g. "
+            "BENCH_r10_LOCAL_PREVIEW.json), or re-run bench.py, whose "
+            "compact summary trailer line now survives the tail capture."
+        )
     return d.get("parsed", d)
 
 
@@ -280,7 +298,12 @@ def main() -> int:
             return 2
         old_path, new_path = arts[-2], arts[-1]
 
-    result = compare(load(old_path), load(new_path))
+    try:
+        old_rec, new_rec = load(old_path), load(new_path)
+    except TruncatedArtifact as exc:
+        print(f"FAIL: {exc}", file=sys.stderr)
+        return 1
+    result = compare(old_rec, new_rec)
     result["old_artifact"] = os.path.basename(old_path)
     result["new_artifact"] = os.path.basename(new_path)
 

@@ -28,7 +28,14 @@ entry), and a copies=100 probe (≈SF10-equivalent, one decade past the
 dedup_exact, merge_upsert — so the 2x-at-10x extrapolation is no longer
 the one untested leap in the 100 TB story.
 
-Usage: python bench_sf1.py  → writes BENCH_SF1_r10.json and prints it.
+Round 11 addition (r10 verdict #4): the copies=100 probe gains its
+first STATEFUL/IVM representative — bm25_incremental_index.  Persisted
+IVM state is wiped immediately before the probe loop, so rep 1 is the
+honest cold index build over the 100× corpus and the later reps are the
+warm batch merge + index-served search (the steady-state 100 TB cost);
+the probe records first_rep and min separately, like the 10× section.
+
+Usage: python bench_sf1.py  → writes BENCH_SF1_r11.json and prints it.
 """
 
 from __future__ import annotations
@@ -72,6 +79,10 @@ PROBE100 = [
     "token_stats",
     "ann_cosine_topk",
     "embedding_lsh_neardup",
+    # r10 verdict #4: the stateful/IVM representative — rep 1 is the
+    # cold 100x index build (state wiped right before the probe loop),
+    # min-of-N the warm batch merge + index-served search.
+    "bm25_incremental_index",
 ]
 PROBE100_TABLES = {"documents", "orders", "embeddings"}
 PROBE100_REPS = 2
@@ -183,6 +194,23 @@ DISPOSITIONS = {
         "copies of each vector form a C(100,2) exact-twin lattice. No "
         "superlinear decade leap anywhere: the 2x-at-10x story "
         "extrapolates."
+    ),
+    "copies100_ivm": (
+        "r10 verdict #4: bm25_incremental_index is the decade probe's "
+        "stateful/IVM representative (the copies=100 section previously "
+        "covered only state-light plans). State is wiped right before "
+        "the probe loop, so copies100_first_rep_sec is the one-time "
+        "COLD index build over the 100x corpus (tokenize 500k docs + "
+        "two base overwrites + first batch merge) and copies100_min_sec "
+        "is the WARM steady-state cost: re-tokenize the 20%-fraction "
+        "batch (itself 100x the sf0.1 batch, since the split is a fixed "
+        "corpus fraction), keyed upsert_matching of its postings "
+        "(O(batch postings) — base segments survive by name, pinned in "
+        "tests), and the index-served term-filtered search. Expected "
+        "law: warm cost ~linear in the BATCH, decoupled from index "
+        "size; a warm ratio tracking the 100x batch growth at or below "
+        "~100x is the pass bar, and the cold/warm gap is the measured "
+        "evidence that maintenance does not pay the rebuild price."
     ),
 }
 
@@ -496,25 +524,37 @@ def main() -> None:
     # where available so the ratio shares its baseline with the 10x
     # section.
     build_sf10(spark)
+    # Wipe persisted IVM/ANN state again so the stateful probe entries'
+    # rep 1 is the honest COLD build at copies=100 even when a previous
+    # harness run left a warm index behind (the HEAVY loop above only
+    # built state for the SF01/SF1 corpus dirs, which key differently).
+    wipe_ivm_state()
     probe100: dict[str, dict] = {}
     for name in PROBE100:
         if name in results:
             t01 = results[name]["sf0.1_min_sec"]
         else:
             _c, t01 = time_query(specs, spark, name, SF01)
-        best = float("inf")
-        for _ in range(PROBE100_REPS):
+        best = first = float("inf")
+        for i in range(PROBE100_REPS):
             start = time.perf_counter()
             force_eval(specs[name].fn(spark, SF10))
-            best = min(best, time.perf_counter() - start)
+            took = time.perf_counter() - start
+            if i == 0:
+                first = took
+            best = min(best, took)
         t100 = round(best, 3)
         ratio = round(t100 / t01, 2) if t01 > 0 else None
         probe100[name] = {
             "sf0.1_min_sec": t01,
             "copies100_min_sec": t100,
+            "copies100_first_rep_sec": round(first, 3),
             "ratio_vs_sf0.1": ratio,
         }
-        print(f"# 100x {name}: {t01:.3f}s -> {t100:.3f}s ({ratio}x)", file=sys.stderr)
+        print(
+            f"# 100x {name}: {t01:.3f}s -> {t100:.3f}s ({ratio}x; cold {first:.3f})",
+            file=sys.stderr,
+        )
 
     artifact = {
         "metric": "sf1_stress_ratios",
@@ -529,7 +569,7 @@ def main() -> None:
         },
         "dispositions": DISPOSITIONS,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r10.json"), "w") as fh:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r11.json"), "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps(artifact))
 

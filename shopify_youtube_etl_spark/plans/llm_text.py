@@ -2223,8 +2223,16 @@ def _materialize_funnel_state(
     from shopify_youtube_etl_spark.plans import common
 
     marker = ParquetTable(spark, marker_path)
-    if _marker_current(marker):
-        return
+    # Pre-lock fast path: UNLOCKED, so a concurrent rebuilder between
+    # its marker rmtree and the re-stamp can tear the parquet read out
+    # from under us (ADVICE r10).  Any read error here just means "not
+    # current" — fall through to the flock, where the inside-lock probe
+    # is the authoritative one.
+    try:
+        if _marker_current(marker):
+            return
+    except Exception:  # noqa: BLE001 — torn/vanishing files under a live rebuild
+        pass
     with open(marker_path + ".lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
         if _marker_current(marker):

@@ -56,20 +56,27 @@ _CANARIES = [
 # Queries surfaced FIRST in ``all_queries()`` iteration order.
 #
 # The per-round correctness harness samples queries in registration order
-# with a bounded window (observed: first ~50).  With 275/275 union
-# coverage reached in round 7, the priority is now a pure STALENESS
-# rotation (r7 verdict #2): canaries stay pinned, any never-verified
-# newcomer leads, and every verified query follows ordered by the round
-# of its most recent external record (oldest first, ties by name) — so
-# each round's bounded window re-greens the records most at risk of
-# silent rot under an evolved codebase.  Names listed here must exist in
-# the registry (enforced in ``all_queries``) so a rename can't silently
-# drop a query out of the priority window; tests/test_plans.py globs
+# with a bounded window (observed: first ~50).  With 297/297 union
+# coverage reached, the priority is a STALENESS rotation (r7 verdict #2)
+# with one override that OUTRANKS staleness age (r10 verdict #6, the
+# `embedding_near_dup` lesson): a query whose CODE or ORACLE changed
+# after its most recent external green record goes to the very front of
+# the rotation — its green record no longer certifies the shipped
+# implementation, which is strictly worse than an old record of an
+# unchanged one.  When you edit a query (probe-twin rewrites included)
+# or add/alter its oracle, move it into the changed-after-green block
+# below.  After that block: canaries stay pinned, any never-verified
+# newcomer leads (prefix invariant, test-enforced), and every verified
+# query follows ordered by the round of its most recent external record
+# (oldest first, ties by name).  Names listed here must exist in the
+# registry (enforced in ``all_queries``) so a rename can't silently drop
+# a query out of the priority window; tests/test_plans.py globs
 # CORRECTNESS_r*.json so the ordering can't silently go stale.
-# Re-sorted for round 10 against the CORRECTNESS_r01-r09 union
-# latest-green rounds (no net-new queries this round BY DESIGN — the
-# ~44 non-canary slots go to the whole r03 cohort (28) and the oldest
-# ~16 of the r04 cohort, per the r9 verdict's staleness directive #2).
+# Re-sorted for round 11 against the CORRECTNESS_r01-r10 union
+# latest-green rounds (no net-new queries BY DESIGN): the ~44 non-canary
+# slots go to the 2 changed-after-green queries, the whole r04 cohort
+# (27 after the lead block), and the oldest ~15 of the r05 cohort —
+# emptying the r04 staleness bucket per the r10 verdict directive #3.
 #
 # Canary lesson worth keeping (r8 red row → r9 fix): the only external
 # failure this repo has ever recorded was `repeat_purchase_hazard`, an
@@ -82,52 +89,13 @@ _CANARIES = [
 # oracle sums/windows integers needs that CAST — check the comparator
 # output before burning a driver slot on it.
 _DRIVER_PRIORITY = _CANARIES + [
-    # --- last external record: round 3 ---
-    "media_frame_sample",
-    "media_payload_features",
-    "minhash_lsh_neardup",
-    "mixture_rebalance",
-    "neardup_components",
-    "ngram_jaccard_pairs",
-    "order_value_extremes_per_segment",
-    "pagestore_distributed_ingest",
-    "pagestore_ingest",
-    "pii_redaction",
-    "quality_scores",
-    "repetition_profile",
-    "resize_media",
-    "rolling_distinct_users_7d",
-    "run_ledger_daily_summary",
-    "salted_join_revenue",
-    "sequence_packing",
-    "session_window_30m",
-    "simhash_neardup",
-    "sliding_window_30m_15m",
-    "source_lang_entropy",
-    "stable_sample_split",
-    "stateful_user_totals",
-    "stratified_sample_by_lang",
-    "tfidf_top_terms",
-    "token_length_histogram",
-    "tpch_q1_pricing_summary",
-    "vocab_top_tokens",
+    # --- changed after last external green (r10 verdict #2):
+    # embedding_near_dup's 256-probe-cap rewrite (ff17ddb) landed after
+    # its r9 green; weighted_sample_per_group gained its oracle after
+    # its only external record (r4, rows-only). ---
+    "embedding_near_dup",
+    "weighted_sample_per_group",
     # --- last external record: round 4 ---
-    "adaptive_join_revenue",
-    "approx_quantiles_profile",
-    "bigram_pmi_top",
-    "bloom_prefilter_join",
-    "bpe_sequence_packing",
-    "cdc_apply_changes",
-    "cohort_retention",
-    "containment_pairs",
-    "cross_source_dup_matrix",
-    "daily_anomaly_mad",
-    "deletion_propagation_report",
-    "embedding_norm_profile",
-    "event_transition_matrix",
-    "exists_late_shipment_priority",
-    "expectations_report",
-    "gap_fill_daily_revenue",
     "hll_daily_users_rollup",
     "incremental_dedup_report",
     "int8_ann_topk",
@@ -154,7 +122,6 @@ _DRIVER_PRIORITY = _CANARIES + [
     "triangle_count_copurchase",
     "unpivot_part_metrics",
     "value_histogram",
-    "weighted_sample_per_group",
     "zorder_locality_profile",
     # --- last external record: round 5 ---
     "acctbal_rank_profile",
@@ -348,7 +315,6 @@ _DRIVER_PRIORITY = _CANARIES + [
     "doc_fingerprint",
     "embedding_centroid_per_label",
     "embedding_lsh_neardup",
-    "embedding_near_dup",
     "except_all_multiset_diff",
     "funnel_conversion",
     "groupwise_quality_zscore",
@@ -380,6 +346,51 @@ _DRIVER_PRIORITY = _CANARIES + [
     "upsert_idempotency",
     "verify_fk_integrity",
     "verify_uniqueness",
+    # --- last external record: round 10 ---
+    "adaptive_join_revenue",
+    "approx_quantiles_profile",
+    "bigram_pmi_top",
+    "bloom_prefilter_join",
+    "bpe_sequence_packing",
+    "cdc_apply_changes",
+    "cohort_retention",
+    "containment_pairs",
+    "cross_source_dup_matrix",
+    "daily_anomaly_mad",
+    "deletion_propagation_report",
+    "embedding_norm_profile",
+    "event_transition_matrix",
+    "exists_late_shipment_priority",
+    "expectations_report",
+    "gap_fill_daily_revenue",
+    "media_frame_sample",
+    "media_payload_features",
+    "minhash_lsh_neardup",
+    "mixture_rebalance",
+    "neardup_components",
+    "ngram_jaccard_pairs",
+    "order_value_extremes_per_segment",
+    "pagestore_distributed_ingest",
+    "pagestore_ingest",
+    "pii_redaction",
+    "quality_scores",
+    "repetition_profile",
+    "resize_media",
+    "rolling_distinct_users_7d",
+    "run_ledger_daily_summary",
+    "salted_join_revenue",
+    "sequence_packing",
+    "session_window_30m",
+    "simhash_neardup",
+    "sliding_window_30m_15m",
+    "source_lang_entropy",
+    "stable_sample_split",
+    "stateful_user_totals",
+    "stratified_sample_by_lang",
+    "tfidf_top_terms",
+    "token_length_histogram",
+    "tpch_q1_pricing_summary",
+    "vocab_top_tokens",
 ]
 
 

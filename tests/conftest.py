@@ -75,15 +75,18 @@ def _dtype_kind(dtype) -> str:
     return "string"
 
 
-# Kinds the drift gate asserts on.  Date/datetime and string columns
-# are deliberately OUT of scope: the pandas dtype a DATE column lands as
-# is library-version-sensitive (DuckDB DATE → datetime64[us] while Spark
-# DateType → object without Arrow conversion), so gating them would fail
-# every date-returning parity test on a version bump with a spurious
-# "drift" (ADVICE r9).  The driver-hash failure class this gate guards
-# against — un-CAST HUGEINT surfacing as float64 against Spark's int64 —
-# lives entirely in the numeric/boolean kinds, and the value comparison
-# below still backstops any non-numeric mismatch.
+# Kinds the drift gate asserts on.  A pair gates when AT LEAST ONE side
+# is a numeric/boolean kind (ADVICE r10: requiring BOTH sides gated let
+# a one-sided decay — e.g. Spark DecimalType → object vs DuckDB DECIMAL
+# → float64 — slip through even though the driver's type-sensitive hash
+# would fail on it).  Datetime↔string pairs stay deliberately out of
+# scope: the pandas dtype a DATE column lands as is library-version-
+# sensitive (DuckDB DATE → datetime64[us] while Spark DateType → object
+# without Arrow conversion), so gating them would fail every
+# date-returning parity test on a version bump with a spurious "drift"
+# (ADVICE r9) — and since neither side of such a pair is a gated kind,
+# the one-sided rule excludes them automatically.  The value comparison
+# below still backstops any ungated mismatch.
 _GATED_KINDS = {"integer", "float", "boolean"}
 
 
@@ -95,7 +98,7 @@ def assert_frames_match(spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9):
         for ks, kd in (
             (_dtype_kind(sp_raw[c].dtype), _dtype_kind(du_raw[c].dtype)),
         )
-        if ks != kd and ks in _GATED_KINDS and kd in _GATED_KINDS
+        if ks != kd and (ks in _GATED_KINDS or kd in _GATED_KINDS)
     ]
     assert not kind_drift, (
         "dtype-kind drift (driver's type-sensitive hash would fail; "

@@ -1,0 +1,136 @@
+"""Bench-harness artifact contract (r10 verdict #1/#5).
+
+The grading driver keeps only the LAST 2000 chars of bench.py's stdout
+and parses the final JSON line out of it.  Round 10's sentinel
+additions pushed the single full-record line past 2000 chars, so the
+truncation dropped ``metric``/``value`` off the head and BENCH_r10.json
+landed with ``parsed: null``.  These tests pin the fix: bench.py ends
+its output with a compact self-contained summary line that always
+survives the tail capture, and bench_compare.py refuses (loudly) to
+diff against a truncated artifact instead of silently comparing
+nothing.
+
+No SparkSession needed — these exercise the pure record/serialization
+layer of bench.py and bench_compare.py.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+import shutil
+import sys
+
+import bench
+import bench_compare
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _fat_record() -> dict:
+    """A record at least as large as a real r10+ artifact: the full
+    HEADLINE set with min+median dicts plus sentinels, so the full JSON
+    line is guaranteed to exceed the driver's 2000-char tail window."""
+    queries = {name: 1.234 for name in bench.HEADLINE}
+    medians = {name: 2.345 for name in bench.HEADLINE}
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "reps": 3,
+        "queries_median": medians,
+        "calibration": {
+            "query": "flagship_revenue",
+            "start_sec": 0.879,
+            "end_sec": 0.553,
+            "drift_ratio": 0.629,
+        },
+        "loadavg": {"start": [2.84, 3.1, 3.3], "end": [5.69, 4.2, 3.9], "cpu_count": 32},
+    }
+
+
+def test_summary_trailer_is_compact_and_self_contained():
+    summary = bench.summary_record(_fat_record())
+    line = json.dumps(summary)
+    assert len(line) < 500, f"summary line must stay under 500 chars, got {len(line)}"
+    parsed = json.loads(line)
+    # Everything the grade reads, plus the contention sentinels.
+    for key in ("metric", "value", "unit", "sf", "reps", "calibration", "loadavg"):
+        assert parsed[key] == summary[key]
+    assert parsed["summary"] is True
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+
+
+def test_summary_trailer_survives_driver_tail_capture():
+    """Simulate the driver: full record line then the trailer, keep the
+    last 2000 chars, parse the final line.  The full line alone must be
+    big enough to reproduce the r10 truncation (else this test proves
+    nothing), and the trailer must parse standalone out of the tail."""
+    record = _fat_record()
+    full_line = json.dumps(record)
+    assert len(full_line) > 2000, "full record no longer exceeds the tail window"
+    stdout = full_line + "\n" + json.dumps(bench.summary_record(record)) + "\n"
+    tail = stdout[-2000:]
+    last_line = [ln for ln in tail.splitlines() if ln.strip()][-1]
+    parsed = json.loads(last_line)
+    assert parsed["metric"] == "headline_queries_total_sec"
+    assert parsed["value"] == record["value"]
+    assert parsed["calibration"]["drift_ratio"] == 0.629
+    assert parsed["loadavg"]["cpu_count"] == 32
+
+
+def test_summary_trailer_carries_errors():
+    record = dict(_fat_record(), errors={"q_bad": "AnalysisException: x"})
+    summary = bench.summary_record(record)
+    assert summary["n_errors"] == 1
+    assert summary["error_queries"] == ["q_bad"]
+    assert len(json.dumps(summary)) < 500
+
+
+def test_bench_reps_env_clamped_to_one(monkeypatch):
+    """ADVICE r10: SPARK_GRAFT_BENCH_REPS=0 left samples empty and
+    min(samples) ValueError'd the whole artifact."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "0")
+    try:
+        importlib.reload(bench)
+        assert bench.REPS == 1
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "-2")
+        importlib.reload(bench)
+        assert bench.REPS == 1
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_REPS", raising=False)
+        importlib.reload(bench)
+    assert bench.REPS >= 1
+
+
+def test_bench_compare_rejects_truncated_artifact(tmp_path, monkeypatch):
+    """r10 verdict #5 'done' criterion: a bench_compare run with
+    BENCH_r10.json (the real truncated wrapper, parsed: null) as the
+    new artifact exits non-zero with the reconstruction hint, instead
+    of silently comparing empty query sets."""
+    old = tmp_path / "BENCH_old.json"
+    old.write_text(json.dumps({"value": 1.0, "queries": {"flagship_revenue": 1.0}}))
+    new = tmp_path / "BENCH_new.json"
+    shutil.copy(os.path.join(REPO, "BENCH_r10.json"), new)
+
+    try:
+        bench_compare.load(str(new))
+    except bench_compare.TruncatedArtifact as exc:
+        assert "queries_median" in str(exc)
+    else:
+        raise AssertionError("load() accepted a parsed: null wrapper")
+
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", str(old), str(new)])
+    assert bench_compare.main() == 1
+    # The guard must fire BEFORE any BENCH_COMPARE.json is written.
+    assert not (tmp_path / "BENCH_COMPARE.json").exists()
+
+
+def test_bench_compare_still_accepts_raw_and_wrapped():
+    raw = bench_compare.load(os.path.join(REPO, "BENCH_r10_LOCAL_PREVIEW.json"))
+    assert raw.get("queries"), "raw bench record should expose queries"
+    wrapped = bench_compare.load(os.path.join(REPO, "BENCH_r08.json"))
+    assert wrapped.get("queries"), "wrapped record should unnest parsed"

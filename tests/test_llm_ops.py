@@ -327,7 +327,21 @@ def test_embedding_lsh_recall_and_precision(spark, sf_dir):
     lsh_rows = specs["embedding_lsh_neardup"].fn(spark, sf_dir).collect()
     lsh = {(r["id_a"], r["id_b"]) for r in lsh_rows}
     # precision: every LSH pair in the exact query's probe domain must
-    # be an exact pair (cosine verify makes false positives impossible)
+    # be an exact pair (cosine verify makes false positives impossible).
+    # The exact query's probe set is "vec_id % 10 == 0, 256 smallest" —
+    # the modulo rule alone only matches while the fixture has ≤256
+    # eligible probes, so pin that coupling explicitly (ADVICE r10):
+    # if the fixture ever grows past it, this assert names the cause
+    # instead of the precision check failing spuriously.
+    n_eligible = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") % 10 == 0)
+        .count()
+    )
+    assert n_eligible <= 256, (
+        f"{n_eligible} eligible probes exceed embedding_near_dup's 256-probe "
+        "cap — derive probe_domain with the same orderBy/limit rule"
+    )
     probe_domain = {p for p in lsh if p[0] % 10 == 0}
     assert probe_domain <= exact
     if exact:
