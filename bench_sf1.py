@@ -212,6 +212,22 @@ DISPOSITIONS = {
         "~100x is the pass bar, and the cold/warm gap is the measured "
         "evidence that maintenance does not pay the rebuild price."
     ),
+    "copies100_ivm_results": (
+        "measured r11: bm25_incremental_index warm 14.24s = 6.25x its "
+        "sf0.1 floor while the batch grew 100x — strongly SUBLINEAR in "
+        "the batch (fixed scheduling overheads amortize; the merge "
+        "writes O(batch postings) with base segments surviving by "
+        "name); cold build 31.29s, so warm maintenance runs at 0.46x "
+        "the rebuild price even at this small absolute scale, and the "
+        "gap widens with index size since the warm path never touches "
+        "base postings. The state-light families reproduced their r10 "
+        "laws within host noise (minhash 105.0x vs 92.7x — linear "
+        "either way for a full-corpus banding pass; dedup_exact 18.5x, "
+        "tfidf 25.3x, simhash 23.6x, token_stats 22.2x, ann_cosine "
+        "4.14x fixed-probe, embedding_lsh 86.7x linear banding+verify, "
+        "bm25_search 13.4x, merge_upsert 25.8x). No superlinear decade "
+        "leap anywhere; the IVM family now has its measured decade row."
+    ),
 }
 
 # The ten heaviest queries by r04 bench + plan inspection.
