@@ -291,18 +291,42 @@ def compare(old: dict, new: dict) -> dict:
 def main() -> int:
     if len(sys.argv) == 3:
         old_path, new_path = sys.argv[1], sys.argv[2]
+        # Explicit paths are strict: a truncated artifact on EITHER side
+        # was chosen deliberately and deserves the loud failure.
+        try:
+            old_rec, new_rec = load(old_path), load(new_path)
+        except TruncatedArtifact as exc:
+            print(f"FAIL: {exc}", file=sys.stderr)
+            return 1
     else:
         arts = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
         if len(arts) < 2:
             print("need two BENCH_r*.json artifacts", file=sys.stderr)
             return 2
-        old_path, new_path = arts[-2], arts[-1]
-
-    try:
-        old_rec, new_rec = load(old_path), load(new_path)
-    except TruncatedArtifact as exc:
-        print(f"FAIL: {exc}", file=sys.stderr)
-        return 1
+        # The NEW artifact (this round's) must parse — that failure is
+        # the round's own regression and fails loudly.  For the OLD
+        # baseline, fall back past truncated rounds (BENCH_r10.json is
+        # permanently parsed: null) so the default invocation keeps
+        # working once later rounds exist, instead of wedging on a
+        # historical truncation forever.
+        new_path = arts[-1]
+        try:
+            new_rec = load(new_path)
+        except TruncatedArtifact as exc:
+            print(f"FAIL: {exc}", file=sys.stderr)
+            return 1
+        old_path = old_rec = None
+        for cand in reversed(arts[:-1]):
+            try:
+                old_rec = load(cand)
+            except TruncatedArtifact as exc:
+                print(f"# skipping truncated baseline: {exc}", file=sys.stderr)
+                continue
+            old_path = cand
+            break
+        if old_path is None:
+            print("no parseable baseline BENCH_r*.json artifact", file=sys.stderr)
+            return 2
     result = compare(old_rec, new_rec)
     result["old_artifact"] = os.path.basename(old_path)
     result["new_artifact"] = os.path.basename(new_path)

@@ -129,6 +129,27 @@ def test_bench_compare_rejects_truncated_artifact(tmp_path, monkeypatch):
     assert not (tmp_path / "BENCH_COMPARE.json").exists()
 
 
+def test_bench_compare_default_mode_skips_truncated_baseline(tmp_path, monkeypatch):
+    """Default (glob) mode must not wedge forever on the historical
+    BENCH_r10.json truncation: a truncated OLD candidate is skipped
+    (with a stderr note) in favor of the next older parseable round,
+    while a truncated NEW artifact still fails loudly."""
+    record = {"value": 1.0, "queries": {"flagship_revenue": 1.0}}
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps({"parsed": record}))
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps({"parsed": None, "tail": "x"}))
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps({"parsed": record}))
+    monkeypatch.setattr(bench_compare, "__file__", str(tmp_path / "bench_compare.py"))
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py"])
+    assert bench_compare.main() == 0
+    result = json.loads((tmp_path / "BENCH_COMPARE.json").read_text())
+    assert result["old_artifact"] == "BENCH_r08.json"  # r09 skipped
+    assert result["new_artifact"] == "BENCH_r10.json"
+
+    # Truncated NEW still fails loudly in default mode.
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps({"parsed": None, "tail": "x"}))
+    assert bench_compare.main() == 1
+
+
 def test_bench_compare_still_accepts_raw_and_wrapped():
     raw = bench_compare.load(os.path.join(REPO, "BENCH_r10_LOCAL_PREVIEW.json"))
     assert raw.get("queries"), "raw bench record should expose queries"
