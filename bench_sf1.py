@@ -79,10 +79,14 @@ PROBE100 = [
     "token_stats",
     "ann_cosine_topk",
     "embedding_lsh_neardup",
-    # r10 verdict #4: the stateful/IVM representative — rep 1 is the
-    # cold 100x index build (state wiped right before the probe loop),
-    # min-of-N the warm batch merge + index-served search.
+    # r10 verdict #4: the stateful/IVM representatives — rep 1 is the
+    # cold 100x state build (state wiped right before the probe loop),
+    # min-of-N the warm batch advance.  bm25 is the postings-index IVM;
+    # the curation funnel is the five-stage composed IVM (quality →
+    # exact dedup → MinHash-LSH → components → decontam over an 80%
+    # history slice, then a 20%-fraction batch advance).
     "bm25_incremental_index",
+    "incremental_curation_funnel",
 ]
 PROBE100_TABLES = {"documents", "orders", "embeddings"}
 PROBE100_REPS = 2
@@ -226,7 +230,16 @@ DISPOSITIONS = {
         "tfidf 25.3x, simhash 23.6x, token_stats 22.2x, ann_cosine "
         "4.14x fixed-probe, embedding_lsh 86.7x linear banding+verify, "
         "bm25_search 13.4x, merge_upsert 25.8x). No superlinear decade "
-        "leap anywhere; the IVM family now has its measured decade row."
+        "leap anywhere; the IVM family now has its measured decade row. "
+        "Second IVM row, same session: incremental_curation_funnel "
+        "(the five-stage composed IVM) cold history build 395.3s over "
+        "400k docs, warm 20%-fraction batch advance 90.8s = 17.7x its "
+        "sf0.1 floor while the batch grew 100x — sublinear in the "
+        "batch, warm at 0.23x the rebuild price, answering the r10 "
+        "verdict's open question (funnel state at 100x fits the "
+        "sandbox comfortably: no OOM, no superlinear term; the advance "
+        "stays O(batch + touched segments) as the write-audit pins "
+        "guarantee)."
     ),
 }
 

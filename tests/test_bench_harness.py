@@ -90,6 +90,20 @@ def test_summary_trailer_carries_errors():
     assert len(json.dumps(summary)) < 500
 
 
+def test_summary_trailer_bounded_even_with_many_long_error_names():
+    """Worst case: every headline query erroring, with the longest
+    names in the registry.  error_queries caps at 5 names, so the
+    trailer stays far inside the 2000-char tail window (the binding
+    constraint — <500 is the no-error design target)."""
+    longest = sorted(bench.HEADLINE, key=len, reverse=True)
+    record = dict(
+        _fat_record(), errors={n: "AnalysisException: " + "x" * 280 for n in longest}
+    )
+    line = json.dumps(bench.summary_record(record))
+    assert len(line) < 1000, f"worst-case trailer too large: {len(line)}"
+    assert json.loads(line)["n_errors"] == len(bench.HEADLINE)
+
+
 def test_bench_reps_env_clamped_to_one(monkeypatch):
     """ADVICE r10: SPARK_GRAFT_BENCH_REPS=0 left samples empty and
     min(samples) ValueError'd the whole artifact."""
