@@ -1126,6 +1126,46 @@ def test_state_layout_version_keys_bm25_and_ann_artifacts(spark, monkeypatch):
     assert ls._ann_artifact_table(spark, "/k", "pq").path != ann_before
 
 
+def test_funnel_materialize_survives_torn_prelock_marker_read(spark, tmp_path, monkeypatch):
+    """ADVICE r10: the pre-lock fast-path marker probe runs UNLOCKED, so
+    a concurrent rebuilder between its marker rmtree and the re-stamp
+    can tear the parquet read out from under it.  A raising pre-lock
+    probe must be treated as "not current" — fall through to the flock,
+    where the authoritative inside-lock probe sees the completed state
+    and returns WITHOUT wiping or rebuilding."""
+    import os
+
+    from shopify_youtube_etl_spark.plans import llm_text as lt
+    from shopify_youtube_etl_spark.plans.registry import all_queries
+
+    d = _plant_funnel_corpus(spark, tmp_path, batch1_ids=[300, 315])
+    qs = all_queries()
+    qs["incremental_curation_funnel"].fn(spark, d).collect()  # builds state
+    split = lt._funnel_split(spark, d)
+    st = lt._funnel_state(spark, d, split)
+
+    sentinel = os.path.join(st["digests"].path, "REUSE_SENTINEL")
+    with open(sentinel, "w") as fh:
+        fh.write("a rebuild would wipe this")
+
+    real = lt._marker_current
+    calls = {"n": 0}
+
+    def torn_then_real(marker):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated torn read under a concurrent rebuild")
+        return real(marker)
+
+    monkeypatch.setattr(lt, "_marker_current", torn_then_real)
+    lt._ensure_funnel_state(spark, d, st, split)  # must not raise
+    assert calls["n"] >= 2, "must fall through to the inside-lock probe"
+    assert os.path.exists(sentinel), (
+        "a torn PRE-lock read must not trigger a wipe-and-rebuild when "
+        "the inside-lock probe finds the state current"
+    )
+
+
 def test_funnel_advance_crash_before_meta_commit_retries_cleanly(spark, tmp_path):
     """The documented crash-retry story, executed: the advance commits
     digests (the batch's root filter) first and the meta counter table
