@@ -20,6 +20,16 @@ from shopify_youtube_etl_spark.sources.tables import load_table
 
 SPECS = all_queries()
 
+# Snapshot the README at the same moment the registry is snapshotted
+# (module import = pytest collection).  Reading it lazily at TEST time
+# raced live edits: adding a query + bumping README mid-suite made the
+# count test compare the old registry against the new README and fail
+# spuriously (observed r9; recorded as a workflow hazard since).
+import os as _os
+
+with open(_os.path.join(_os.path.dirname(__file__), "..", "README.md")) as _fh:
+    README_AT_COLLECTION = _fh.read()
+
 
 def test_registry_surfaces_unverified_queries_first():
     """The external correctness harness samples the registry in iteration
@@ -66,13 +76,14 @@ def test_readme_query_counts_match_registry():
     """ADVICE r4: README's query counts drifted from the registry.
     Derive both numbers from all_queries() so a new registration
     without a README refresh fails here instead of shipping stale
-    docs."""
-    import os
+    docs.  Compares against README_AT_COLLECTION (snapshotted at module
+    import alongside SPECS) so live edits mid-suite can't race the
+    comparison."""
     import re
 
     total = len(SPECS)
     with_oracle = sum(1 for s in SPECS.values() if s.oracle is not None)
-    readme = open(os.path.join(os.path.dirname(__file__), "..", "README.md")).read()
+    readme = README_AT_COLLECTION
     m = re.search(r"(\d+) named queries \((\d+) with", readme)
     assert m, "README no longer states the query counts"
     assert (int(m.group(1)), int(m.group(2))) == (total, with_oracle), (
