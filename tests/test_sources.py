@@ -83,6 +83,77 @@ def test_read_paginated_to_dataframe(spark):
     assert tables["orders"].count() == 120
 
 
+def test_paginated_source_over_real_loopback_http(spark):
+    """S1-S3 against a REAL HTTP stack, hermetically: a stdlib
+    http.server bound to 127.0.0.1 (loopback only — no external
+    network) serves JSON pages with genuine ``Link: <url>; rel="next"``
+    responses and one real 429 + Retry-After, and a stdlib urllib
+    fetcher drives ``read_paginated`` end-to-end into a DataFrame.
+    The injected-fetcher tests above pin the retry/backoff policy in
+    isolation; this one proves the same connector semantics hold when
+    actual HTTP headers, status codes, and body bytes are in the loop
+    (the reference's live path, shopify_etl.py:271-331)."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    rows = gen_raw_orders(n=120, seed=7)  # + 6 duplicate re-emits = 126 raw
+    page_size = 50
+    pages = [rows[i : i + page_size] for i in range(0, len(rows), page_size)]
+    state = {"hits": 0, "rate_limited_once": False}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            state["hits"] += 1
+            page_no = int(self.path.rsplit("page=", 1)[-1])
+            if page_no == 1 and not state["rate_limited_once"]:
+                state["rate_limited_once"] = True
+                self.send_response(429)
+                self.send_header("Retry-After", "0.01")
+                self.end_headers()
+                return
+            body = json.dumps(pages[page_no]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            if page_no + 1 < len(pages):
+                nxt = f"http://127.0.0.1:{self.server.server_port}/orders?page={page_no + 1}"
+                self.send_header("Link", f'<{nxt}>; rel="next"')
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+
+        def http_fetcher(url):
+            try:
+                with urllib.request.urlopen(url, timeout=10) as resp:
+                    return json.loads(resp.read()), resp.headers.get("Link")
+            except urllib.error.HTTPError as err:
+                if err.code == 429:
+                    raise RateLimited(float(err.headers.get("Retry-After", 60)))
+                raise
+
+        sleeps = []
+        first = f"http://127.0.0.1:{server.server_port}/orders?page=0"
+        df = read_paginated(spark, http_fetcher, first, RAW_ORDER, sleep=sleeps.append)
+        assert df.count() == 126
+        assert df.schema == RAW_ORDER
+        assert 0.01 in sleeps, "real Retry-After header must reach the policy"
+        # 3 pages + the one rate-limited attempt = 4 real HTTP requests.
+        assert state["hits"] == 4
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_retries_exhaust():
     def always_fail(url):
         raise ConnectionError("down")
