@@ -45,6 +45,37 @@ class RateLimited(Exception):
         self.retry_after = retry_after
 
 
+def urllib_fetcher(
+    timeout: float = TIMEOUT_SEC, headers: dict[str, str] | None = None
+) -> Fetcher:
+    """A live HTTP ``Fetcher`` over the stdlib urllib stack — JSON body
+    + ``Link`` header out, HTTP 429 mapped to :class:`RateLimited` with
+    the server's ``Retry-After`` so ``fetch_all_pages`` applies the
+    reference's policy (shopify_etl.py:271-331).  Stdlib-only by
+    design: no third-party HTTP client, no auth/cloud SDK — callers
+    supply credentials as plain header values.  Exercised hermetically
+    against a loopback http.server in tests/test_sources.py; any
+    fetcher with the same ``(rows, link_header)`` contract (or a fake)
+    slots in identically, which is what the oracle-checked tests use."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    def fetch(url: str) -> tuple[list[dict], str | None]:
+        req = urllib.request.Request(url, headers=headers or {})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read()), resp.headers.get("Link")
+        except urllib.error.HTTPError as err:
+            if err.code == 429:
+                raise RateLimited(
+                    float(err.headers.get("Retry-After", 60.0))
+                ) from err
+            raise
+
+    return fetch
+
+
 def parse_next_url(link_header: str | None) -> str | None:
     """Cursor extraction from the Link header (:436-449)."""
     if not link_header:

@@ -95,8 +95,6 @@ def test_paginated_source_over_real_loopback_http(spark):
     (the reference's live path, shopify_etl.py:271-331)."""
     import json
     import threading
-    import urllib.error
-    import urllib.request
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     rows = gen_raw_orders(n=120, seed=7)  # + 6 duplicate re-emits = 126 raw
@@ -131,16 +129,9 @@ def test_paginated_source_over_real_loopback_http(spark):
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     try:
+        from shopify_youtube_etl_spark.sources.paginated import urllib_fetcher
 
-        def http_fetcher(url):
-            try:
-                with urllib.request.urlopen(url, timeout=10) as resp:
-                    return json.loads(resp.read()), resp.headers.get("Link")
-            except urllib.error.HTTPError as err:
-                if err.code == 429:
-                    raise RateLimited(float(err.headers.get("Retry-After", 60)))
-                raise
-
+        http_fetcher = urllib_fetcher(timeout=10)
         sleeps = []
         first = f"http://127.0.0.1:{server.server_port}/orders?page=0"
         df = read_paginated(spark, http_fetcher, first, RAW_ORDER, sleep=sleeps.append)
