@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 THRESHOLD = 0.25  # monitoring-guide.md:51 — alert at >25% regression
@@ -236,7 +237,18 @@ def load(path: str) -> dict:
     """Accept either bench.py's raw JSON line or the driver's BENCH_r*
     wrapper (which nests it under ``parsed``).  A wrapper whose
     ``parsed`` is null raises TruncatedArtifact: comparing against it
-    would silently diff empty query sets and report nothing."""
+    would silently diff empty query sets and report nothing.
+
+    From r11 onward the driver's tail capture ends on bench.py's
+    compact summary trailer, so the wrapper's ``parsed`` is the SUMMARY
+    record — no per-query map (ADVICE r11: diffing it would silently
+    gate only the headline total, the same bypass the TruncatedArtifact
+    guard exists to prevent, one level up).  For such a record this
+    substitutes the per-query map from the matching same-code
+    ``BENCH_r{N}_LOCAL_PREVIEW.json`` (annotated in the result); if no
+    preview exists the record is tagged ``_summary_only`` and compare()
+    reports the skipped per-query gate loudly instead of passing
+    silently."""
     with open(path) as fh:
         d = json.load(fh)
     if "parsed" in d and d["parsed"] is None:
@@ -248,7 +260,39 @@ def load(path: str) -> dict:
             "BENCH_r10_LOCAL_PREVIEW.json), or re-run bench.py, whose "
             "compact summary trailer line now survives the tail capture."
         )
-    return d.get("parsed", d)
+    rec = d.get("parsed", d)
+    if rec.get("summary") or not rec.get("queries"):
+        base = os.path.basename(path)
+        m = re.match(r"BENCH_(r\d+)\.json$", base)
+        preview = (
+            os.path.join(
+                os.path.dirname(os.path.abspath(path)),
+                f"BENCH_{m.group(1)}_LOCAL_PREVIEW.json",
+            )
+            if m
+            else None
+        )
+        if preview and os.path.exists(preview):
+            with open(preview) as fh:
+                prec = json.load(fh)
+            prec = prec.get("parsed", prec)
+            if prec.get("queries"):
+                prec = dict(prec)
+                prec["_summary_substitution"] = {
+                    "official_artifact": base,
+                    "official_total_sec": rec.get("value"),
+                    "substituted_from": os.path.basename(preview),
+                    "note": (
+                        "official record is the compact summary trailer "
+                        "(no per-query map survives the driver's tail "
+                        "capture); per-query timings and total taken "
+                        "from the same-code LOCAL_PREVIEW"
+                    ),
+                }
+                return prec
+        rec = dict(rec)
+        rec["_summary_only"] = True
+    return rec
 
 
 def compare(old: dict, new: dict) -> dict:
@@ -269,7 +313,22 @@ def compare(old: dict, new: dict) -> dict:
             rows[name]["disposition"] = DISPOSITIONS[name]
     old_total = old.get("value") or 0.0  # guard: absent, null, or 0 in a truncated artifact
     new_total = new.get("value") or 0.0
+    # Loud annotations for summary-record handling (ADVICE r11): a
+    # summary-only side means the per-query regression gate compared an
+    # EMPTY shared set — record that prominently rather than letting a
+    # rows==={} compare read as "no regressions".
+    notes = {}
+    for side, rec in (("old", old), ("new", new)):
+        if rec.get("_summary_only"):
+            notes[f"{side}_per_query_gate_skipped"] = (
+                "artifact is the compact summary trailer with no "
+                "per-query map and no matching LOCAL_PREVIEW was found "
+                "— only the headline total was gated this run"
+            )
+        if rec.get("_summary_substitution"):
+            notes[f"{side}_summary_substitution"] = rec["_summary_substitution"]
     return {
+        **notes,
         "old_total_sec": old.get("value"),
         "new_total_sec": new.get("value"),
         "total_delta_pct": round(100 * (new_total - old_total) / old_total, 1)
@@ -336,6 +395,9 @@ def main() -> int:
         json.dump(result, fh, indent=2)
 
     print(json.dumps(result, indent=2))
+    for key in ("old_per_query_gate_skipped", "new_per_query_gate_skipped"):
+        if key in result:
+            print(f"WARNING: {key}: {result[key]}", file=sys.stderr)
     if result["regressions"]:
         print(
             f"FAIL: {len(result['regressions'])} query(ies) regressed >"

@@ -35,7 +35,15 @@ honest cold index build over the 100× corpus and the later reps are the
 warm batch merge + index-served search (the steady-state 100 TB cost);
 the probe records first_rep and min separately, like the 10× section.
 
-Usage: python bench_sf1.py  → writes BENCH_SF1_r11.json and prints it.
+Round 12 additions (r11 verdict #3/#4): the last stateful family
+measured only to 10× — IVF maintenance — gains its decade row via
+``ivf_incremental_assign`` in the copies=100 probe (``sye_ann_*`` now
+in STATE_GLOBS so the pre-probe wipe makes rep 1 the honest cold
+quantizer train + base census at 100×, and min-of-N the warm
+append-assignment pass), and ``semantic_cluster_dedup`` gets its named
+scaling-law disposition (the one >2.5× ratio without one in r11).
+
+Usage: python bench_sf1.py  → writes BENCH_SF1_r12.json and prints it.
 """
 
 from __future__ import annotations
@@ -87,6 +95,13 @@ PROBE100 = [
     # history slice, then a 20%-fraction batch advance).
     "bm25_incremental_index",
     "incremental_curation_funnel",
+    # r11 verdict #3: the IVF-maintenance family's decade representative
+    # — rep 1 is the cold bounded-sample quantizer train + corpus-sized
+    # base-cell census over the 100x 80% split, min-of-N the warm
+    # map-side argmin assignment of the 20%-fraction appended batch
+    # (itself 100x the sf0.1 batch).  Expected law: warm ~linear in the
+    # BATCH with fixed K=16 centroids, decoupled from index size.
+    "ivf_incremental_assign",
 ]
 PROBE100_TABLES = {"documents", "orders", "embeddings"}
 PROBE100_REPS = 2
@@ -122,6 +137,21 @@ DISPOSITIONS = {
         "2.4-3.5x: xxhash64(span) census shuffle grows with near-dup "
         "corpus text volume (10x rows with per-copy suffix tokens), "
         "sublinear in wall clock. Stable since r7."
+    ),
+    "semantic_cluster_dedup": (
+        "named law (r11 verdict #4 — the one >2.5x ratio that lacked "
+        "one): CORPUS-LINEAR centroid assignment with fixed K. The "
+        "k-means fit runs on a bounded driver-side sample (never "
+        "data-sized); the per-row cost is a JVM-side fold over K "
+        "centroids, so total work is K x corpus rows — 10x data means "
+        "10x map-side work with zero quadratic term, and the "
+        "representative pick is one groupBy on the assigned cell. "
+        "Observed band: 2.37x (r10), 2.58x (r9), 2.82x (r11) — a "
+        "2.4-2.8x hover around the 2.5 line, i.e. ~4x-sublinear wall "
+        "clock against 10x work, with the spread being host noise on a "
+        "sub-3s absolute query. Superlinear would require assignment "
+        "cost to grow with K or pairwise doc-doc work; neither exists "
+        "in the plan."
     ),
     "sliding_distinct_users_7d": (
         "3.8-4.3x at 10x data: work is exactly 7x the deduped (day,user) "
@@ -241,6 +271,23 @@ DISPOSITIONS = {
         "stays O(batch + touched segments) as the write-audit pins "
         "guarantee)."
     ),
+    "copies100_ivf_maintenance": (
+        "r11 verdict #3: ivf_incremental_assign is the IVF/IVFPQ "
+        "maintenance family's decade representative (the last stateful "
+        "family measured only to 10x). sye_ann_* state is wiped before "
+        "the probe loop, so copies100_first_rep_sec is the one-time "
+        "COLD path at 100x — bounded-sample quantizer train (<=2048 "
+        "vectors, K=16, driver-sized regardless of corpus) plus the "
+        "corpus-sized base-cell census over the 80% split — and "
+        "copies100_min_sec is the WARM steady-state maintenance cost: "
+        "a map-side argmin of the 20%-fraction appended batch against "
+        "16 broadcast-literal centroids followed by a 16-row rollup. "
+        "Expected law: warm ~linear in the BATCH (itself 100x the "
+        "sf0.1 batch, since the split is a fixed corpus fraction) and "
+        "decoupled from index size; a warm ratio at or below ~100x is "
+        "the pass bar, and fixed scheduling overheads should pull it "
+        "well under, as with the other IVM rows."
+    ),
 }
 
 # The ten heaviest queries by r04 bench + plan inspection.
@@ -345,6 +392,10 @@ HEAVY = [
 STATE_GLOBS = [
     "sye_cclivm_*", "sye_ccdivm_*", "sye_attrivm_*", "sye_hllstate_*",
     "sye_kllstate_*", "sye_bm25idx_*", "sye_funnel_*", "sye_cluincr_*",
+    # r12: the ANN index/quantizer artifacts (ivfbase, codebooks, codes)
+    # — without this the IVF probe's rep 1 could reuse a previous
+    # harness run's SF10-keyed base and report a phantom-warm "cold".
+    "sye_ann_*",
 ]
 
 # Tables the HEAVY set reads; the rest are copied unscaled.
@@ -598,7 +649,7 @@ def main() -> None:
         },
         "dispositions": DISPOSITIONS,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r11.json"), "w") as fh:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r12.json"), "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps(artifact))
 

@@ -65,18 +65,25 @@ _CANARIES = [
 # implementation, which is strictly worse than an old record of an
 # unchanged one.  When you edit a query (probe-twin rewrites included)
 # or add/alter its oracle, move it into the changed-after-green block
-# below.  After that block: canaries stay pinned, any never-verified
-# newcomer leads (prefix invariant, test-enforced), and every verified
-# query follows ordered by the round of its most recent external record
-# (oldest first, ties by name).  Names listed here must exist in the
-# registry (enforced in ``all_queries``) so a rename can't silently drop
-# a query out of the priority window; tests/test_plans.py globs
-# CORRECTNESS_r*.json so the ordering can't silently go stale.
-# Re-sorted for round 11 against the CORRECTNESS_r01-r10 union
+# below.  Edits to a SHARED HELPER count as edits to every query that
+# executes it (r11 verdict #1: the funnel-state materializer changed in
+# 1661b19/7a4938e after both funnel IVMs' r6 records, and the rotation
+# missed them because only directly-edited queries were considered —
+# when a commit touches a plans/ or operators/ helper, walk its callers
+# before closing the round).  After that block: canaries stay pinned,
+# any never-verified newcomer leads (prefix invariant, test-enforced),
+# and every verified query follows ordered by the round of its most
+# recent external record (oldest first, ties by name).  Names listed
+# here must exist in the registry (enforced in ``all_queries``) so a
+# rename can't silently drop a query out of the priority window;
+# tests/test_plans.py globs CORRECTNESS_r*.json so the ordering can't
+# silently go stale.
+# Re-sorted for round 12 against the CORRECTNESS_r01-r11 union
 # latest-green rounds (no net-new queries BY DESIGN): the ~44 non-canary
-# slots go to the 2 changed-after-green queries, the whole r04 cohort
-# (27 after the lead block), and the oldest ~15 of the r05 cohort —
-# emptying the r04 staleness bucket per the r10 verdict directive #3.
+# slots go to the 2 changed-after-green funnel IVMs (shared-helper rule
+# above), the whole remaining r05 cohort (29 — draining the oldest
+# staleness bucket per r11 verdict #2), and the oldest ~13 of the r06
+# cohort; the 44 queries refreshed in round 11 rotate to the back.
 #
 # Canary lesson worth keeping (r8 red row → r9 fix): the only external
 # failure this repo has ever recorded was `repeat_purchase_hazard`, an
@@ -89,56 +96,14 @@ _CANARIES = [
 # oracle sums/windows integers needs that CAST — check the comparator
 # output before burning a driver slot on it.
 _DRIVER_PRIORITY = _CANARIES + [
-    # --- changed after last external green (r10 verdict #2):
-    # embedding_near_dup's 256-probe-cap rewrite (ff17ddb) landed after
-    # its r9 green; weighted_sample_per_group gained its oracle after
-    # its only external record (r4, rows-only). ---
-    "embedding_near_dup",
-    "weighted_sample_per_group",
-    # --- last external record: round 4 ---
-    "hll_daily_users_rollup",
-    "incremental_dedup_report",
-    "int8_ann_topk",
-    "iqr_outlier_profile",
-    "key_skew_profile",
-    "leakage_safe_split",
-    "ntile_value_quartiles",
-    "orc_roundtrip_ingest",
-    "pagerank_nation_trade",
-    "partition_pruned_ingest",
-    "quality_quantile_filter",
-    "reconcile_tables",
-    "regr_price_by_size",
-    "scd2_pointintime_join",
-    "scd2_status_history",
-    "schema_evolution_union",
-    "segment_price_quantiles",
-    "source_token_kl",
-    "temperature_resample_weights",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "triangle_count_copurchase",
-    "unpivot_part_metrics",
-    "value_histogram",
-    "zorder_locality_profile",
+    # --- changed after last external green (r11 verdict #1, the
+    # shared-helper rule): commits 1661b19/7a4938e edited
+    # _materialize_funnel_state (llm_text.py), which executes inside
+    # both funnel IVM queries — their r6 rows-only records no longer
+    # certify the shipped materializer. ---
+    "incremental_curation_funnel",
+    "incremental_funnel_two_batch",
     # --- last external record: round 5 ---
-    "acctbal_rank_profile",
-    "bloom_indexed_point_lookup",
-    "bm25_search_topk",
-    "bpe_encode_stats",
-    "bpe_train_merges",
-    "duplicated_span_profile",
-    "dynamic_partition_overwrite",
-    "expectation_gated_ingest",
-    "hashed_linear_quality_score",
-    "incremental_rollup_maintenance",
-    "interval_left_join_attribution",
-    "kll_daily_value_quantiles",
-    "media_header_decode",
-    "media_payload_dedup",
-    "observed_pipeline_metrics",
     "pagestore_stream_ingest",
     "pagestore_stream_sink_roundtrip",
     "pagestore_write_roundtrip",
@@ -180,8 +145,6 @@ _DRIVER_PRIORITY = _CANARIES + [
     "embedding_decontamination",
     "erasure_cascade_apply",
     "fuzzy_blocked_join",
-    "incremental_curation_funnel",
-    "incremental_funnel_two_batch",
     "incremental_hll_maintenance",
     "ivf_hot_cell_split",
     "ivf_incremental_assign",
@@ -391,6 +354,53 @@ _DRIVER_PRIORITY = _CANARIES + [
     "token_length_histogram",
     "tpch_q1_pricing_summary",
     "vocab_top_tokens",
+    # --- last external record: round 11 (the r11 window: the former
+    # changed-after-green pair, the whole r04 cohort, and the oldest 15
+    # of the r05 cohort — all re-greened in CORRECTNESS_r11) ---
+    "acctbal_rank_profile",
+    "bloom_indexed_point_lookup",
+    "bm25_search_topk",
+    "bpe_encode_stats",
+    "bpe_train_merges",
+    "duplicated_span_profile",
+    "dynamic_partition_overwrite",
+    "embedding_near_dup",
+    "expectation_gated_ingest",
+    "hashed_linear_quality_score",
+    "hll_daily_users_rollup",
+    "incremental_dedup_report",
+    "incremental_rollup_maintenance",
+    "int8_ann_topk",
+    "interval_left_join_attribution",
+    "iqr_outlier_profile",
+    "key_skew_profile",
+    "kll_daily_value_quantiles",
+    "leakage_safe_split",
+    "media_header_decode",
+    "media_payload_dedup",
+    "ntile_value_quartiles",
+    "observed_pipeline_metrics",
+    "orc_roundtrip_ingest",
+    "pagerank_nation_trade",
+    "partition_pruned_ingest",
+    "quality_quantile_filter",
+    "reconcile_tables",
+    "regr_price_by_size",
+    "scd2_pointintime_join",
+    "scd2_status_history",
+    "schema_evolution_union",
+    "segment_price_quantiles",
+    "source_token_kl",
+    "temperature_resample_weights",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "triangle_count_copurchase",
+    "unpivot_part_metrics",
+    "value_histogram",
+    "weighted_sample_per_group",
+    "zorder_locality_profile",
 ]
 
 

@@ -69,11 +69,35 @@ def urllib_fetcher(
         except urllib.error.HTTPError as err:
             if err.code == 429:
                 raise RateLimited(
-                    float(err.headers.get("Retry-After", 60.0))
+                    _parse_retry_after(err.headers.get("Retry-After"))
                 ) from err
             raise
 
     return fetch
+
+
+def _parse_retry_after(value: str | None, default: float = 60.0) -> float:
+    """RFC 9110 §10.2.3 Retry-After: delta-seconds OR an HTTP-date.
+    The reference assumes int seconds (shopify_etl.py:313-315), which
+    let a date-form header raise ValueError out of the 429 handler and
+    escape the retry policy entirely (r11 verdict #4) — here the date
+    form maps to seconds-until-then (clamped at 0) and anything
+    unparseable falls back to the reference's 60s default, so a 429 is
+    ALWAYS classified as RateLimited."""
+    if value is None:
+        return default
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    import time as _time
+    from email.utils import parsedate_to_datetime
+
+    try:
+        dt = parsedate_to_datetime(value)
+    except (TypeError, ValueError):
+        return default
+    return max(0.0, dt.timestamp() - _time.time())
 
 
 def parse_next_url(link_header: str | None) -> str | None:

@@ -97,10 +97,12 @@ def test_paginated_source_over_real_loopback_http(spark):
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    from email.utils import formatdate
+
     rows = gen_raw_orders(n=120, seed=7)  # + 6 duplicate re-emits = 126 raw
     page_size = 50
     pages = [rows[i : i + page_size] for i in range(0, len(rows), page_size)]
-    state = {"hits": 0, "rate_limited_once": False}
+    state = {"hits": 0, "rate_limited_once": False, "date_limited_once": False}
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 — http.server API
@@ -110,6 +112,15 @@ def test_paginated_source_over_real_loopback_http(spark):
                 state["rate_limited_once"] = True
                 self.send_response(429)
                 self.send_header("Retry-After", "0.01")
+                self.end_headers()
+                return
+            if page_no == 2 and not state["date_limited_once"]:
+                # RFC 9110 §10.2.3 also allows an HTTP-date; the float()
+                # parse raised ValueError OUT of the 429 handler until
+                # r12 (r11 verdict #4), misclassifying the response.
+                state["date_limited_once"] = True
+                self.send_response(429)
+                self.send_header("Retry-After", formatdate(usegmt=True))
                 self.end_headers()
                 return
             body = json.dumps(pages[page_no]).encode()
@@ -138,8 +149,14 @@ def test_paginated_source_over_real_loopback_http(spark):
         assert df.count() == 126
         assert df.schema == RAW_ORDER
         assert 0.01 in sleeps, "real Retry-After header must reach the policy"
-        # 3 pages + the one rate-limited attempt = 4 real HTTP requests.
-        assert state["hits"] == 4
+        # The date-form 429 must ALSO land in the policy as a rate-limit
+        # sleep (seconds-until-the-date, ~0 for "now"), not the generic
+        # 3·2^attempt backoff — i.e. no 3.0s entry appears.
+        assert state["date_limited_once"]
+        assert len(sleeps) == 2 and 3.0 not in sleeps
+        assert 0.0 <= sleeps[1] <= 5.0
+        # 3 pages + the two rate-limited attempts = 5 real HTTP requests.
+        assert state["hits"] == 5
     finally:
         server.shutdown()
         server.server_close()
@@ -151,6 +168,27 @@ def test_retries_exhaust():
 
     with pytest.raises(ConnectionError):
         list(fetch_all_pages(always_fail, "u", sleep=lambda s: None))
+
+
+def test_parse_retry_after_forms():
+    """RFC 9110 Retry-After: delta-seconds, HTTP-date, and garbage must
+    all resolve to a usable delay (r11 verdict #4 — the date form used
+    to raise ValueError out of the 429 handler)."""
+    import time
+    from email.utils import formatdate
+
+    from shopify_youtube_etl_spark.sources.paginated import _parse_retry_after
+
+    assert _parse_retry_after("30") == 30.0
+    assert _parse_retry_after("1.5") == 1.5
+    assert _parse_retry_after(None) == 60.0
+    assert _parse_retry_after("not-a-date") == 60.0
+    # Future HTTP-date → seconds until then (within test-runtime slack).
+    future = formatdate(time.time() + 120, usegmt=True)
+    assert 110.0 <= _parse_retry_after(future) <= 120.0
+    # Past HTTP-date → clamped to 0, never negative.
+    past = formatdate(time.time() - 300, usegmt=True)
+    assert _parse_retry_after(past) == 0.0
 
 
 def test_persistent_rate_limit_gives_up():
