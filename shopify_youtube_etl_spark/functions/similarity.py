@@ -50,28 +50,42 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def minhash_signature(df: DataFrame, id_col: str, shingles_col: str, num_hashes: int = 32) -> DataFrame:
-    """MinHash signatures: one row per id with ``sig_0..sig_{k-1}``.
+    """MinHash signatures: one row per id with a ``sig`` array of k
+    slots (``sig[i]`` = what the former ``sig_i`` column held — values
+    are IDENTICAL, the k permutations just live in one array column).
 
     Fully map-side — NO shuffle: each string shingle is hashed once to
     int64 (``xxhash64(s)``), then the k permutations are cheap integer
-    re-hashes ``array_min(transform(h, x -> xxhash64(i, x)))``.  The
-    alternative explode + groupBy(id) shuffles |shingles| rows per doc;
-    at 100 TB that shuffle dwarfs the hashing.  h_i deterministic across
-    runs (xxhash64 seeded by the literal, not the session).
+    re-hashes ``array_min(transform(h, x -> xxhash64(i, x)))``, built
+    as ONE ``transform`` over ``sequence(0, k-1)`` rather than k
+    aliased columns.  The loop form keeps the expression tree O(1) in
+    k instead of O(k): with 32 unrolled sig columns Catalyst re-plans
+    32 near-identical subtrees on every invocation — measured ~1s of
+    pure driver planning per bench rep of the minhash query — and the
+    generated code blows past JIT-friendly method sizes.  ``xxhash64``
+    seeded by the sequence element hashes exactly like the former
+    ``xxhash64(lit(i), x)`` (same int32/int64 input pair), so
+    signatures, band hashes, and every persisted LSH structure are
+    bit-identical to the unrolled form.
 
-    Rows whose shingle array is EMPTY get null signatures — filter them
-    out upstream (cheaply, e.g. on token count) or every empty doc
+    The alternative explode + groupBy(id) shuffles |shingles| rows per
+    doc; at 100 TB that shuffle dwarfs the hashing.  h_i deterministic
+    across runs (xxhash64 seeded by the sequence element, not the
+    session).
+
+    Rows whose shingle array is EMPTY get null signature slots — filter
+    them out upstream (cheaply, e.g. on token count) or every empty doc
     lands in one giant all-null LSH bucket.
     """
     hashed = df.select(
         F.col(id_col),
         F.transform(shingles_col, lambda s: F.xxhash64(s)).alias("__h"),
     )
-    sig_cols = [
-        F.array_min(F.transform("__h", lambda x: F.xxhash64(F.lit(i), x))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return hashed.select(id_col, *sig_cols)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(F.col("__h"), lambda x: F.xxhash64(i, x))),
+    )
+    return hashed.select(id_col, sig.alias("sig"))
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8) -> DataFrame:
@@ -82,7 +96,10 @@ def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int =
     Single-pass: the per-band hashes are built as one array-of-struct
     column and exploded — NOT one select per band unioned together,
     which would re-execute the whole upstream signature computation
-    ``bands`` times (8× slower, measured)."""
+    ``bands`` times (8× slower, measured).  Band hashes are computed
+    from the ``sig`` array's slots (``sig[b*r+j]`` == former
+    ``sig_{b*r+j}`` column), so bucket assignments are bit-identical
+    to the unrolled-column form."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
@@ -90,7 +107,7 @@ def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int =
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(f"sig_{b * r + j}") for j in range(r)]).alias("band_hash"),
+                F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("band_hash"),
             )
             for b in range(bands)
         ]
@@ -261,12 +278,30 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = sign(v · plane_i).  Vectors with small
-    angle agree on most signs ⇒ land in the same bucket."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    return bucket
+    angle agree on most signs ⇒ land in the same bucket.
+
+    The plane matrix ships as ONE SQL literal (repr round-trips doubles
+    exactly) instead of n_planes·dim individual ``F.lit`` py4j calls —
+    the same driver-side expression-build fix as ``_ivf_dists``; the
+    dot-product fold order is unchanged, so buckets are bit-identical."""
+    rows = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in planes
+    )
+    planes_lit = F.expr(f"array({rows})")
+    contribs = F.transform(
+        planes_lit,
+        lambda plane, i: (
+            F.when(
+                dot(vec, plane) > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), i),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        ),
+    )
+    return F.aggregate(
+        contribs, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
 
 
 def simhash_signsum_np(hashed_df: DataFrame, id_col: str = "doc_id", th_col: str = "th") -> DataFrame:

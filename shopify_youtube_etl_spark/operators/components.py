@@ -52,6 +52,71 @@ def connected_components(
     every consumer (oracle-checked via neardup_components and the
     funnel equality pins)."""
     node_col = nodes.columns[0]
+    spark = edges.sparkSession
+    # Adaptive probe in ONE bounded job: collect at most threshold+1
+    # edges.  |edges| <= threshold is exactly the old sym.count() <=
+    # 2*threshold condition (sym held both directions), but limit()
+    # stops scanning as soon as it has its rows, where count() paid a
+    # full pass — and the former sym/endpoints localCheckpoints (two
+    # more jobs) are only built when the iterative path actually runs.
+    sample = edges.select("src", "dst").limit(driver_edge_threshold + 1).collect()
+    # The label type both paths must produce: the union of src and dst
+    # (same derivation the symmetrized frame used).
+    ntype = (
+        edges.select(F.col("src"))
+        .unionByName(edges.select(F.col("dst").alias("src")))
+        .schema[0]
+        .dataType
+    )
+    if not sample:
+        # No edges: every node is its own component.
+        return (
+            nodes.select(F.col(node_col).alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+        )
+    if len(sample) <= driver_edge_threshold:
+        # Driver union-find over the COLLECTED EDGES ONLY (never the
+        # node set, which stays corpus-sized and distributed).
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sample:
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict = {}
+        for n in parent:
+            members.setdefault(find(n), []).append(n)
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("node", ntype), StructField("label", ntype)]
+        )
+        rows = [
+            (n, min(ms)) for root, ms in members.items() for n in ms
+        ]
+        ep_schema = StructType([StructField("node", ntype)])
+        endpoint_df = spark.createDataFrame(
+            [(n,) for n in parent], ep_schema
+        )
+        isolated = (
+            nodes.select(F.col(node_col).alias("node"))
+            .distinct()
+            .join(F.broadcast(endpoint_df), "node", "left_anti")
+            .select("node", F.col("node").alias("label"))
+        )
+        return spark.createDataFrame(rows, schema).unionByName(isolated)
     sym = (
         edges.select(F.col("src"), F.col("dst"))
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -73,40 +138,6 @@ def connected_components(
         .join(endpoints, "node", "left_anti")
         .select("node", F.col("node").alias("label"))
     )
-    if endpoints.isEmpty():
-        return isolated
-    if sym.count() <= 2 * driver_edge_threshold:  # sym holds both directions
-        spark = edges.sparkSession
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in sym.select("src", "dst").collect():
-            a, b = row[0], row[1]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        members: dict = {}
-        for n in parent:
-            members.setdefault(find(n), []).append(n)
-        from pyspark.sql.types import StructField, StructType
-
-        ntype = endpoints.schema["node"].dataType
-        schema = StructType(
-            [StructField("node", ntype), StructField("label", ntype)]
-        )
-        rows = [
-            (n, min(ms)) for root, ms in members.items() for n in ms
-        ]
-        return spark.createDataFrame(rows, schema).unionByName(isolated)
     labels = endpoints.select("node", F.col("node").alias("label"))
     converged = False
     for _ in range(max_iter):

@@ -190,20 +190,62 @@ class ParquetTable:
     def exists(self) -> bool:
         return self.current_manifest() is not None
 
+    # (table path, frozenset of segment names) -> merged read schema.
+    # Segments are immutable once written (fresh uuid dir per write,
+    # never modified in place), so an entry can never go stale; the
+    # mergeSchema inference job therefore only needs to run ONCE per
+    # distinct segment set.  Every later read of the same set passes
+    # the cached schema explicitly, which skips Spark's schema-merge
+    # job entirely (measured: a mergeSchema read costs one Spark job
+    # per call even warm; a schema-given read costs zero jobs).  The
+    # replay is semantics-preserving by construction: a mergeSchema
+    # read IS "infer the merged schema, then scan with it" — caching
+    # the inferred schema and scanning with it is the same plan.
+    _SCHEMA_CACHE: dict[tuple, "object"] = {}
+    _SCHEMA_CACHE_MAX = 4096  # manifests are tiny; bound it anyway
+
     def _read_segments(self, segs: list[str]) -> DataFrame:
         """EVERY multi-segment read goes through here.  mergeSchema:
         segments may carry evolved schemas (see
         append(evolve_schema=True)); without it Spark silently adopts
         ONE file's schema and drops the other segments' columns —
         catastrophic in compact(), where the rewrite then becomes the
-        only copy once old segments are GC'd (ADVICE r4)."""
-        return self.spark.read.option("mergeSchema", True).parquet(*segs)
+        only copy once old segments are GC'd (ADVICE r4).  The merged
+        schema is cached per immutable segment set (see _SCHEMA_CACHE)
+        so repeated reads skip the inference job."""
+        key = (self.path, frozenset(os.path.basename(s) for s in segs))
+        schema = ParquetTable._SCHEMA_CACHE.get(key)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*segs)
+        df = self.spark.read.option("mergeSchema", True).parquet(*segs)
+        if len(ParquetTable._SCHEMA_CACHE) >= ParquetTable._SCHEMA_CACHE_MAX:
+            ParquetTable._SCHEMA_CACHE.clear()
+        ParquetTable._SCHEMA_CACHE[key] = df.schema
+        return df
 
     def read(self) -> DataFrame:
         segs = self.segments()
         if not segs:
             raise FileNotFoundError(f"table at {self.path} has no committed generation")
         return self._read_segments(segs)
+
+    def read_rows(self) -> list[dict]:
+        """All live rows as Python dicts via pyarrow, driver-side — NO
+        Spark job.  For model/quantizer-sized artifacts only (the
+        caller guarantees bounded row counts; this materializes
+        everything on the driver).  Returns the same rows a Spark
+        ``read().collect()`` would, as plain dicts."""
+        import pyarrow.parquet as pq
+
+        segs = self.segments()
+        if not segs:
+            raise FileNotFoundError(f"table at {self.path} has no committed generation")
+        out: list[dict] = []
+        for seg in segs:
+            for f in sorted(os.listdir(seg)):
+                if f.endswith(".parquet"):
+                    out.extend(pq.read_table(os.path.join(seg, f)).to_pylist())
+        return out
 
     def history(self) -> list[int]:
         """Sequence numbers of the retained generations, oldest first —
@@ -352,30 +394,116 @@ class ParquetTable:
             self._write_bloom(seg_path, bloom_cols)
         if stats_cols:
             # Segment-level min/max stats (Iceberg manifest-entry
-            # equivalent) — computed with ONE scan of the new segment
-            # only (O(batch)), stored as an underscore sidecar INSIDE
+            # equivalent), stored as an underscore sidecar INSIDE
             # the segment dir so parquet readers ignore it and GC
             # removes it with the segment.  Timestamps/dates serialize
             # as ISO strings (lexicographic order == time order);
             # numerics stay raw JSON.
+            #
+            # Statistics-exact column types (integers, date32) take
+            # their min/max straight from the parquet FOOTERS the write
+            # just produced — zero Spark jobs, O(row groups) driver
+            # work.  Only the remaining columns (strings, floats,
+            # timestamps — where footer stats can be truncated,
+            # NaN-polluted, or ordered differently from Spark's
+            # comparator) pay the one-column Spark aggregate scan.
             import json as _json
 
-            seg_df = self.spark.read.parquet(seg_path)
-            row = seg_df.agg(
-                *[F.min(c).alias(f"min_{c}") for c in stats_cols],
-                *[F.max(c).alias(f"max_{c}") for c in stats_cols],
-            ).first()
+            stats = self._footer_stats(seg_path, stats_cols)
+            rest = [c for c in stats_cols if c not in stats]
+            if rest:
+                seg_df = self.spark.read.parquet(seg_path)
+                row = seg_df.agg(
+                    *[F.min(c).alias(f"min_{c}") for c in rest],
+                    *[F.max(c).alias(f"max_{c}") for c in rest],
+                ).first()
+                for c in rest:
+                    stats[c] = {"min": row[f"min_{c}"], "max": row[f"max_{c}"]}
 
             def enc(v):
                 return v if isinstance(v, (int, float, type(None))) else str(v)
 
             stats = {
-                c: {"min": enc(row[f"min_{c}"]), "max": enc(row[f"max_{c}"])}
+                c: {"min": enc(stats[c]["min"]), "max": enc(stats[c]["max"])}
                 for c in stats_cols
             }
             with open(os.path.join(seg_path, "_stats.json"), "w") as fh:
                 _json.dump(stats, fh)
         return seg
+
+    def _footer_stats(self, seg_path: str, cols: list[str]) -> dict:
+        """Min/max per column from parquet footer statistics, for the
+        column types where footer stats are EXACT and ordered like
+        Spark's min/max (signed integers, date32) — the same values the
+        one-column Spark aggregate would return, without running a job.
+        Columns of any other type, columns missing a chunk's stats, or
+        anything unexpected are simply OMITTED from the result and fall
+        back to the caller's Spark aggregate: the sidecar feeds pruning
+        decisions, so it must never be approximated."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        try:
+            files = [
+                os.path.join(seg_path, f)
+                for f in sorted(os.listdir(seg_path))
+                if f.endswith(".parquet")
+            ]
+            metas = [pq.ParquetFile(f) for f in files]
+        except Exception:  # noqa: BLE001 — any surprise → Spark agg
+            return out
+        for c in cols:
+            lo = hi = None
+            ok = bool(metas)
+            for pf in metas:
+                if not ok:
+                    break
+                try:
+                    field_idx = pf.schema_arrow.get_field_index(c)
+                except Exception:  # noqa: BLE001
+                    ok = False
+                    break
+                if field_idx < 0:
+                    ok = False
+                    break
+                typ = pf.schema_arrow.field(field_idx).type
+                if not (
+                    (pa.types.is_integer(typ) and not pa.types.is_boolean(typ))
+                    or pa.types.is_date32(typ)
+                ):
+                    ok = False
+                    break
+                md = pf.metadata
+                for rg in range(md.num_row_groups):
+                    group = md.row_group(rg)
+                    chunk = None
+                    for ci in range(group.num_columns):
+                        col = group.column(ci)
+                        if col.path_in_schema == c:
+                            chunk = col
+                            break
+                    if chunk is None:
+                        ok = False
+                        break
+                    st = chunk.statistics
+                    if st is None or not st.has_min_max:
+                        # all-null chunk: contributes nothing (matches
+                        # Spark's null-skipping min/max); anything else
+                        # without stats forces the fallback.
+                        if (
+                            st is not None
+                            and st.has_null_count
+                            and st.null_count == chunk.num_values
+                        ):
+                            continue
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if ok:
+                out[c] = {"min": lo, "max": hi}
+        return out
 
     BLOOM_M, BLOOM_K = 8192, 4  # bits per segment bloom, hash count
 
@@ -991,13 +1119,18 @@ class ParquetTable:
             return 0
         victim_names = {os.path.basename(s) for s in victims}
         cur = self._read_segments(victims)
-        n_before = cur.count()
+        # Both row counts come from parquet FOOTERS (exact, no Spark
+        # job): the victims' count is fixed at commit time and the
+        # replacement was just written — scanning either again buys
+        # nothing (guide §1: don't pay a pass for a number the
+        # metadata already holds).
+        n_before = sum(self._segment_rows(n) for n in victim_names)
         keep = keep_of(cur)
         stats_cols, bloom_cols = self._tracked_cols(victims)
         seg = self._write_segment(
             keep, stats_cols=stats_cols or None, bloom_cols=bloom_cols or None
         )
-        n_after = self.spark.read.parquet(os.path.join(self.path, seg)).count()
+        n_after = self._segment_rows(seg)
         drop_empty = n_after == 0 and len(victims) < len(self.segments())
         if drop_empty:
             # Every victim row was deleted and other segments remain:

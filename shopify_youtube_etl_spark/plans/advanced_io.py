@@ -737,7 +737,9 @@ def pagestore_pruned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_page_store,
     )
 
-    mx = t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    from shopify_youtube_etl_spark.plans.common import table_col_max
+
+    mx = table_col_max(spark, sf_dir, "documents", "doc_id")
     split = int((mx + 1) * 4 // 5) if mx is not None else 0
     rows = [
         r.asDict()

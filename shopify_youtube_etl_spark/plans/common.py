@@ -182,6 +182,70 @@ def spread(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame
     return df
 
 
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact unfiltered row count of a testdata table from the parquet
+    footer (no Spark job) — equals ``count(*)`` over the raw table.
+    Falls back to the Spark count if the footer is unreadable."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).metadata.num_rows
+    except Exception:  # noqa: BLE001
+        return t(spark, sf_dir, name).count()
+
+
+def table_col_max(spark: SparkSession, sf_dir: str, name: str, col: str):
+    """Exact MAX of an integer column of a testdata table, from parquet
+    FOOTER statistics — no Spark job (guide §1: don't pay a full column
+    scan for a number the metadata already holds; at 100 TB a max() agg
+    over an id column is a full-table pass).  Integer footer stats are
+    exact by the parquet spec, so this equals the Spark aggregate
+    bit-for-bit; any surprise (missing stats, non-integer type, missing
+    file) falls back to the aggregate."""
+    import os
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet"))
+        idx = pf.schema_arrow.get_field_index(col)
+        if idx >= 0 and pa.types.is_integer(pf.schema_arrow.field(idx).type):
+            md = pf.metadata
+            hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                chunk = next(
+                    (
+                        group.column(ci)
+                        for ci in range(group.num_columns)
+                        if group.column(ci).path_in_schema == col
+                    ),
+                    None,
+                )
+                st = chunk.statistics if chunk is not None else None
+                if st is None or not st.has_min_max:
+                    if (
+                        st is not None
+                        and st.has_null_count
+                        and st.null_count == chunk.num_values
+                    ):
+                        continue  # all-null chunk: contributes nothing
+                    ok = False
+                    break
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok:
+                return hi
+    except Exception:  # noqa: BLE001 — any surprise → the Spark agg
+        pass
+    return t(spark, sf_dir, name).agg(F.max(col).alias("m")).first()["m"]
+
+
 def epoch_day(col: Column) -> Column:
     """Days since 1970-01-01 as a long — the numeric ordering key used
     by RANGE-framed windows and calendar queries (DuckDB twin:

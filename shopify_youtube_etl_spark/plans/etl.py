@@ -1190,7 +1190,11 @@ def incremental_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         "o_orderkey", "o_orderstatus", "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
     )
-    mx = src.agg(F.max("o_orderkey").alias("m")).first()["m"]
+    # src only projects orders (o_orderkey untouched), so the table's
+    # footer max IS src's max.
+    from shopify_youtube_etl_spark.plans.common import table_col_max
+
+    mx = table_col_max(spark, sf_dir, "orders", "o_orderkey")
     split = int((mx + 1) * 4 // 5) if mx is not None else 0
     tbl = ParquetTable(spark, staging_dir("cluincr", sf_dir) + "/orders")
     tbl.overwrite(src.where(F.col("o_orderkey") < split))

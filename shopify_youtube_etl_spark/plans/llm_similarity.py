@@ -327,7 +327,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle→signature→band subtree, and the verification join would
     # recompute corpus-wide shingles for BOTH sides (3 full shingle
     # passes total — the dominant cost at any scale).
-    pairs = lsh_candidate_pairs(bands, "doc_id").localCheckpoint(eager=True)
+    # Lazy checkpoint: materializes inside the first consumer's job
+    # (one fewer job barrier); still computed exactly once.  Safe here
+    # because the lineage reads only immutable testdata — nothing this
+    # function later mutates (the eager form is load-bearing ONLY where
+    # state tables are overwritten after the checkpoint, e.g. the
+    # funnel advance).
+    pairs = lsh_candidate_pairs(bands, "doc_id").localCheckpoint(eager=False)
 
     def cand_shingles(id_col: str, out_id: str, out_sh: str) -> DataFrame:
         # Prune the RAW docs to candidate ids BEFORE the shingle
@@ -786,14 +792,25 @@ def _ivf_dists(centers) -> "F.Column":
     """array<double> of squared distances from column ``v`` to each
     centroid (pure-JVM zip_with/aggregate fold, broadcast-literal
     centers — the shared cell-assignment expression for IVF search and
-    incremental index maintenance)."""
+    incremental index maintenance).
 
-    def sqdist_to(center: list[float]):
-        c = F.array(*[F.lit(x) for x in center])
-        diff = F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-
-    return F.array(*[sqdist_to(c) for c in centers])
+    Built as ONE SQL expression string: the former per-element
+    ``F.lit`` form issued K·dim py4j calls (16×64 = 1024+) on every
+    invocation — measured as a multi-second pure-driver gap in the
+    maintenance queries — and unrolled K near-identical fold subtrees
+    for Catalyst to re-analyze.  The string form is one py4j call and
+    an O(1)-size tree (``transform`` over the centroid matrix).
+    Bit-parity with the unrolled form is test-verified: ``repr(float)``
+    round-trips exactly through Spark's double parsing, and the
+    fold order (zip_with then left-fold add) is unchanged."""
+    rows = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in centers
+    )
+    return F.expr(
+        f"transform(array({rows}), c -> "
+        "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0D, "
+        "(acc, x) -> acc + x))"
+    )
 
 
 def _ivf_search(e: DataFrame, centers) -> DataFrame:
@@ -1492,7 +1509,7 @@ def _load_or_train_pq(spark: SparkSession, sf_dir: str):
 
     tbl = _ann_artifact_table(spark, sf_dir, "pq")
     if tbl.exists():
-        rows = tbl.read().collect()  # model-sized: M·KSUB tiny rows
+        rows = tbl.read_rows()  # model-sized: M·KSUB tiny rows, pyarrow (no job)
         if len(rows) == _PQ_M * _PQ_KSUB:
             dsub = len(rows[0]["centroid_vec"])
             cb = np.empty((_PQ_M, _PQ_KSUB, dsub), dtype=np.float64)
@@ -1584,9 +1601,10 @@ def _fit_ivf_centroids(spark: SparkSession, sf_dir: str):
 def _load_or_train_ivf(spark: SparkSession, sf_dir: str):
     tbl = _ann_artifact_table(spark, sf_dir, "ivf")
     if tbl.exists():
-        rows = tbl.read().orderBy("cell").collect()
-        if len(rows) == _IVF_K:
-            return [list(r["centroid_vec"]) for r in rows]
+        # Quantizer-sized (K=16 rows): pyarrow driver read, no Spark job.
+        recs = sorted(tbl.read_rows(), key=lambda r: r["cell"])
+        if len(recs) == _IVF_K:
+            return [list(r["centroid_vec"]) for r in recs]
     centers = _fit_ivf_centroids(spark, sf_dir)
     if centers is not None:
         _persist_ivf(spark, tbl, centers)
@@ -1818,10 +1836,10 @@ def _load_or_train_ivfpq(
     tbl = _ann_artifact_table(spark, sf_dir, kind)
     want_fp = _centers_fingerprint(centers)
     if tbl.exists():
-        rows = tbl.read().collect()
+        rows = tbl.read_rows()  # model-sized, pyarrow (no Spark job)
         if (
             len(rows) == _PQ_M * _PQ_KSUB
-            and "centers_fp" in rows[0].asDict()
+            and "centers_fp" in rows[0]
             and rows[0]["centers_fp"] == want_fp
         ):
             dsub = len(rows[0]["centroid_vec"])
@@ -2047,12 +2065,10 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centers = [list(map(float, c)) for c in model.clusterCenters()]
 
-    def sqdist_to(center):
-        c = F.array(*[F.lit(x) for x in center])
-        diff = F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-
-    dists = F.array(*[sqdist_to(c) for c in centers])
+    # Shared SQL-string distance expression (see _ivf_dists): the
+    # former per-element F.lit form issued k·dim py4j calls (up to
+    # 64×64 = 4096) per invocation — pure driver time.
+    dists = _ivf_dists(centers)
     assigned = e.withColumn(
         "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     )
@@ -2104,13 +2120,12 @@ def _ivf_append_split(spark: SparkSession, sf_dir: str) -> int:
     A FRACTION, not a constant — the append slice must stay
     batch-proportional as the corpus scales, or the maintenance query
     degenerates into re-indexing the corpus (the exact failure mode it
-    exists to avoid).  Deterministic given the data (one max() agg);
+    exists to avoid).  Deterministic given the data (exact footer max —
+    equals the former max() agg without the full id-column pass);
     at the 500-row test SFs this lands on the historical 400."""
-    mx = (
-        t(spark, sf_dir, "embeddings")
-        .agg(F.max("vec_id").alias("m"))
-        .first()["m"]
-    )
+    from shopify_youtube_etl_spark.plans.common import table_col_max
+
+    mx = table_col_max(spark, sf_dir, "embeddings", "vec_id")
     return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 
@@ -2125,9 +2140,25 @@ def _load_or_train_ivf_base(spark: SparkSession, sf_dir: str, split: int):
     None) on an empty base."""
     tbl = _ann_artifact_table(spark, sf_dir, f"ivfbase{split}")
     if tbl.exists():
-        rows = tbl.read().orderBy("cell").collect()
-        if len(rows) == _IVF_K:
-            return [list(r["centroid_vec"]) for r in rows], tbl.read()
+        # Quantizer-sized artifact (K=16 rows): pyarrow driver read —
+        # no Spark job on the warm path; the stats frame rebuilds as a
+        # local relation with the identical rows/schema.
+        recs = sorted(tbl.read_rows(), key=lambda r: r["cell"])
+        if len(recs) == _IVF_K:
+            stats = spark.createDataFrame(
+                [
+                    (
+                        r["cell"],
+                        list(r["centroid_vec"]),
+                        r["n_base"],
+                        r["mean_sqdist_base"],
+                    )
+                    for r in recs
+                ],
+                "cell int, centroid_vec array<double>, n_base long, "
+                "mean_sqdist_base double",
+            )
+            return [list(r["centroid_vec"]) for r in recs], stats
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -2573,7 +2604,7 @@ def ivfpq_code_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_tbl = _ann_artifact_table(spark, sf_dir, f"ivfsplit{split}")
     if not split_tbl.exists():
         ivf_hot_cell_split(spark, sf_dir).collect()
-    child_rows = split_tbl.read().collect() if split_tbl.exists() else []
+    child_rows = split_tbl.read_rows() if split_tbl.exists() else []  # <= 2K rows, pyarrow
     if not child_rows:
         return spark.createDataFrame([], out_schema)
     codebooks = _load_or_train_ivfpq(

@@ -22,7 +22,7 @@ from shopify_youtube_etl_spark.functions.text import (
     token_count_whitespace,
     words,
 )
-from shopify_youtube_etl_spark.plans.common import t
+from shopify_youtube_etl_spark.plans.common import spread, t
 from shopify_youtube_etl_spark.plans.registry import query
 
 # DuckDB fragments mirroring functions/text.py helpers.
@@ -303,8 +303,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines (same discipline as ann_cosine_topk)."""
     from pyspark.sql.window import Window
 
+    from shopify_youtube_etl_spark.plans.common import table_row_count
+
+    # n_docs is the raw table's row count — exact from the parquet
+    # footer, no Spark job.
     d = t(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar: corpus size (tiny driver action)
+    n_docs = table_row_count(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
     df_tbl = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     tf = (
@@ -1501,8 +1505,9 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     token array — per-row JVM work, no extra shuffle.  The collision
     epsilon (2^-64 per span pair) is the documented trade, identical
     to the MinHash family's."""
+    # spread(): same single-task span-hashing fix as the profile twin.
     toks = (
-        t(spark, sf_dir, "documents")
+        spread(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .select("doc_id", F.split(F.col("text"), " ").alias("w"))
     )
@@ -2014,8 +2019,13 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from shopify_youtube_etl_spark.operators.components import connected_components
 
+    # spread(): the funnel tokenizes/shingles every document several
+    # times over (census, dedup, minhash, decontam) — on a small
+    # single-file scan all of that ran in ONE task (guide §2.5 input
+    # skew: repartition immediately after the read); at real scale the
+    # scan is already split past core count and spread() is a no-op.
     docs = (
-        t(spark, sf_dir, "documents")
+        spread(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .select("doc_id", "text")
     )
@@ -2040,7 +2050,9 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .join(quality, "doc_id")
         .select("doc_id", "text", F.size(ws).cast("long").alias("n_tokens"))
-        .localCheckpoint(eager=True)
+        # Lazy: materializes in the first consumer's job (one fewer
+        # barrier); this query writes no state, so laziness is safe.
+        .localCheckpoint(eager=False)
     )
 
     shingled = exact.select("doc_id", ws.alias("ws")).where(
@@ -2049,7 +2061,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash(shingled, "doc_id", "sh", num_hashes=32)
     pairs = _lsh_pairs(
         _lsh_bands(sigs, "doc_id", num_hashes=32, bands=8), "doc_id"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def cand_sh(id_col: str, out_id: str, out_sh: str):
         ids = pairs.select(F.col(id_col).alias("doc_id")).distinct()
@@ -2159,13 +2171,12 @@ def _funnel_split(spark: SparkSession, sf_dir: str) -> int:
     (a fixed id pins history to a constant and silently turns the
     "batch" into 90%+ of the data at larger SFs, benchmarking a
     re-curation instead of an increment).  Deterministic given the
-    data (one max() agg); at the 500-doc test SFs this lands on the
+    data (exact footer max — equals the former max() agg without the
+    full id-column pass); at the 500-doc test SFs this lands on the
     historical 400."""
-    mx = (
-        t(spark, sf_dir, "documents")
-        .agg(F.max("doc_id").alias("m"))
-        .first()["m"]
-    )
+    from shopify_youtube_etl_spark.plans.common import table_col_max
+
+    mx = table_col_max(spark, sf_dir, "documents", "doc_id")
     return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 
@@ -2175,16 +2186,32 @@ def _marker_current(marker) -> bool:
     compatibility — state persisted by older code (different banding,
     hashing, or schema conventions) must rebuild, not be reused
     (r9 verdict #6).  A marker without the ``layout_version`` column
-    (pre-versioning builds) is treated as stale for the same reason."""
+    (pre-versioning builds) is treated as stale for the same reason.
+
+    The marker is a one-row table, so it is read with pyarrow straight
+    off the committed segment files — the same rows a Spark read of the
+    manifest would return, without paying a Spark job on every
+    warm-path probe (two probes per incremental query per run)."""
+    import os
+
+    import pyarrow.parquet as pq
+
     from shopify_youtube_etl_spark.plans import common
 
     if not marker.exists():
         return False
-    df = marker.read()
-    if "layout_version" not in df.columns:
-        return False
-    row = df.select("layout_version").first()
-    return row is not None and row["layout_version"] == common.STATE_LAYOUT_VERSION
+    for seg in marker.segments():
+        for f in sorted(os.listdir(seg)):
+            if not f.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(seg, f))
+            if tbl.num_rows == 0:
+                continue
+            if "layout_version" not in tbl.column_names:
+                return False
+            v = tbl.column("layout_version")[0].as_py()
+            return v == common.STATE_LAYOUT_VERSION
+    return False
 
 
 def _materialize_funnel_state(
@@ -2339,8 +2366,11 @@ def _build_funnel_state(spark: SparkSession, sf_dir: str, st: dict, split: int) 
     )
     from shopify_youtube_etl_spark.operators.components import connected_components
 
+    # spread(): same single-task-tokenization fix as the full funnel —
+    # the history build shingles every history doc; a no-op once the
+    # scan is already split past core count.
     docs = (
-        t(spark, sf_dir, "documents")
+        spread(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .where(F.col("doc_id") < split)
         .select("doc_id", "text")
@@ -2870,10 +2900,10 @@ def incremental_funnel_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     crash anywhere in build/advance) is wiped and rebuilt, and the
     mid-advance crash window is additionally bounded by the advance's
     digests-first/meta-last commit order (both pinned in pytest)."""
+    from shopify_youtube_etl_spark.plans.common import table_col_max
+
     s2 = _funnel_split(spark, sf_dir)
-    mx = (
-        t(spark, sf_dir, "documents").agg(F.max("doc_id").alias("m")).first()["m"]
-    )
+    mx = table_col_max(spark, sf_dir, "documents", "doc_id")
     s1 = int((mx + 1) * 3 // 5) if mx is not None else 0
     # TERMINAL marker via the shared protocol (_materialize_funnel_state),
     # written only after build AND advance both committed — a crash
@@ -3101,12 +3131,19 @@ def _bm25_index_tables(spark: SparkSession, sf_dir: str, split: int) -> dict:
 
 
 def _index_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One explode pass reduced to the two index relations."""
+    """One explode pass reduced to the two index relations.
+
+    ``dlen`` is derived FROM the postings relation — a doc's length is
+    exactly the sum of its term frequencies (integer-valued doubles,
+    exact well past any real document length), so the norms table costs
+    one small aggregate over (doc_id, token, tf) instead of a second
+    tokenize+explode pass over the text (guide §1.2: don't compute
+    things twice; the explode is the expensive scan here)."""
     toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").cast("double").alias("tf")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dlen"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dlen"))
     return tf, dl
 
 
@@ -3184,11 +3221,29 @@ def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx["postings"].current_manifest() is None
         or idx["doclen"].current_manifest() is None
     ):
-        base_tf, base_dl = _index_rows(docs.where(F.col("doc_id") < split))
+        base_tf, _ = _index_rows(docs.where(F.col("doc_id") < split))
         idx["postings"].overwrite(base_tf, stats_cols=["doc_id"])
+        # Norms FROM the committed postings (dlen = Σ tf per doc, exact
+        # integer-valued doubles): the base corpus is tokenized ONCE —
+        # the second write reads back the two columns it needs instead
+        # of re-running the explode over every base document.
+        base_dl = (
+            idx["postings"]
+            .read()
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("double").alias("dlen"))
+        )
         idx["doclen"].overwrite(base_dl, stats_cols=["doc_id"])
 
     batch_tf, batch_dl = _index_rows(docs.where(F.col("doc_id") >= split))
+    # One tokenize pass per batch: both merges (and the dlen aggregate
+    # riding on tf) reuse the materialized batch postings.
+    # Lazy: lineage reads only immutable testdata, so the later state
+    # merges can't invalidate it; materializes in the first merge's job.
+    batch_tf = batch_tf.localCheckpoint(eager=False)
+    batch_dl = batch_tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("dlen")
+    )
     # Segment-pruned keyed MERGE (r7 verdict #1): batch doc_ids are all
     # >= split while the base index segments record doc_id < split, so
     # in steady state the base postings/norms survive in the manifest

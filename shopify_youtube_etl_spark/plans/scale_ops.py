@@ -418,7 +418,9 @@ def _hll_split(spark: SparkSession, sf_dir: str) -> int:
     bottom 80% of the event_id range is 'already sketched', the top
     20% is the incoming batch — the same corpus-fractional convention
     as the funnel and IVF maintenance splits."""
-    mx = t(spark, sf_dir, "events").agg(F.max("event_id").alias("m")).first()["m"]
+    from shopify_youtube_etl_spark.plans.common import table_col_max
+
+    mx = table_col_max(spark, sf_dir, "events", "event_id")
     return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 

@@ -501,7 +501,9 @@ def _attr_split(spark: SparkSession, sf_dir: str) -> int:
     20% of the id range is the newly-landed batch — a FRACTION, not a
     constant, for the same reason as llm_text._funnel_split (the batch
     must stay batch-proportional as the corpus scales)."""
-    mx = t(spark, sf_dir, "events").agg(F.max("event_id").alias("m")).first()["m"]
+    from shopify_youtube_etl_spark.plans.common import table_col_max
+
+    mx = table_col_max(spark, sf_dir, "events", "event_id")
     return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 

@@ -18,6 +18,15 @@ from shopify_youtube_etl_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# parquet path -> raw (pre-transform) schema inferred on first read.
+# The testdata files are read-only (TESTDATA.md), so the inference can
+# never go stale; passing the cached schema explicitly skips the
+# per-call footer read + file-listing work on the driver (a query that
+# loads 3-4 tables pays it on every bench rep otherwise).  The schema
+# is cached AFTER Spark's own inference, so runtime-dependent typing
+# (events.ts → long vs TIMESTAMP_NTZ) is preserved exactly.
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md)."""
@@ -28,7 +37,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver's): read parquet TIMESTAMP(NANOS) as long ns instead of
         # failing with PARQUET_TYPE_ILLEGAL.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
