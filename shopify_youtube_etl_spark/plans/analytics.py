@@ -3024,7 +3024,10 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact.  Scale shape: a 4-way map-side explode of part — partsupp
     is fact-sized and NEVER collected; only the one-row supplier count
     touches the driver."""
-    n_supp = t(spark, sf_dir, "supplier").count() or 1  # empty-table guard (ANSI % 0)
+    from shopify_youtube_etl_spark.plans.common import table_row_count
+
+    # Footer row count (exact, no Spark job); `or 1` = empty-table guard (ANSI % 0).
+    n_supp = table_row_count(spark, sf_dir, "supplier") or 1
     i = F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("i")
     return t(spark, sf_dir, "part").select("p_partkey", i).select(
         F.col("p_partkey").alias("ps_partkey"),
@@ -5891,11 +5894,9 @@ def _ccl_split(spark: SparkSession, sf_dir: str) -> int:
     l_orderkey below the split are the already-labeled history, the
     top 20% of the id range is the newly-landed batch (a fraction, not
     a constant — the llm_text._funnel_split rationale)."""
-    mx = (
-        t(spark, sf_dir, "lineitem")
-        .agg(F.max("l_orderkey").alias("m"))
-        .first()["m"]
-    )
+    from shopify_youtube_etl_spark.plans.common import table_col_max
+
+    mx = table_col_max(spark, sf_dir, "lineitem", "l_orderkey")
     return int((mx + 1) * 4 // 5) if mx is not None else 0
 
 
@@ -6050,11 +6051,9 @@ def _ccd_split(spark: SparkSession, sf_dir: str) -> int:
     l_orderkey at or above the top 10% of the id range are the DELETED
     batch (returns/erasures) — a fraction, not a constant, for the same
     reason as _ccl_split."""
-    mx = (
-        t(spark, sf_dir, "lineitem")
-        .agg(F.max("l_orderkey").alias("m"))
-        .first()["m"]
-    )
+    from shopify_youtube_etl_spark.plans.common import table_col_max
+
+    mx = table_col_max(spark, sf_dir, "lineitem", "l_orderkey")
     return int((mx + 1) * 9 // 10) if mx is not None else 0
 
 

@@ -2984,7 +2984,11 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     if probe_row is None:  # no probe vector: the dense leg contributes nothing
         vec_rank = spark.createDataFrame([], "doc_id long, vec_rank long")
     else:
-        pv = F.array(*[F.lit(float(x)) for x in probe_row[0]])
+        # One SQL literal instead of dim F.lit py4j calls (repr
+        # round-trips doubles exactly — same values, see _ivf_dists).
+        pv = F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in probe_row[0]) + ")"
+        )
         cv = as_double_array("embedding")
         cs = e.where(F.col("vec_id") != 0).select(
             F.col("vec_id").alias("doc_id"),

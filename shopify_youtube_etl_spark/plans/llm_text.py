@@ -2033,7 +2033,23 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 50 != 7)
 
     ws = words(F.col("text"))
-    quality = corpus.where(_funnel_quality_pred())
+
+    # ONE tokenizing pass over the corpus (guide §1.2: the funnel's
+    # expensive scan is tokenization, and it used to run once for the
+    # stage-1/2 census and again for the exact-dedup survivors): the
+    # checkpointed base frame carries token count, the quality flag,
+    # and the digest, so the census becomes a conditional aggregate
+    # over stored columns and exact-dedup never re-tokenizes.  Values
+    # are identical by construction — same expressions, same rows.
+    nt_expr = F.size(ws).cast("long")
+    base = corpus.select(
+        "doc_id",
+        "text",
+        nt_expr.alias("nt"),
+        _funnel_quality_pred().alias("q"),
+        F.md5("text").alias("digest"),
+    ).localCheckpoint(eager=False)
+    quality = base.where(F.col("q"))
 
     # The exact-dedup survivors feed FIVE downstream consumers
     # (shingling, two candidate prunes, the component join-back, the
@@ -2043,15 +2059,15 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # makes for its candidate frame, applied to the corpus frame a
     # multi-stage pipeline legitimately reuses.  n_tokens rides INTO
     # the checkpoint so the three survivor-stage counts sum a stored
-    # long instead of re-tokenizing their frames — tokenization is the
-    # funnel's expensive scan, and it should happen once per doc.
+    # long instead of re-tokenizing their frames.
+    # (Lazy checkpoints: materialize in the first consumer's job — one
+    # fewer barrier; this query writes no state, so laziness is safe.
+    # A/B at sf0.1: lazy 6.4-6.8s vs eager 7.7-8.3s warm.)
     exact = (
-        quality.groupBy(F.md5("text").alias("digest"))
+        quality.groupBy("digest")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(quality, "doc_id")
-        .select("doc_id", "text", F.size(ws).cast("long").alias("n_tokens"))
-        # Lazy: materializes in the first consumer's job (one fewer
-        # barrier); this query writes no state, so laziness is safe.
+        .select("doc_id", "text", F.col("nt").alias("n_tokens"))
         .localCheckpoint(eager=False)
     )
 
@@ -2106,12 +2122,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decontam = neardup.join(contaminated, "doc_id", "left_anti")
 
-    # Stages 1+2 from ONE tokenizing pass (quality folded in as a
-    # conditional aggregate); stages 3-5 sum the n_tokens stored in the
-    # checkpoint — five stage rows, one tokenization per document.
-    qual = _funnel_quality_pred()
-    nt = F.size(ws).cast("long")
-    census = corpus.select(nt.alias("nt"), qual.alias("q")).agg(
+    # Stages 1+2 from the checkpointed base frame (token count and the
+    # quality flag were computed in ITS single tokenizing pass); stages
+    # 3-5 sum the n_tokens stored in the exact checkpoint — five stage
+    # rows, one tokenization per document for the whole funnel.
+    census = base.select("nt", "q").agg(
         F.count("*").alias("n1"),
         F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("t1"),
         F.count(F.when(F.col("q"), 1)).alias("n2"),
@@ -2529,8 +2544,13 @@ def _funnel_batch(
     from shopify_youtube_etl_spark.operators.components import connected_components
 
     ws = words(F.col("text"))
+    # spread(): the batch's tokenize/shingle/minhash work ran in 1-2
+    # tasks off the single-file scan (profiled: two ~1.3s single-task
+    # checkpoint jobs per rep); a no-op at real scale where the scan
+    # splits past core count.  Partitioning cannot change any result
+    # here (min-per-digest dedup, map-side signatures, aggregates).
     docs_b = (
-        t(spark, sf_dir, "documents")
+        spread(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .where(F.col("doc_id") >= lo)
         .select("doc_id", "text")
@@ -2578,6 +2598,9 @@ def _funnel_batch(
     # pairs frame: three consumers (both cand_sh sides + the verify
     # join) would otherwise each replay the band-probe subtree.
     new_pairs = _lsh_pairs(touched, "doc_id").localCheckpoint(eager=True)
+    # NO spread() here: the broadcast-id prune keeps this scan's heavy
+    # work candidate-sized, and a repartition would shuffle the FULL
+    # text corpus once per cand_sh consumer before the prune applies.
     texts = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
@@ -3528,7 +3551,11 @@ def quality_knee_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .select(quality_score(F.col("text")).alias("q"))
     )
-    pcts = F.array(*[F.lit(1.0 - k / 200.0) for k in range(201)])
+    # One SQL literal instead of 201 F.lit py4j calls (repr round-trips
+    # the identical doubles — see _ivf_dists for the pattern).
+    pcts = F.expr(
+        "array(" + ",".join(f"{1.0 - k / 200.0!r}D" for k in range(201)) + ")"
+    )
     grid = scored.agg(F.percentile("q", pcts).alias("vs")).select(
         F.posexplode("vs").alias("k", "v_raw")
     ).select("k", F.round("v_raw", 6).alias("v"))
