@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from shopify_youtube_etl_spark.functions.text import words
-from shopify_youtube_etl_spark.plans.common import day_str, epoch_day, money, spread, t, ts_str
+from shopify_youtube_etl_spark.plans.common import day_str, epoch_day, money, t, ts_str
 from shopify_youtube_etl_spark.plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -3810,12 +3810,8 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated MAP-SIDE from each set with higher-order array functions
     (sorted => brand_a < brand_b by construction) - leaving the
     bounded-key pair census as the only other exchange."""
-    # spread(): the broadcast brand join + partial collect_set is the
-    # map side of the basket shuffle; on a single-file scan it ran in
-    # one task (no-op at scale).  sort_array(collect_set(...)) keeps
-    # the basket deterministic under any partitioning.
     per_order = (
-        spread(spark, sf_dir, "lineitem")
+        t(spark, sf_dir, "lineitem")
         .join(
             F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),

@@ -1597,11 +1597,23 @@ def tpch_refresh_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     stock Q1 are dropped here: averages over a refreshed double column
     can land on true half-ulp rounding ties between engines — the sums
     and counts pin the same correctness without the tie risk.)"""
-    from shopify_youtube_etl_spark.plans.common import staging_dir
+    from shopify_youtube_etl_spark.plans.common import spread, staging_dir
 
-    li = t(spark, sf_dir, "lineitem")
+    # spread() on the SOURCE of the initial overwrite (guide §2.5 input
+    # parallelism): the sf0.1 lineitem file is ONE parquet row group, so
+    # every pass over it decodes serially in one task; the overwrite
+    # lands the table as a core-count-wide segment instead, and every
+    # later pass reads THAT.  No-op at real scale (scans already split
+    # past core count); results unchanged (Q1 is an aggregate).
     tbl = ParquetTable(spark, staging_dir("tpchrf", sf_dir) + "/lineitem")
-    tbl.overwrite(li, stats_cols=["l_orderkey"])
+    tbl.overwrite(spread(spark, sf_dir, "lineitem"), stats_cols=["l_orderkey"])
+    # The refresh waves derive from the PRE-delete committed snapshot —
+    # row-identical to the source table, but parallel (32 files) and
+    # decoded once instead of re-decoding the single-row-group source
+    # for every wave.  The snapshot's file list is resolved here, before
+    # the later commits, and KEEP_GENERATIONS retention keeps those
+    # files alive until after the merge's batch is materialized.
+    li = tbl.read()
 
     # RF2: delete wave (join-shaped, segment-pruned).
     doomed = (
@@ -1609,7 +1621,9 @@ def tpch_refresh_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.delete_matching(doomed, on="l_orderkey")
 
-    # RF1: update + insert in ONE keyed merge.
+    # RF1: update + insert in ONE keyed merge.  upd filters % 37 != 0,
+    # and ins shifts keys by +1e8, so deriving both from the pre-delete
+    # snapshot is value-identical to deriving them from the raw source.
     upd = (
         li.where((F.col("l_orderkey") % 41 == 0) & (F.col("l_orderkey") % 37 != 0))
         .withColumn("l_returnflag", F.lit("R"))

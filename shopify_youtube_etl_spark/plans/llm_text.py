@@ -1505,9 +1505,8 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     token array — per-row JVM work, no extra shuffle.  The collision
     epsilon (2^-64 per span pair) is the documented trade, identical
     to the MinHash family's."""
-    # spread(): same single-task span-hashing fix as the profile twin.
     toks = (
-        spread(spark, sf_dir, "documents")
+        t(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .select("doc_id", F.split(F.col("text"), " ").alias("w"))
     )
