@@ -180,18 +180,44 @@ def _time_calibration(spark, specs) -> float:
     return round(best, 3)
 
 
+def _steal_ticks() -> int | None:
+    """Cumulative hypervisor-steal jiffies from /proc/stat (field 8 of
+    the aggregate cpu line).  The r12 adjudication showed loadavg alone
+    misses mid-run steal storms; recording the tick counter before and
+    after the run makes contamination machine-detectable (delta/100 =
+    stolen CPU-seconds across the run).  None on platforms without it."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts and parts[0] == "cpu" else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+# The grading driver keeps only the LAST 2000 chars of stdout and parses
+# the final JSON line out of it; the trailer (plus newline) must always
+# fit.  1950 leaves headroom for the newline and stray carriage returns.
+_TAIL_BUDGET = 1950
+
+
 def summary_record(record: dict) -> dict:
     """Compact trailer derived from the full record — everything the
-    grade reads (metric/value/unit/sf) plus the contention sentinels,
-    WITHOUT the per-query dicts, so its JSON line stays well under 500
-    chars.  Exists because the driver keeps only the LAST 2000 chars of
-    stdout: r10's sentinel additions pushed the single full-record line
-    past that and the truncation dropped ``metric``/``value`` off the
-    head, leaving BENCH_r10.json with ``parsed: null`` (r10 verdict #1).
-    The trailer is printed AFTER the full record so the tail capture
-    always ends with a self-contained, parseable summary; the per-query
-    timings live on the preceding full line (and in the LOCAL_PREVIEW
-    artifacts)."""
+    grade reads (metric/value/unit/sf) plus the contention sentinels
+    AND a 2-decimal per-query map.  Exists because the driver keeps
+    only the LAST 2000 chars of stdout: r10's sentinel additions pushed
+    the single full-record line past that and the truncation dropped
+    ``metric``/``value`` off the head (r10 verdict #1); r11's fix made
+    the trailer parseable but per-query-blind, leaving PERF_r12 with
+    ``per_query: {}`` and an empty scaling block (r12 verdict #4/item
+    2).  This version carries the per-query minima at 2 decimals in
+    compact JSON — measured 1.8-1.9k chars for the 56-query set — with
+    a size guard (``trailer_line``) that degrades to 1-decimal and then
+    to no-queries rather than ever overflowing the tail window.  The
+    full 3-decimal record (plus medians) is printed on the PRECEDING
+    line for humans and LOCAL_PREVIEW captures; timing methodology is
+    unchanged."""
+    cal = record.get("calibration") or {}
+    steal = record.get("steal_ticks") or {}
     out = {
         "metric": record["metric"],
         "value": record["value"],
@@ -199,18 +225,40 @@ def summary_record(record: dict) -> dict:
         "sf": record["sf"],
         "reps": record["reps"],
         "n_queries": len(record.get("queries", {})),
-        "total_median_sec": round(
-            sum(record.get("queries_median", {}).values()), 3
-        ),
-        "calibration": record.get("calibration"),
+        "queries": {k: round(v, 2) for k, v in record.get("queries", {}).items()},
+        # Sentinels, terse forms (the full line keeps the verbose ones):
+        # the "query" name is dropped from calibration, steal collapses
+        # to its delta (stolen jiffies across the run; /100 = CPU-sec).
+        "calibration": {k: cal[k] for k in ("start_sec", "end_sec", "drift_ratio") if k in cal},
         "loadavg": record.get("loadavg"),
         "summary": True,  # marks the trailer; full per-query line precedes it
     }
+    if steal.get("delta") is not None:
+        out["steal_delta"] = steal["delta"]
     errors = record.get("errors")
     if errors:
         out["n_errors"] = len(errors)
-        out["error_queries"] = sorted(errors)[:5]
+        out["error_queries"] = sorted(errors)[:2]
     return out
+
+
+def trailer_line(summary: dict) -> str:
+    """Serialize the trailer compactly, degrading the per-query map
+    (2dp → 1dp → absent) sooner than ever exceeding the driver's tail
+    window.  Degradation is loud: the trailer says which fidelity it
+    kept so a reader never mistakes a clipped map for the full one."""
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) <= _TAIL_BUDGET:
+        return line
+    coarse = dict(summary)
+    coarse["queries"] = {k: round(v, 1) for k, v in summary.get("queries", {}).items()}
+    coarse["queries_rounded_1dp"] = True
+    line = json.dumps(coarse, separators=(",", ":"))
+    if len(line) <= _TAIL_BUDGET:
+        return line
+    bare = {k: v for k, v in summary.items() if k != "queries"}
+    bare["queries_omitted_for_size"] = True
+    return json.dumps(bare, separators=(",", ":"))
 
 
 def main() -> None:
@@ -235,6 +283,7 @@ def main() -> None:
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     load_start = os.getloadavg()
+    steal_start = _steal_ticks()
     calibration_start = _time_calibration(spark, specs)
 
     # Best of REPS runs per query: the first run absorbs per-query
@@ -271,6 +320,7 @@ def main() -> None:
 
     calibration_end = _time_calibration(spark, specs)
     load_end = os.getloadavg()
+    steal_end = _steal_ticks()
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -301,13 +351,25 @@ def main() -> None:
             "end": [round(x, 2) for x in load_end],
             "cpu_count": os.cpu_count(),
         },
+        # Hypervisor steal (r12 verdict item 9): cumulative jiffies at
+        # the run's bracket; delta/100 = CPU-seconds stolen during the
+        # run.  On this host a quiet run shows <50k; the r12 official
+        # record's storm would have shown its own contamination here.
+        "steal_ticks": {
+            "start": steal_start,
+            "end": steal_end,
+            "delta": (steal_end - steal_start)
+            if steal_start is not None and steal_end is not None
+            else None,
+        },
         **({"errors": errors} if errors else {}),
     }
     # Full record first (humans, LOCAL_PREVIEW captures), compact
     # summary LAST — the driver's 2000-char tail capture must always
-    # end on a self-contained parseable line (see summary_record).
+    # end on a self-contained parseable line carrying the per-query
+    # map (see summary_record / trailer_line).
     print(json.dumps(record))
-    print(json.dumps(summary_record(record)))
+    print(trailer_line(summary_record(record)))
 
 
 if __name__ == "__main__":

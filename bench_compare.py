@@ -261,7 +261,10 @@ def load(path: str) -> dict:
             "compact summary trailer line now survives the tail capture."
         )
     rec = d.get("parsed", d)
-    if rec.get("summary") or not rec.get("queries"):
+    # From r13 the trailer itself carries a 2-decimal per-query map, so
+    # a summary record WITH queries needs no preview substitution; the
+    # fallback below remains for r11/r12 records (map-less trailers).
+    if not rec.get("queries"):
         base = os.path.basename(path)
         m = re.match(r"BENCH_(r\d+)\.json$", base)
         preview = (

@@ -276,6 +276,24 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def double_literal(x: float) -> str:
+    """One SQL double literal that round-trips EXACTLY: ``repr`` for
+    finite values (shortest-repr floats parse back bit-identical through
+    Spark's double parser) and CAST forms for NaN/±Infinity, whose repr
+    ('nan'/'inf') would render unparseable SQL (``nanD``) — ADVICE r12.
+    The CAST forms evaluate to the same doubles ``F.lit`` produced, so
+    a non-finite model value degrades to the pre-r12 behavior instead
+    of an AnalysisException."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = sign(v · plane_i).  Vectors with small
     angle agree on most signs ⇒ land in the same bucket.
@@ -285,7 +303,7 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     the same driver-side expression-build fix as ``_ivf_dists``; the
     dot-product fold order is unchanged, so buckets are bit-identical."""
     rows = ",".join(
-        "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in planes
+        "array(" + ",".join(double_literal(x) for x in p) + ")" for p in planes
     )
     planes_lit = F.expr(f"array({rows})")
     contribs = F.transform(

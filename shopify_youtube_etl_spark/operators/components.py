@@ -117,9 +117,19 @@ def connected_components(
             .select("node", F.col("node").alias("label"))
         )
         return spark.createDataFrame(rows, schema).unionByName(isolated)
+    # Iterative path (graph overflowed the probe): materialize the edge
+    # lineage ONCE and derive everything from the checkpoint (ADVICE
+    # r12).  Without this, the symmetrized frame re-derived the —
+    # potentially shuffle-heavy, LSH-verify-shaped — edge lineage that
+    # the probe had just executed, so a large graph paid roughly two
+    # full edge derivations before its first iteration.  The bounded
+    # probe's map-side work remains the small-path's admission price on
+    # this path (one partial pass, documented trade: it is what makes
+    # the common small-graph case 1-job instead of checkpoint+count).
+    edges_cp = edges.select(F.col("src"), F.col("dst")).localCheckpoint()
     sym = (
-        edges.select(F.col("src"), F.col("dst"))
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges_cp
+        .unionByName(edges_cp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint()
     )
     # Only edge ENDPOINTS ride the iterative loop: in a dedup graph the

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from shopify_youtube_etl_spark.functions.similarity import (
     as_double_array,
     cosine,
+    double_literal as _double_literal,
     jaccard,
     lsh_bands,
     lsh_candidate_pairs,
@@ -804,7 +805,7 @@ def _ivf_dists(centers) -> "F.Column":
     round-trips exactly through Spark's double parsing, and the
     fold order (zip_with then left-fold add) is unchanged."""
     rows = ",".join(
-        "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in centers
+        "array(" + ",".join(_double_literal(x) for x in c) + ")" for c in centers
     )
     return F.expr(
         f"transform(array({rows}), c -> "
@@ -2987,7 +2988,7 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # One SQL literal instead of dim F.lit py4j calls (repr
         # round-trips doubles exactly — same values, see _ivf_dists).
         pv = F.expr(
-            "array(" + ",".join(f"{float(x)!r}D" for x in probe_row[0]) + ")"
+            "array(" + ",".join(_double_literal(x) for x in probe_row[0]) + ")"
         )
         cv = as_double_array("embedding")
         cs = e.where(F.col("vec_id") != 0).select(

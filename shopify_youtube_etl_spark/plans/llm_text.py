@@ -22,6 +22,9 @@ from shopify_youtube_etl_spark.functions.text import (
     token_count_whitespace,
     words,
 )
+from shopify_youtube_etl_spark.functions.similarity import (
+    double_literal as _double_literal,
+)
 from shopify_youtube_etl_spark.plans.common import spread, t
 from shopify_youtube_etl_spark.plans.registry import query
 
@@ -2034,31 +2037,26 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = words(F.col("text"))
 
     # ONE tokenizing pass over the corpus (guide §1.2: the funnel's
-    # expensive scan is tokenization, and it used to run once for the
-    # stage-1/2 census and again for the exact-dedup survivors): the
-    # checkpointed base frame carries token count, the quality flag,
-    # and the digest, so the census becomes a conditional aggregate
-    # over stored columns and exact-dedup never re-tokenizes.  Values
-    # are identical by construction — same expressions, same rows.
+    # expensive scan is tokenization): the checkpointed base frame
+    # carries token count, the quality flag, and the digest — METADATA
+    # ONLY (ADVICE r12: the r12 form also checkpointed ``text``, a
+    # full-corpus copy to executor-local storage at the 100 TB design
+    # point).  The census becomes a conditional aggregate over stored
+    # columns, exact-dedup decides winners on (digest, doc_id), and
+    # survivor TEXT flows from the scan exactly once (the exact_text
+    # join below).  Values are identical by construction — same
+    # expressions, same rows.
     nt_expr = F.size(ws).cast("long")
     base = corpus.select(
         "doc_id",
-        "text",
         nt_expr.alias("nt"),
         _funnel_quality_pred().alias("q"),
         F.md5("text").alias("digest"),
     ).localCheckpoint(eager=False)
     quality = base.where(F.col("q"))
 
-    # The exact-dedup survivors feed FIVE downstream consumers
-    # (shingling, two candidate prunes, the component join-back, the
-    # stage count); localCheckpoint materializes the subtree once on
-    # executor storage instead of re-running the digest shuffle per
-    # consumer — the same lineage-truncation move the MinHash query
-    # makes for its candidate frame, applied to the corpus frame a
-    # multi-stage pipeline legitimately reuses.  n_tokens rides INTO
-    # the checkpoint so the three survivor-stage counts sum a stored
-    # long instead of re-tokenizing their frames.
+    # Exact-dedup survivors as METADATA (doc_id, n_tokens) — the three
+    # survivor-stage counts sum a stored long; tiny on disk.
     # (Lazy checkpoints: materialize in the first consumer's job — one
     # fewer barrier; this query writes no state, so laziness is safe.
     # A/B at sf0.1: lazy 6.4-6.8s vs eager 7.7-8.3s warm.)
@@ -2066,13 +2064,27 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.groupBy("digest")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(quality, "doc_id")
-        .select("doc_id", "text", F.col("nt").alias("n_tokens"))
+        .select("doc_id", F.col("nt").alias("n_tokens"))
         .localCheckpoint(eager=False)
     )
 
-    shingled = exact.select("doc_id", ws.alias("ws")).where(
-        F.size("ws") >= 3
-    ).select("doc_id", _shingles("ws", 3).alias("sh"))
+    # ONE tokenize+shingle pass over survivor text, checkpointed and
+    # shared by FOUR consumers (minhash signatures, both candidate
+    # verify sides, the decontam shingle explode) — the r12 form
+    # re-tokenized for each (guide §1.2; profiled: three concurrent
+    # ~1.3-1.7s 32-task tokenize jobs per rep at sf0.1 doing work this
+    # store now holds).  Storage trade, stated: the shingle arrays are
+    # ~3x the text bytes on executor-local disk for the report's
+    # lifetime; the alternative at 100 TB is three extra full-corpus
+    # tokenize passes in this cold full-corpus build (the incremental
+    # funnel stays candidate-bounded and does NOT materialize this).
+    exact_text = corpus.join(exact.select("doc_id"), "doc_id")
+    shingled = (
+        exact_text.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", _shingles("ws", 3).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     sigs = _minhash(shingled, "doc_id", "sh", num_hashes=32)
     pairs = _lsh_pairs(
         _lsh_bands(sigs, "doc_id", num_hashes=32, bands=8), "doc_id"
@@ -2081,15 +2093,15 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cand_sh(id_col: str, out_id: str, out_sh: str):
         ids = pairs.select(F.col(id_col).alias("doc_id")).distinct()
         return (
-            exact.join(F.broadcast(ids), "doc_id")
-            .select("doc_id", ws.alias("w2"))
-            .select(F.col("doc_id").alias(out_id), _shingles("w2", 3).alias(out_sh))
+            shingled.join(F.broadcast(ids), "doc_id")
+            .select(F.col("doc_id").alias(out_id), F.col("sh").alias(out_sh))
         )
 
     # cand_sh sides SHUFFLE_HASH-pinned (the minhash r10 hazard class):
-    # the shingle arrays are expression-expanded ~3x past the input's
-    # size estimate, so the optimizer can mis-choose this growing side
-    # as a broadcast build; shuffled-hash keeps the build per-partition.
+    # the stored shingle arrays are ~3x the row-size the planner
+    # estimates from the id column, so the optimizer can mis-choose
+    # this side as a broadcast build; shuffled-hash keeps the build
+    # per-partition.
     verified = (
         pairs.join(cand_sh("id_a", "id_a", "sa").hint("shuffle_hash"), "id_a")
         .join(cand_sh("id_b", "id_b", "sb").hint("shuffle_hash"), "id_b")
@@ -2097,10 +2109,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     labels = connected_components(verified, exact.select("doc_id"))
-    neardup = (
-        labels.where(F.col("node") == F.col("label"))
-        .select(F.col("node").alias("doc_id"))
-        .join(exact, "doc_id")
+    # Survivor decisions ride id-only frames (guide §8: decide with
+    # small rows); token counts attach from the exact metadata at the
+    # final stage aggregates.
+    neardup_ids = labels.where(F.col("node") == F.col("label")).select(
+        F.col("node").alias("doc_id")
     )
 
     bench_sh = (
@@ -2109,9 +2122,10 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(_shingles("bw", 3)).alias("sh"))
         .distinct()
     )
-    doc_sh = neardup.select("doc_id", ws.alias("dw")).where(
-        F.size("dw") >= 3
-    ).select("doc_id", F.explode(_shingles("dw", 3)).alias("sh"))
+    # Decontam reads the shingle store (no re-tokenize of survivors).
+    doc_sh = shingled.join(neardup_ids, "doc_id").select(
+        "doc_id", F.explode("sh").alias("sh")
+    )
     contaminated = (
         doc_sh.join(F.broadcast(bench_sh.withColumn("hit", F.lit(1))), "sh", "left")
         .groupBy("doc_id")
@@ -2119,7 +2133,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cont") >= 0.2)
         .select("doc_id")
     )
-    decontam = neardup.join(contaminated, "doc_id", "left_anti")
+    decontam_ids = neardup_ids.join(contaminated, "doc_id", "left_anti")
 
     # Stages 1+2 from the checkpointed base frame (token count and the
     # quality flag were computed in ITS single tokenizing pass); stages
@@ -2152,8 +2166,9 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     ).select("s.*")
 
-    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
+    def stage(n: int, name: str, ids: DataFrame | None) -> DataFrame:
+        src = exact if ids is None else ids.join(exact, "doc_id")
+        return src.agg(
             F.lit(n).alias("stage"),
             F.lit(name).alias("stage_name"),
             F.count("*").alias("n_docs"),
@@ -2162,9 +2177,9 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         stage12
-        .unionByName(stage(3, "exact_dedup", exact))
-        .unionByName(stage(4, "neardup", neardup))
-        .unionByName(stage(5, "decontam", decontam))
+        .unionByName(stage(3, "exact_dedup", None))
+        .unionByName(stage(4, "neardup", neardup_ids))
+        .unionByName(stage(5, "decontam", decontam_ids))
     )
 
 
@@ -3553,7 +3568,7 @@ def quality_knee_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One SQL literal instead of 201 F.lit py4j calls (repr round-trips
     # the identical doubles — see _ivf_dists for the pattern).
     pcts = F.expr(
-        "array(" + ",".join(f"{1.0 - k / 200.0!r}D" for k in range(201)) + ")"
+        "array(" + ",".join(_double_literal(1.0 - k / 200.0) for k in range(201)) + ")"
     )
     grid = scored.agg(F.percentile("q", pcts).alias("vs")).select(
         F.posexplode("vs").alias("k", "v_raw")

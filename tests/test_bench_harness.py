@@ -54,14 +54,53 @@ def _fat_record() -> dict:
 
 def test_summary_trailer_is_compact_and_self_contained():
     summary = bench.summary_record(_fat_record())
-    line = json.dumps(summary)
-    assert len(line) < 500, f"summary line must stay under 500 chars, got {len(line)}"
+    line = bench.trailer_line(summary)
+    assert len(line) <= bench._TAIL_BUDGET, (
+        f"trailer must fit the driver tail window, got {len(line)}"
+    )
     parsed = json.loads(line)
     # Everything the grade reads, plus the contention sentinels.
-    for key in ("metric", "value", "unit", "sf", "reps", "calibration", "loadavg"):
+    for key in ("metric", "value", "unit", "sf", "reps", "loadavg"):
         assert parsed[key] == summary[key]
     assert parsed["summary"] is True
     assert parsed["n_queries"] == len(bench.HEADLINE)
+    # r12 verdict item 2: the trailer now carries the per-query map
+    # (2-decimal) so PERF.per_query and the scaling block populate.
+    assert parsed["queries"] == {name: 1.23 for name in bench.HEADLINE}
+    # Terse calibration: the sentinel values without the query name.
+    assert parsed["calibration"] == {
+        "start_sec": 0.879, "end_sec": 0.553, "drift_ratio": 0.629
+    }
+
+
+def test_trailer_line_degrades_rather_than_overflowing():
+    """Size guard: an absurdly wide query set (names the registry does
+    not have, values >100s) must degrade to 1-decimal and then to a
+    no-queries trailer — never emit a line past the tail budget."""
+    rec = _fat_record()
+    rec["queries"] = {f"synthetic_query_name_{i:04d}": 123.456 for i in range(60)}
+    line = bench.trailer_line(bench.summary_record(rec))
+    assert len(line) <= bench._TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed.get("queries_rounded_1dp") or parsed.get("queries_omitted_for_size")
+    rec["queries"] = {f"extremely_long_synthetic_query_name_padding_{i:05d}": 123.456
+                      for i in range(200)}
+    line = bench.trailer_line(bench.summary_record(rec))
+    assert len(line) <= bench._TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed["queries_omitted_for_size"] is True
+    assert parsed["value"] == rec["value"]
+
+
+def test_steal_ticks_reads_proc_stat():
+    """The steal sentinel (r12 verdict item 9): monotone non-negative
+    counter on Linux, None-safe elsewhere."""
+    a = bench._steal_ticks()
+    b = bench._steal_ticks()
+    if a is None:
+        assert b is None
+    else:
+        assert isinstance(a, int) and a >= 0 and b >= a
 
 
 def test_summary_trailer_survives_driver_tail_capture():
@@ -72,7 +111,7 @@ def test_summary_trailer_survives_driver_tail_capture():
     record = _fat_record()
     full_line = json.dumps(record)
     assert len(full_line) > 2000, "full record no longer exceeds the tail window"
-    stdout = full_line + "\n" + json.dumps(bench.summary_record(record)) + "\n"
+    stdout = full_line + "\n" + bench.trailer_line(bench.summary_record(record)) + "\n"
     tail = stdout[-2000:]
     last_line = [ln for ln in tail.splitlines() if ln.strip()][-1]
     parsed = json.loads(last_line)
@@ -80,6 +119,8 @@ def test_summary_trailer_survives_driver_tail_capture():
     assert parsed["value"] == record["value"]
     assert parsed["calibration"]["drift_ratio"] == 0.629
     assert parsed["loadavg"]["cpu_count"] == 32
+    # The whole per-query map must survive INSIDE the tail window.
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
 
 
 def test_summary_trailer_carries_errors():
@@ -87,20 +128,20 @@ def test_summary_trailer_carries_errors():
     summary = bench.summary_record(record)
     assert summary["n_errors"] == 1
     assert summary["error_queries"] == ["q_bad"]
-    assert len(json.dumps(summary)) < 500
+    assert len(bench.trailer_line(summary)) <= bench._TAIL_BUDGET
 
 
 def test_summary_trailer_bounded_even_with_many_long_error_names():
     """Worst case: every headline query erroring, with the longest
-    names in the registry.  error_queries caps at 5 names, so the
-    trailer stays far inside the 2000-char tail window (the binding
-    constraint — <500 is the no-error design target)."""
+    names in the registry.  error_queries caps at 2 names (the full
+    line keeps them all), so the trailer plus the per-query map stays
+    inside the tail window."""
     longest = sorted(bench.HEADLINE, key=len, reverse=True)
     record = dict(
         _fat_record(), errors={n: "AnalysisException: " + "x" * 280 for n in longest}
     )
-    line = json.dumps(bench.summary_record(record))
-    assert len(line) < 1000, f"worst-case trailer too large: {len(line)}"
+    line = bench.trailer_line(bench.summary_record(record))
+    assert len(line) <= bench._TAIL_BUDGET, f"worst-case trailer too large: {len(line)}"
     assert json.loads(line)["n_errors"] == len(bench.HEADLINE)
 
 
