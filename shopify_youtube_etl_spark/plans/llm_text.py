@@ -2536,11 +2536,20 @@ def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = _funnel_split(spark, sf_dir)
     st = _funnel_state(spark, sf_dir, split)
     _ensure_funnel_state(spark, sf_dir, st, split)
-    return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st, split, None))
+    # eager=False: this path only REPORTS (no state advance follows),
+    # so the four batch checkpoints can materialize inside their first
+    # consumer's job instead of as four serial driver barriers —
+    # profiled at ~2s of pure driver gaps per rep at sf0.1.  The
+    # advance paths keep eager checkpoints: their lineage reads state
+    # tables that the advance overwrites afterwards (r12 §16 A/B).
+    return _funnel_stage_rows(
+        _funnel_batch(spark, sf_dir, st, split, None, eager=False)
+    )
 
 
 def _funnel_batch(
-    spark: SparkSession, sf_dir: str, st: dict, lo: int, hi: int | None
+    spark: SparkSession, sf_dir: str, st: dict, lo: int, hi: int | None,
+    eager: bool = True,
 ) -> dict:
     """One ingestion batch (lo ≤ doc_id < hi) curated against the
     persisted state ``st`` — the computation shared by the
@@ -2573,20 +2582,43 @@ def _funnel_batch(
         docs_b = docs_b.where(F.col("doc_id") < hi)
     bench_b = docs_b.where(F.col("doc_id") % 50 == 7)
     corpus_b = docs_b.where(F.col("doc_id") % 50 != 7)
-    quality_b = _funnel_quality(corpus_b)
+
+    # ONE tokenizing pass over the batch (the report's metadata
+    # discipline applied per batch, guide §1.2): token count, quality
+    # flag, and digest are computed once and checkpointed; the stage-
+    # 1/2 census, the dedup decision, and the survivor token sums all
+    # read stored columns.  The former shape tokenized the batch three
+    # times (quality filter, survivor toks, census) — at 100 TB every
+    # extra pass over ingested bytes is real money.  Values identical
+    # by construction: same expressions, same rows.
+    meta_b = corpus_b.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("nt"),
+        _funnel_quality_pred().alias("q"),
+        F.md5("text").alias("digest"),
+    ).localCheckpoint(eager=eager)
 
     # --- exact dedup: history wins every digest it has seen (history
     # ids precede batch ids, so min-per-digest over the union ≡ this
-    # anti-join + min-within-batch).
-    exact_b = (
-        quality_b.groupBy(F.md5("text").alias("digest"))
+    # anti-join + min-within-batch).  Winners are decided on METADATA;
+    # the survivor text attaches from the scan exactly once.
+    winners_b = (
+        meta_b.where(F.col("q"))
+        .groupBy("digest")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(st["digests"].read(), "digest", "left_anti")
-        .join(quality_b, "doc_id")
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)
     )
-    toks_b = exact_b.select("doc_id", F.size(ws).cast("long").alias("n_tokens"))
+    exact_b = (
+        winners_b.select("doc_id")
+        .join(corpus_b, "doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=eager)
+    )
+    toks_b = (
+        winners_b.select("doc_id")
+        .join(meta_b, "doc_id")
+        .select("doc_id", F.col("nt").alias("n_tokens"))
+    )
     toks_all = st["toks"].read().unionByName(toks_b)
 
     # --- near-dup: probe the persisted band index with batch bands;
@@ -2611,7 +2643,7 @@ def _funnel_batch(
     # Checkpointed for the same reason the full funnel checkpoints its
     # pairs frame: three consumers (both cand_sh sides + the verify
     # join) would otherwise each replay the band-probe subtree.
-    new_pairs = _lsh_pairs(touched, "doc_id").localCheckpoint(eager=True)
+    new_pairs = _lsh_pairs(touched, "doc_id").localCheckpoint(eager=eager)
     # NO spread() here: the broadcast-id prune keeps this scan's heavy
     # work candidate-sized, and a repartition would shuffle the FULL
     # text corpus once per cand_sh consumer before the prune applies.
@@ -2640,7 +2672,7 @@ def _funnel_batch(
         .join(cand_sh("id_b", "id_b", "sb").hint("shuffle_hash"), "id_b")
         .where(_jaccard(F.col("sa"), F.col("sb")) >= 0.5)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=eager)
     )
     # Label-collapse: map each new edge endpoint through the persisted
     # labels (batch/unknown nodes map to themselves), drop edges that
@@ -2669,7 +2701,7 @@ def _funnel_batch(
     reps = (
         newlab.where(F.col("node") == F.col("label"))
         .select(F.col("node").alias("doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=eager)
     )
 
     # --- decontam IVM: Δ = benchmark shingles never seen before; only
@@ -2726,8 +2758,8 @@ def _funnel_batch(
     decontam_ids = reps.join(contaminated, "doc_id", "left_anti")
     return {
         "st": st,
-        "corpus_b": corpus_b,
-        "quality_b": quality_b,
+        "meta_b": meta_b,
+        "exact_digests_b": winners_b.select("digest"),
         "exact_b": exact_b,
         "toks_b": toks_b,
         "toks_all": toks_all,
@@ -2753,21 +2785,19 @@ def _funnel_stage_rows(fr: dict) -> DataFrame:
     survivor stages aggregate over the maintained (doc_id, n_tokens)
     view.
 
-    Batch-scan discipline: stages 1 and 2 come out of ONE tokenizing
-    pass over the batch (the quality predicate folded in as a
-    conditional aggregate) instead of separate scans of ``corpus_b``
-    and ``quality_b`` — word-splitting is the expensive part of the
-    census, and at 100 TB a second pass over every ingested byte is
-    real money.  Stage 3 aggregates ``toks_all`` directly: its id set
+    Batch-scan discipline: stages 1 and 2 aggregate the batch's stored
+    metadata (``meta_b`` — token count and quality flag from the
+    batch's single tokenizing pass) instead of re-tokenizing the scan —
+    word-splitting is the expensive part of the census, and at 100 TB
+    a second pass over every ingested byte is real money.  Stage 3
+    aggregates ``toks_all`` directly: its id set
     IS toks_all's, and the former ids-join form was a corpus-sized
     self-join that shuffled the survivor set against itself for a
     no-op."""
     meta = fr["st"]["meta"].read()
     toks_all = fr["toks_all"]
 
-    nt = F.size(words(F.col("text"))).cast("long")
-    qual = _funnel_quality_pred()
-    batch_census = fr["corpus_b"].select(nt.alias("nt"), qual.alias("q")).agg(
+    batch_census = fr["meta_b"].select("nt", "q").agg(
         F.count("*").alias("bn1"),
         F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("bt1"),
         F.count(F.when(F.col("q"), 1)).alias("bn2"),
@@ -2862,9 +2892,12 @@ def _advance_funnel_state(dst: dict, fr: dict) -> None:
     # the PERSISTED counters, so a retry that died before the meta
     # commit still reads un-advanced counters and lands the right
     # totals; committing it early would double-count on retry).
+    # The winners' stored digest IS md5(text) of each surviving doc
+    # (computed in the batch's single tokenizing pass) — appending it
+    # avoids re-hashing the survivor text here.
     _append_delta(
         dst["digests"],
-        fr["exact_b"].select(F.md5("text").alias("digest")),
+        fr["exact_digests_b"],
         stats_cols=["digest"],
     )
     _append_delta(dst["toks"], fr["toks_b"], stats_cols=["doc_id"])
@@ -2966,7 +2999,10 @@ def incremental_funnel_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ([(s1, s2)], "lo long, hi long"),
         build_and_advance,
     )
-    return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st_b, s2, None))
+    # Report-only final batch (the advance above already committed its
+    # writes before these frames are built) — same laziness as the
+    # single-batch report path.
+    return _funnel_stage_rows(_funnel_batch(spark, sf_dir, st_b, s2, None, eager=False))
 
 
 @query(
