@@ -375,13 +375,16 @@ def pagestore_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_page_store,
     )
 
-    rows = [
-        r.asDict()
-        for r in t(spark, sf_dir, "documents")
+    # Arrow collect (guide §6): the row-path collect spent ~0.3s
+    # pickling rows the landing loop immediately re-dictifies; toArrow
+    # keeps the same rows/ordering as one columnar transfer.
+    rows = (
+        t(spark, sf_dir, "documents")
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
-        .collect()
-    ]
+        .toArrow()
+        .to_pylist()
+    )
     half = len(rows) // 2
     store = _staging_dir("pagestream_store", sf_dir)
     sink = _staging_dir("pagestream_sink", sf_dir)
@@ -854,8 +857,12 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), F.sum("value").alias("total_value")
     )
     sink = f"statein_{uuid.uuid4().hex[:8]}"
+    from shopify_youtube_etl_spark.plans.common import stream_state_partitions
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(src))
+    )
     try:
         q = (
             agg.writeStream.format("memory")
@@ -972,12 +979,19 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     # to inherit from the batch session: every shuffle partition mints
     # two join-state stores per side whose open/commit cost dominates a
     # bounded drain (32 batch partitions = 9s of state bookkeeping for
-    # <1s of data here; 8 = 3.8s, same rows).  The count is baked into
-    # the checkpoint at first start, so it is set only for this query's
-    # planning and restored immediately after start; at 100 TB traffic
-    # you raise it to match join-state volume, not scan width.
+    # <1s of data here; 8 = 3.7s; 4 = 2.9s, same rows at quiet minima).
+    # Width now derives from the staged source volume
+    # (stream_state_partitions — data-proportional, env-overridable),
+    # not a constant: at 100 TB traffic it scales to match state
+    # volume instead of scan width.  The count is baked into the
+    # checkpoint at first start, so it is set only for this query's
+    # planning and restored immediately after start.
+    from shopify_youtube_etl_spark.plans.common import stream_state_partitions
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(src))
+    )
     try:
         q = (
             interval_join_builder(side("purchase"), side("click"))

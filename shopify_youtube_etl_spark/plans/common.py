@@ -158,6 +158,37 @@ class staging_lock:
         return False
 
 
+def stream_state_partitions(src_dir: str) -> int:
+    """Shuffle-partition width for a BOUNDED stateful availableNow
+    drain, derived from the staged source's byte volume instead of
+    inherited from the batch session's scan width (guide §2.2 "fewer,
+    larger partitions", applied to streaming state stores).
+
+    Every shuffle partition mints its state stores per stateful
+    operator, and their open/commit cost dominates a short drain:
+    measured on stream_stream_join_attribution at sf0.1 (same rows
+    out), 32 partitions ≈ 9s, 8 ≈ 3.7s, 4 ≈ 2.9s at quiet minima.
+    One partition per ~32 MB of staged NDJSON with a floor of 4 keeps
+    the width data-proportional — a 100 TB/day stream sizes itself
+    into hundreds of partitions, and the env override
+    (SPARK_GRAFT_STREAM_STATE_PARTITIONS) pins it where an operator
+    knows the join-state volume better than the source size proxy."""
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    total = 0
+    try:
+        for f in os.listdir(src_dir):
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(src_dir, f))
+    except OSError:
+        pass
+    return max(4, math.ceil(total / (32 * 1024 * 1024)))
+
+
 # (sf_dir, name, parallelism) -> whether the scan needs spreading; the
 # probe (df.rdd.getNumPartitions) costs a plan conversion, so pay it
 # once.  Parallelism is part of the key so a session with a different
