@@ -43,7 +43,7 @@ quantizer train + base census at 100×, and min-of-N the warm
 append-assignment pass), and ``semantic_cluster_dedup`` gets its named
 scaling-law disposition (the one >2.5× ratio without one in r11).
 
-Usage: python bench_sf1.py  → writes BENCH_SF1_r12.json and prints it.
+Usage: python bench_sf1.py  → writes BENCH_SF1_r13.json and prints it.
 """
 
 from __future__ import annotations
@@ -649,7 +649,7 @@ def main() -> None:
         },
         "dispositions": DISPOSITIONS,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r12.json"), "w") as fh:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r13.json"), "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps(artifact))
 

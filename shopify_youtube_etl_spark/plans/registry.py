@@ -78,12 +78,14 @@ _CANARIES = [
 # rename can't silently drop a query out of the priority window;
 # tests/test_plans.py globs CORRECTNESS_r*.json so the ordering can't
 # silently go stale.
-# Re-sorted for round 12 against the CORRECTNESS_r01-r11 union
+# Re-sorted for round 13 against the CORRECTNESS_r01-r12 union
 # latest-green rounds (no net-new queries BY DESIGN): the ~44 non-canary
-# slots go to the 2 changed-after-green funnel IVMs (shared-helper rule
-# above), the whole remaining r05 cohort (29 — draining the oldest
-# staleness bucket per r11 verdict #2), and the oldest ~13 of the r06
-# cohort; the 44 queries refreshed in round 11 rotate to the back.
+# slots go to the queries the r13 OPTIMIZATION edits touched (funnel
+# restructure, streaming width/Arrow collect, components iterative
+# checkpoint, double_literal consumers — the shared-helper rule), then
+# the r12 plan-shape edits whose last record predates r12 (verdict #7's
+# named list), then the oldest 14 of the remaining r06 staleness
+# cohort; the 50 queries refreshed in round 12 rotate to the back.
 #
 # Canary lesson worth keeping (r8 red row → r9 fix): the only external
 # failure this repo has ever recorded was `repeat_purchase_hazard`, an
@@ -96,61 +98,55 @@ _CANARIES = [
 # oracle sums/windows integers needs that CAST — check the comparator
 # output before burning a driver slot on it.
 _DRIVER_PRIORITY = _CANARIES + [
-    # --- changed after last external green (r11 verdict #1, the
-    # shared-helper rule): commits 1661b19/7a4938e edited
-    # _materialize_funnel_state (llm_text.py), which executes inside
-    # both funnel IVM queries — their r6 rows-only records no longer
-    # certify the shipped materializer. ---
+    # --- changed after last external green, ROUND 13 edits (the
+    # shared-helper rule): the funnel report/batch restructure
+    # (llm_text.py single-tokenize metadata passes, lazy report
+    # checkpoints), the streaming state-width derivation + Arrow
+    # collect (advanced_io.py/common.py), connected_components'
+    # iterative-path edge checkpoint (components.py — every
+    # consumer counts), and the double_literal SQL builder
+    # (similarity.py — hyperplane/_ivf_dists/probe/knee consumers).
+    # Their previous green records no longer certify the shipped
+    # implementation. ---
+    "curation_funnel_report",
     "incremental_curation_funnel",
     "incremental_funnel_two_batch",
-    # --- last external record: round 5 ---
     "pagestore_stream_ingest",
-    "pagestore_stream_sink_roundtrip",
-    "pagestore_write_roundtrip",
-    "pq_ann_topk",
-    "range_sorted_layout",
+    "stream_stream_join_attribution",
+    "stream_state_inspection",
+    "neardup_components",
+    "copurchase_components",
+    "incremental_component_delete",
+    "incremental_component_maintenance",
+    "dedup_representative_pick",
+    "leakage_safe_split",
     "recursive_nation_reach",
-    "repeated_span_removal",
-    "segment_skipping_scan",
-    "semantic_cluster_dedup",
-    "snapshot_time_travel",
-    "stateful_sessionize",
-    "table_change_feed",
-    "targeted_reprocess",
-    "theta_audience_overlap",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_rich_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "two_level_window_hourly",
-    "unigram_logprob_score",
-    "zipf_alpha_fit",
-    # --- last external record: round 6 ---
-    "approx_top_terms_sketch",
-    "arrow_native_quant_error",
-    "bigram_lm_heldout_ppl",
-    "clustered_range_scan",
-    "collated_cross_source_census",
-    "column_profile_orders",
-    "curation_funnel_report",
-    "debounce_events",
+    "embedding_lsh_neardup",
     "embedding_decontamination",
-    "erasure_cascade_apply",
-    "fuzzy_blocked_join",
-    "incremental_hll_maintenance",
-    "ivf_hot_cell_split",
     "ivf_incremental_assign",
+    "ivfpq_code_refresh",
+    "quality_knee_quantile_grid",
+    "rrf_hybrid_retrieval",
+    "ivf_hot_cell_split",
+    "semantic_cluster_dedup",
+    # --- changed in ROUND 12 with no post-change external record
+    # (r12 verdict item 7: plan-shape edits whose last record
+    # predates the r12 optimizations). ---
+    "minhash_lsh_neardup",
+    "bm25_incremental_index",
+    "tpch_refresh_q1",
+    "tpch_q2_real",
+    "tpch_q20_surplus_suppliers",
+    "incremental_attribution_revenue",
+    "incremental_kll_maintenance",
+    "zorder_box_scan",
+    "incremental_cluster_maintenance",
+    # --- staleness rotation: every remaining query ordered by the
+    # round of its most recent external record (oldest first, ties
+    # by name; derived from the CORRECTNESS_r01-r12 union). ---
+    # --- last external record: round 6 ---
     "ivf_train_centroids",
     "ivfpq_ann_topk",
-    "ivfpq_code_refresh",
     "linear_attribution_revenue",
     "pagestore_pruned_ingest",
     "param_sql_segment_topk",
@@ -158,16 +154,12 @@ _DRIVER_PRIORITY = _CANARIES + [
     "pq_train_codebooks",
     "pseudonymize_join_integrity",
     "sql_script_recent_rollup",
-    "stream_state_inspection",
-    "stream_stream_join_attribution",
     "subject_access_report",
     "table_file_audit",
     "top_event_paths",
     "tpch_q11_real",
     "tpch_q12_late_lines_by_class",
     "tpch_q16_supplier_counts",
-    "tpch_q20_surplus_suppliers",
-    "tpch_q2_real",
     "tpch_q4_priority_census",
     "tpch_q9_product_profit",
     "two_stage_distinct_daily_users",
@@ -181,12 +173,10 @@ _DRIVER_PRIORITY = _CANARIES + [
     "allocation_proportional",
     "ansi_safe_arithmetic",
     "benford_law_audit",
-    "bm25_incremental_index",
     "bom_explosion",
     "chi_square_independence",
     "cohort_ltv_curve",
     "conversion_lag_percentiles",
-    "copurchase_components",
     "cusum_daily_drift",
     "dictionary_encode_types",
     "duplicate_payment_audit",
@@ -195,9 +185,6 @@ _DRIVER_PRIORITY = _CANARIES + [
     "filter_conjunction",
     "gini_segment_inequality",
     "hhi_market_concentration",
-    "incremental_attribution_revenue",
-    "incremental_cluster_maintenance",
-    "incremental_component_maintenance",
     "lorenz_curve_points",
     "market_basket_lift",
     "matryoshka_truncation_recall",
@@ -208,11 +195,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "position_based_attribution",
     "price_elasticity_by_brand",
     "pvm_decomposition",
-    "quality_knee_quantile_grid",
     "quality_threshold_knee",
     "rfm_segmentation",
     "robust_trend_theil_sen",
-    "rrf_hybrid_retrieval",
     "seasonal_decompose_daily",
     "skyline_pareto_parts",
     "sql_scalar_udf_revenue",
@@ -246,8 +231,6 @@ _DRIVER_PRIORITY = _CANARIES + [
     "explode_outer_guard",
     "fulfillment_sla_attainment",
     "grouping_sets_revenue",
-    "incremental_component_delete",
-    "incremental_kll_maintenance",
     "incremental_rollup_merge",
     "intersect_repeat_buyers",
     "json_extraction",
@@ -261,10 +244,8 @@ _DRIVER_PRIORITY = _CANARIES + [
     "seasonal_naive_backtest",
     "segment_migration_matrix",
     "sliding_distinct_users_7d",
-    "tpch_refresh_q1",
     "triplet_margin_mining",
     "unpivot_charge_components",
-    "zorder_box_scan",
     # --- last external record: round 9 ---
     "ann_ivf_topk",
     "anti_join_decontaminate",
@@ -273,11 +254,9 @@ _DRIVER_PRIORITY = _CANARIES + [
     "char_ngram_neardup",
     "csv_roundtrip_ingest",
     "dedup_exact",
-    "dedup_representative_pick",
     "doc_chunking",
     "doc_fingerprint",
     "embedding_centroid_per_label",
-    "embedding_lsh_neardup",
     "except_all_multiset_diff",
     "funnel_conversion",
     "groupwise_quality_zscore",
@@ -328,9 +307,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "gap_fill_daily_revenue",
     "media_frame_sample",
     "media_payload_features",
-    "minhash_lsh_neardup",
     "mixture_rebalance",
-    "neardup_components",
     "ngram_jaccard_pairs",
     "order_value_extremes_per_segment",
     "pagestore_distributed_ingest",
@@ -354,9 +331,7 @@ _DRIVER_PRIORITY = _CANARIES + [
     "token_length_histogram",
     "tpch_q1_pricing_summary",
     "vocab_top_tokens",
-    # --- last external record: round 11 (the r11 window: the former
-    # changed-after-green pair, the whole r04 cohort, and the oldest 15
-    # of the r05 cohort — all re-greened in CORRECTNESS_r11) ---
+    # --- last external record: round 11 ---
     "acctbal_rank_profile",
     "bloom_indexed_point_lookup",
     "bm25_search_topk",
@@ -375,7 +350,6 @@ _DRIVER_PRIORITY = _CANARIES + [
     "iqr_outlier_profile",
     "key_skew_profile",
     "kll_daily_value_quantiles",
-    "leakage_safe_split",
     "media_header_decode",
     "media_payload_dedup",
     "ntile_value_quartiles",
@@ -401,6 +375,43 @@ _DRIVER_PRIORITY = _CANARIES + [
     "value_histogram",
     "weighted_sample_per_group",
     "zorder_locality_profile",
+    # --- last external record: round 12 ---
+    "approx_top_terms_sketch",
+    "arrow_native_quant_error",
+    "bigram_lm_heldout_ppl",
+    "clustered_range_scan",
+    "collated_cross_source_census",
+    "column_profile_orders",
+    "debounce_events",
+    "erasure_cascade_apply",
+    "fuzzy_blocked_join",
+    "incremental_hll_maintenance",
+    "pagestore_stream_sink_roundtrip",
+    "pagestore_write_roundtrip",
+    "pq_ann_topk",
+    "range_sorted_layout",
+    "repeated_span_removal",
+    "segment_skipping_scan",
+    "snapshot_time_travel",
+    "stateful_sessionize",
+    "table_change_feed",
+    "targeted_reprocess",
+    "theta_audience_overlap",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "two_level_window_hourly",
+    "unigram_logprob_score",
+    "zipf_alpha_fit",
 ]
 
 
