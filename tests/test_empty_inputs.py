@@ -37,10 +37,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory) -> str:
 
 
 def test_every_query_survives_empty_tables(spark, empty_sf):
-    failures = []
-    for name, spec in all_queries().items():
-        try:
-            spec.fn(spark, empty_sf).collect()
-        except Exception as exc:  # noqa: BLE001 — collecting the full report
-            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
+    from tests.sweep_util import run_sweep
+
+    failures = run_sweep(all_queries(), empty_sf, spark)
     assert not failures, "queries crashed on empty input:\n" + "\n".join(failures)

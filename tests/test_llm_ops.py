@@ -849,6 +849,10 @@ def test_two_batch_funnel_equals_full_recompute(spark, sf_dir):
     assert full == two
 
 
+# full lane: ~20s advance-chain rebuild; demotion mechanics stay
+# default-covered by test_funnel_advance_demotion_merges_only_moved_labels
+# and the two-batch equality pin.
+@pytest.mark.full
 def test_two_batch_funnel_demotion_spans_the_advance(spark, tmp_path):
     """The hard chained case, planted: a near-dup chain whose links
     arrive in DIFFERENT batches (s1=288, s2=384 for max id 480: 410/415
@@ -1000,6 +1004,9 @@ def test_funnel_advance_demotion_merges_only_moved_labels(spark, tmp_path):
         assert names <= post, f"{k}: history segments rewritten: {names - post}"
 
 
+# full lane: ~50s torn-state resilience rebuild; the marker protocol's
+# steady state stays default-covered by the funnel equality pins.
+@pytest.mark.full
 def test_funnel_torn_state_rebuilds_behind_the_marker(spark, tmp_path):
     """The terminal-marker protocol: the nine state tables commit
     through independent per-table manifests, so the QUERY treats any
@@ -1064,6 +1071,8 @@ def test_funnel_torn_state_rebuilds_behind_the_marker(spark, tmp_path):
     assert two_again == full
 
 
+# full lane: ~17s wipe-and-rebuild probe of the layout-version bump.
+@pytest.mark.full
 def test_state_layout_version_bump_wipes_and_rebuilds_funnel_state(spark, tmp_path, monkeypatch):
     """r9 verdict #6: the terminal marker proves a state build COMPLETED,
     not that it is COMPATIBLE — state persisted by round-N code must not
@@ -1166,6 +1175,10 @@ def test_funnel_materialize_survives_torn_prelock_marker_read(spark, tmp_path, m
     )
 
 
+# full lane: ~30s crash-retry convergence probe; commit-order reasoning
+# is documented at _advance_funnel_state and the advance's steady state
+# stays default-covered by the advance-survival and equality pins.
+@pytest.mark.full
 def test_funnel_advance_crash_before_meta_commit_retries_cleanly(spark, tmp_path):
     """The documented crash-retry story, executed: the advance commits
     digests (the batch's root filter) first and the meta counter table

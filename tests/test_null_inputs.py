@@ -56,10 +56,7 @@ def nullish_sf(spark, sf_dir, tmp_path_factory) -> str:
 
 
 def test_every_query_survives_null_rows(spark, nullish_sf):
-    failures = []
-    for name, spec in all_queries().items():
-        try:
-            spec.fn(spark, nullish_sf).collect()
-        except Exception as exc:  # noqa: BLE001 — collecting the full report
-            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
+    from tests.sweep_util import run_sweep
+
+    failures = run_sweep(all_queries(), nullish_sf, spark)
     assert not failures, "queries crashed on null rows:\n" + "\n".join(failures)

@@ -313,6 +313,9 @@ def test_sync_control_watermark_semantics(spark, tmp_path):
     assert sc.start_date(force_full_load=True) == FALLBACK_START
 
 
+# full lane: ~9s many-generation growth probe; single-commit behavior
+# stays default-covered by the sync/verb pins.
+@pytest.mark.full
 def test_sync_control_segments_stay_bounded(spark, tmp_path):
     """A long-lived pipeline appends one ledger row per run; the
     control table must auto-compact so reads/commits never degrade
@@ -759,6 +762,9 @@ def test_change_feed_pre_images(spark, tmp_path):
     assert "pre_v" not in tbl.change_feed(seqs[0], seqs[1], keys=["k"]).columns
 
 
+# full lane: ~12s many-generation retention loop; single-trim behavior
+# stays default-covered by the time-travel and GC pins.
+@pytest.mark.full
 def test_retention_policy_trims_history(spark, tmp_path):
     """r4 verdict item #8: a long-lived pipeline bounds its time-travel
     window with retain(max_generations | max_age) — manifests AND the

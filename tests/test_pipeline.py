@@ -120,6 +120,10 @@ def test_force_full_load_reprocesses(spark, batches, tmp_path_factory):
     assert pipe.finals["orders"].read().count() == 200
 
 
+# full lane: ~4.5min 20-generation growth probe (the single longest
+# test in the suite); per-commit compaction/GC behavior stays
+# default-covered by the two-batch run and the operator compaction pins.
+@pytest.mark.full
 def test_many_batches_keep_storage_bounded(spark, tmp_path_factory):
     """VERDICT r2 item #4: 20 hourly-style runs must NOT accumulate one
     segment per run per table — staging appends auto-compact, merge

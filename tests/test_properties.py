@@ -7,6 +7,7 @@ real Spark jobs.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -189,6 +190,9 @@ def test_salted_join_equals_plain_join(spark, large, small, how):
     )
 )
 @SETTINGS
+# full lane: ~33s 8-example property sweep; pagerank stays
+# default-covered by the pagerank_nation_trade oracle-parity test.
+@pytest.mark.full
 def test_pagerank_matches_power_iteration(spark, edges):
     """Distributed pagerank == a dense numpy power iteration on random
     directed graphs with duplicate edges, self-loops, and dangling
